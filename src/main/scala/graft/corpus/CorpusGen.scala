@@ -1,0 +1,252 @@
+package graft.corpus
+
+import java.nio.charset.StandardCharsets
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.model.RawPage
+
+/** Deterministic synthetic Common-Crawl-style corpus (FIXTURES.md §1-2).
+  *
+  * Every field is a pure function of (seed, rowIndex) via a splitmix64-style
+  * counter RNG, so any tier regenerates byte-identically regardless of
+  * partitioning or parallelism (the fixture discipline of the reference's
+  * seeded synthetic PDFs, tests/conftest.py:8-34, scaled to a table).
+  *
+  * Row taxonomy (idx % 20) follows FIXTURES.md §2: clean-HTML regression
+  * rows, passthrough rows, garbled/vocabulary/german/hyphenation/layout
+  * difficult rows, boilerplate-heavy rows, two-column PDF rows, failure rows
+  * (null/truncated/oversized/unknown-lang), and short-text edge rows.
+  */
+object CorpusGen {
+
+  val DefaultSeed = 42L
+  val Epoch = 1767225600000L // 2026-01-01T00:00:00Z, fixed (no wall clock)
+
+  // -- counter-based RNG -----------------------------------------------------
+  private def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+    z ^ (z >>> 33)
+  }
+
+  /** Deterministic stream value for (seed, idx, stream). */
+  def rng(seed: Long, idx: Long, stream: Long): Long =
+    mix64(seed ^ mix64(idx * 0x9e3779b97f4a7c15L + stream * 0xbf58476d1ce4e5b9L))
+
+  private def pick[A](seed: Long, idx: Long, stream: Long, xs: IndexedSeq[A]): A =
+    xs(((rng(seed, idx, stream) >>> 1) % xs.length).toInt)
+
+  private def int(seed: Long, idx: Long, stream: Long, lo: Int, hi: Int): Int =
+    lo + ((rng(seed, idx, stream) >>> 1) % (hi - lo + 1)).toInt
+
+  // -- vocabulary ------------------------------------------------------------
+  private val Vocab: IndexedSeq[String] = Vector(
+    "the", "reading", "question", "history", "language", "meaning", "truth",
+    "reason", "world", "nature", "culture", "science", "method", "theory",
+    "practice", "concept", "form", "matter", "subject", "object", "spirit",
+    "freedom", "experience", "knowledge", "structure", "system", "order",
+    "relation", "difference", "identity", "value", "quality", "measure",
+    "cause", "effect", "ground", "origin", "purpose", "work", "human",
+    "presence", "absence", "writing", "voice", "sign", "trace", "margin")
+
+  private val GarbledTokens: IndexedSeq[String] = Vector(
+    "xkqzwvbn", "tzvwxkqp", "@#$%^&", "=+=+=+", "GarBleD", "WoRdCase",
+    "a1@b2#c3$", "zzzzzqk", "ctrl", "mnbvcxzl")
+
+  private val VocabularyMissTokens: IndexedSeq[String] = Vector(
+    // structurally valid but not in the word list (foreign/jargon)
+    "quodlibet", "peras", "apeiron", "hyle", "morphe", "physis",
+    "techtonic", "semiosis", "katabasis", "anagoge", "parousia", "kenosis")
+
+  private val GermanTokens: IndexedSeq[String] = Vector(
+    "dasein", "zuhandenheit", "vorhandenheit", "befindlichkeit",
+    "geworfenheit", "erschlossenheit", "zeitlichkeit", "möglichkeit",
+    "notwendigkeit", "wissenschaft", "weltanschauung", "bewusstsein")
+
+  private val NavWords = Vector("Home", "About", "Contact", "Archive", "Search",
+    "Login", "Register", "Subscribe", "Privacy", "Terms", "Sitemap", "Help")
+
+  // -- text builders ----------------------------------------------------------
+  private def sentence(seed: Long, idx: Long, s: Long, words: Int): String = {
+    val sb = new StringBuilder
+    var k = 0
+    while (k < words) {
+      val w = pick(seed, idx, s * 131 + k, Vocab)
+      if (k == 0) sb.append(w.capitalize) else sb.append(' ').append(w)
+      k += 1
+    }
+    sb.append('.').toString
+  }
+
+  def paragraph(seed: Long, idx: Long, s: Long, sentences: Int): String =
+    (0 until sentences)
+      .map(k => sentence(seed, idx, s * 977 + k, int(seed, idx, s * 977 + k + 7000, 8, 14)))
+      .mkString(" ")
+
+  private def cleanParagraphs(seed: Long, idx: Long, nParas: Int): Seq[String] =
+    (0 until nParas).map(p => paragraph(seed, idx, 100 + p, int(seed, idx, 200 + p, 3, 5)))
+
+  private def withInjected(base: String, tokens: IndexedSeq[String], seed: Long, idx: Long, every: Int): String = {
+    val words = base.split(" ")
+    words.zipWithIndex.map { case (w, i) =>
+      if (i % every == every - 1) pick(seed, idx, 300 + i, tokens) else w
+    }.mkString(" ")
+  }
+
+  // -- html builders ----------------------------------------------------------
+  private def navBlock(seed: Long, idx: Long): String =
+    "<nav>" + (0 until 8).map { k =>
+      s"""<a href="/${k}">${pick(seed, idx, 400 + k, NavWords)}</a>"""
+    }.mkString(" | ") + "</nav>"
+
+  private def footerBlock: String =
+    "<footer><p>Copyright 2026 Example Press. All rights reserved. " +
+      """<a href="/privacy">Privacy</a> <a href="/terms">Terms</a></p></footer>"""
+
+  private def linkFarm(seed: Long, idx: Long, n: Int): String =
+    "<div class=\"related\"><ul>" + (0 until n).map { k =>
+      s"""<li><a href="/rel/$k">${sentence(seed, idx, 500 + k, 4).dropRight(1)}</a></li>"""
+    }.mkString("") + "</ul></div>"
+
+  def articleHtml(seed: Long, idx: Long, paras: Seq[String], title: String): String = {
+    val body = paras.map(p => s"<p>$p</p>").mkString("\n")
+    s"""<html><head><title>$title</title>
+<style>body { font: 14px serif; }</style>
+<script>var tracker = "ignored";</script>
+</head><body>
+${navBlock(seed, idx)}
+<div class="main"><h1>$title</h1>
+$body
+${linkFarm(seed, idx, 6)}
+</div>
+$footerBlock
+</body></html>"""
+  }
+
+  private def pdfPayload(seed: Long, idx: Long, twoColumn: Boolean): Array[Byte] = {
+    val sb = new StringBuilder("%PDF-GRAFT 1.0\nP 612 792\n")
+    val nLines = int(seed, idx, 600, 10, 18)
+    def emitCol(x: Int, s: Long): Unit = {
+      var y = 50
+      var k = 0
+      while (k < nLines) {
+        sb.append(s"T $x $y ${sentence(seed, idx, s + k, int(seed, idx, s + k + 50, 4, 7))}\n")
+        // paragraph gap every ~5 lines
+        y += (if (k % 5 == 4) 30 else 12)
+        k += 1
+      }
+    }
+    emitCol(50, 700)
+    if (twoColumn) emitCol(330, 800)
+    sb.toString.getBytes(StandardCharsets.UTF_8)
+  }
+
+  // -- row assembly ------------------------------------------------------------
+  private val Langs = Vector("en", "fr", "de", "el", "la")
+
+  /** Skewed host distribution: host0 owns ~40% of urls (exercises salting). */
+  def host(seed: Long, idx: Long): String = {
+    val r = (rng(seed, idx, 1) >>> 1) % 10
+    if (r < 4) "host0" else s"host${1 + ((rng(seed, idx, 2) >>> 1) % 97)}"
+  }
+
+  def url(seed: Long, idx: Long): String =
+    s"https://${host(seed, idx)}.example/doc/$idx"
+
+  def rowClass(idx: Long): Int = (idx % 20).toInt
+
+  def genRow(seed: Long, idx: Long): RawPage = {
+    val u = url(seed, idx)
+    val ts = new Timestamp(Epoch + idx * 1000L)
+    val lang = pick(seed, idx, 3, Langs)
+    val title = sentence(seed, idx, 4, 5).dropRight(1)
+    val cls = rowClass(idx)
+
+    def clean(n: Int) = cleanParagraphs(seed, idx, n)
+
+    cls match {
+      // clean HTML article, no existing text layer -> HTML extraction path
+      case 0 | 1 | 2 =>
+        RawPage(u, ts, articleHtml(seed, idx, clean(int(seed, idx, 5, 4, 7)), title)
+          .getBytes(StandardCharsets.UTF_8), "", lang)
+      // good existing text layer -> passthrough (work-pruning branch)
+      case 3 | 4 =>
+        val paras = clean(4)
+        RawPage(u, ts, articleHtml(seed, idx, paras, title).getBytes(StandardCharsets.UTF_8),
+          paras.mkString("\n\n"), lang)
+      // garbled text layer + clean html -> flagged passthrough, re-extract
+      case 5 =>
+        val paras = clean(4)
+        val garbled = withInjected(paras.mkString("\n\n"), GarbledTokens, seed, idx, 4)
+        RawPage(u, ts, articleHtml(seed, idx, paras, title).getBytes(StandardCharsets.UTF_8),
+          garbled, lang)
+      // vocabulary-miss text: structurally valid unknown words
+      case 6 =>
+        val base = clean(3).mkString("\n\n")
+        RawPage(u, ts, null, withInjected(base, VocabularyMissTokens, seed, idx, 3), lang)
+      // german philosophy terms: must NOT be flagged
+      case 7 =>
+        val base = clean(3).mkString("\n\n")
+        RawPage(u, ts, null, withInjected(base, GermanTokens, seed, idx, 5), "de")
+      // hyphenation/ligature/soft-hyphen postprocess exercises
+      case 8 =>
+        val p1 = paragraph(seed, idx, 900, 3)
+        val text = s"The ﬁrst diﬀerence con-\ntinues here with Merleau-\nPonty and soft­hyphens.\n\n$p1"
+        RawPage(u, ts, null, text, lang)
+      // layout: headings + indented paragraphs (join_paragraphs rules)
+      case 9 =>
+        val text = s"$title\n${paragraph(seed, idx, 1000, 2)}\n  ${paragraph(seed, idx, 1001, 2)}\nNext Section Heading\n${paragraph(seed, idx, 1002, 2)}"
+        RawPage(u, ts, null, text, lang)
+      // boilerplate-heavy html: link farms around a small content core
+      case 10 | 11 =>
+        val core = clean(2)
+        val html = s"""<html><head><title>$title</title></head><body>
+${navBlock(seed, idx)}
+${linkFarm(seed, idx, 20)}
+<div><p>${core.mkString("</p><p>")}</p></div>
+${linkFarm(seed, idx, 20)}
+$footerBlock
+</body></html>"""
+        RawPage(u, ts, html.getBytes(StandardCharsets.UTF_8), "", lang)
+      // two-column PDF payload
+      case 12 | 13 =>
+        RawPage(u, ts, pdfPayload(seed, idx, twoColumn = true), "", lang)
+      // single-column PDF payload
+      case 14 =>
+        RawPage(u, ts, pdfPayload(seed, idx, twoColumn = false), "", lang)
+      // failure: no payload at all
+      case 15 =>
+        RawPage(u, ts, null, "", lang)
+      // failure: truncated PDF container
+      case 16 =>
+        RawPage(u, ts, "%PDF-GRAFT 1.0\nP 612".getBytes(StandardCharsets.UTF_8), "", lang)
+      // failure: oversized payload (skip-big guard) — only in the tiny tier
+      case 17 =>
+        if (idx < 1000) {
+          val big = ("<p>" + ("x " * 200_000) + "</p>").getBytes(StandardCharsets.UTF_8)
+          RawPage(u, ts, big, "", lang)
+        } else
+          RawPage(u, ts, articleHtml(seed, idx, clean(4), title)
+            .getBytes(StandardCharsets.UTF_8), "", lang)
+      // failure: unknown language code
+      case 18 =>
+        RawPage(u, ts, articleHtml(seed, idx, clean(3), title)
+          .getBytes(StandardCharsets.UTF_8), "", "xx")
+      // edge: short text (<100 chars, neutral quality rule)
+      case _ =>
+        RawPage(u, ts, null, sentence(seed, idx, 1100, 6), lang)
+    }
+  }
+
+  /** The pages table as a typed Dataset — generated in-executor, partition
+    * parallel, never materialized on the driver.
+    */
+  def pages(spark: SparkSession, n: Long, seed: Long = DefaultSeed, partitions: Int = 0): Dataset[RawPage] = {
+    import spark.implicits._
+    val numPart = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    spark.range(0, n, 1, numPart).map(i => genRow(seed, i))
+  }
+}

@@ -1,0 +1,215 @@
+package graft.extract
+
+import java.nio.charset.StandardCharsets
+
+import graft.model._
+import graft.text._
+
+/** Per-row extraction kernel: routing (passthrough / HTML / PDF), quality
+  * gating, postprocess, span bookkeeping, error containment.
+  *
+  * Mirrors the reference's per-file worker dataflow
+  * (reference: pipeline.py:57-296): cheap extraction -> quality gate ->
+  * [heavy fallback handled by the job layer as a second stage] ->
+  * deterministic postprocess. Every failure becomes a failure *row*
+  * (success=false, engine=none) — never an exception escaping the task
+  * (the reference's B4 error-containment contract, pipeline.py:284-296).
+  */
+object Extractor {
+
+  /** Job config broadcast to executors (reference: pipeline.py:35-54). */
+  final case class Config(
+      threshold: Double = 0.85,
+      diagnostics: Boolean = false,
+      forceHeavy: Boolean = false,
+      maxBytes: Int = 8 * 1024 * 1024, // skip-big guard (tesseract.py:19 analogue)
+      languages: Set[String] = Set("en", "fr", "de", "el", "la"),
+      words: Set[String] = null
+  ) {
+    def analyzer: QualityAnalyzer = QualityAnalyzer(threshold = threshold, words = words)
+  }
+
+  /** Assemble postprocessed blocks into (text, spans), dropping blocks that
+    * postprocess to empty. Per-block postprocess is equivalent to whole-text
+    * postprocess here because every transform is local within a
+    * double-newline-delimited block (postprocess.py:50-156 semantics), and it
+    * is what makes span offsets exact.
+    */
+  def assemble(blocks: Seq[(String, String)]): (String, Seq[Span], Map[String, Int]) = {
+    val sb = new StringBuilder
+    val spans = Seq.newBuilder[Span]
+    var counts = Map.empty[String, Int]
+    blocks.foreach { case (kind, raw) =>
+      val (clean, c) = Postprocess(raw)
+      counts = mergeCounts(counts, c)
+      if (clean.nonEmpty) {
+        if (sb.nonEmpty) sb.append("\n\n")
+        val start = sb.length
+        sb.append(clean)
+        spans += Span(start, sb.length, kind)
+      }
+    }
+    (sb.toString, spans.result(), counts)
+  }
+
+  def mergeCounts(a: Map[String, Int], b: Map[String, Int]): Map[String, Int] =
+    b.foldLeft(a) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0) + v) }
+
+  /** Block-classification margin as 1-99 pseudo-confidence, feeding the
+    * confidence signal the way Tesseract word confidences feed the
+    * reference's (confidence.py:44-88). Deterministic integer arithmetic.
+    */
+  private def blockConfidence(b: HtmlExtractor.Block): Int = {
+    val c = 50 + math.min(45, b.words / 2) - math.round(100 * b.linkDensity).toInt
+    math.max(1, math.min(99, c))
+  }
+
+  private def confidenceData(
+      blocks: Seq[HtmlExtractor.Block]
+  ): Seq[ConfidenceSignal.WordConf] =
+    blocks.flatMap { b =>
+      val conf = blockConfidence(b)
+      b.text.split("\\s+").iterator.filter(_.nonEmpty).map(ConfidenceSignal.WordConf(_, conf))
+    }
+
+  private def failure(row: RawPage, error: String): DocResult =
+    DocResult(row.url, "", Nil, Quality(0.0, flagged = false, 0, 0, Nil, Map.empty),
+      Engines.None_, success = false, error = error, diagnostics = None)
+
+  /** Fast path: passthrough if the existing `text` passes quality, else
+    * cheap HTML/PDF extraction (reference work-pruning branch,
+    * pipeline.py:101-166).
+    */
+  def fastExtract(row: RawPage, cfg: Config): DocResult = {
+    try fastExtractUnsafe(row, cfg)
+    catch {
+      case e: Exception =>
+        failure(row, s"extract_error:${e.getClass.getSimpleName}:${String.valueOf(e.getMessage).take(200)}")
+    }
+  }
+
+  private def fastExtractUnsafe(row: RawPage, cfg: Config): DocResult = {
+    if (row.lang != null && !cfg.languages.contains(row.lang))
+      return failure(row, s"unknown_lang:${row.lang}")
+    val hasHtml = row.html != null && row.html.nonEmpty
+    val hasText = row.text != null && row.text.strip().nonEmpty
+    if (!hasHtml && !hasText) return failure(row, "no_payload")
+    if (hasHtml && row.html.length > cfg.maxBytes)
+      return failure(row, s"oversized_payload:${row.html.length}")
+
+    val analyzer = cfg.analyzer
+
+    // Work pruning: existing text layer that passes quality skips extraction.
+    if (hasText) {
+      val q = analyzer.analyze(row.text)
+      if (!q.flagged && !cfg.forceHeavy) {
+        val (text, spans, counts) = assemble(Seq(("text", row.text)))
+        return result(row, text, spans, q, Engines.Passthrough, counts, cfg, analyzer)
+      }
+    }
+
+    if (!hasHtml) {
+      // flagged text layer and nothing to re-extract from: keep it, flagged
+      val q = analyzer.analyze(row.text)
+      val (text, spans, counts) = assemble(Seq(("text", row.text)))
+      return result(row, text, spans, q, Engines.Passthrough, counts, cfg, analyzer)
+    }
+
+    if (PdfExtractor.isPdf(row.html)) {
+      PdfExtractor.extract(row.html) match {
+        case Left(err) =>
+          if (hasText) {
+            val q = analyzer.analyze(row.text)
+            val (text, spans, counts) = assemble(Seq(("text", row.text)))
+            result(row, text, spans, q, Engines.Passthrough, counts, cfg, analyzer)
+          } else failure(row, s"pdf_parse:$err")
+        case Right(ex) =>
+          val (text, spans, counts) = assemble(ex.columns)
+          val q = analyzer.analyze(text)
+          result(row, text, spans, q, Engines.Pdf, counts, cfg, analyzer)
+      }
+    } else {
+      val html = new String(row.html, StandardCharsets.UTF_8)
+      val ex = HtmlExtractor.extract(html)
+      val content = ex.contentBlocks
+      val (text, spans, counts) = assemble(content.map(b => (b.tag, b.text)))
+      val q = analyzer.analyze(text, Some(confidenceData(content)))
+      result(row, text, spans, q, Engines.Html, counts, cfg, analyzer)
+    }
+  }
+
+  /** Heavy path for still-flagged rows (the reference's Surya stage,
+    * pipeline.py:450-533): expensive re-segmentation, then the spliced text
+    * is postprocessed AGAIN — the reference re-runs postprocess over already
+    * postprocessed text when rewriting heavy-path files (pipeline.py:689);
+    * byte-identity requires replicating that double application.
+    */
+  def heavyExtract(row: RawPage, fast: DocResult, cfg: Config): DocResult = {
+    try {
+      val hasHtml = row.html != null && row.html.nonEmpty && !PdfExtractor.isPdf(row.html)
+      if (!hasHtml) return fast // nothing better available; keep fast output
+      val analyzer = cfg.analyzer
+      val html = new String(row.html, StandardCharsets.UTF_8)
+      val ex = HtmlExtractor.heavySegment(html)
+      val content = ex.contentBlocks
+      if (content.isEmpty) return fast
+      val (text0, _, counts0) = assemble(content.map(b => (b.tag, b.text)))
+      // double postprocess (pipeline.py:689 quirk)
+      val (text, counts1) = Postprocess(text0)
+      val spans = Seq(Span(0, text.length, "heavy"))
+      val q = analyzer.analyze(text, Some(confidenceData(content)))
+      val counts = mergeCounts(counts0, counts1)
+      val diag =
+        if (!cfg.diagnostics) None
+        else {
+          val struggles = QualityAnalyzer.classifyStruggle(
+            q.signalScores, q.score, cfg.threshold, Engines.Heavy, Some(q.score))
+          Some(Diagnostics(
+            q.signalScores,
+            weightsFor(q.signalScores),
+            QualityAnalyzer.signalDisagreements(q.signalScores),
+            QualityAnalyzer.signalDisagreements(q.signalScores)
+              .exists(_.magnitude > QualityAnalyzer.DisagreementThreshold),
+            counts,
+            struggles,
+            fastText = fast.extracted_text
+          ))
+        }
+      DocResult(row.url, text, spans, q, Engines.Heavy, success = true, error = null, diag)
+    } catch {
+      case _: Exception => fast // heavy failure keeps the fast output (pipeline.py:717-722)
+    }
+  }
+
+  private def weightsFor(scores: Map[String, Double]): Map[String, Double] =
+    if (scores.contains("confidence"))
+      Map("garbled" -> 0.4, "dictionary" -> 0.3, "confidence" -> 0.3)
+    else Map("garbled" -> 0.55, "dictionary" -> 0.45)
+
+  private def result(
+      row: RawPage,
+      text: String,
+      spans: Seq[Span],
+      q: Quality,
+      engine: String,
+      counts: Map[String, Int],
+      cfg: Config,
+      analyzer: QualityAnalyzer
+  ): DocResult = {
+    val diag =
+      if (!cfg.diagnostics) None
+      else {
+        val disagreements = QualityAnalyzer.signalDisagreements(q.signalScores)
+        Some(Diagnostics(
+          q.signalScores,
+          weightsFor(q.signalScores),
+          disagreements,
+          disagreements.exists(_.magnitude > QualityAnalyzer.DisagreementThreshold),
+          counts,
+          QualityAnalyzer.classifyStruggle(q.signalScores, q.score, cfg.threshold),
+          fastText = null
+        ))
+      }
+    DocResult(row.url, text, spans, q, engine, success = true, error = null, diag)
+  }
+}

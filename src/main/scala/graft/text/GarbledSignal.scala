@@ -1,0 +1,211 @@
+package graft.text
+
+import java.util.regex.Pattern
+
+import graft.model.Signal
+
+/** Garbled-text detection signal.
+  *
+  * Semantics from the reference's regex signal (reference: quality.py:31-226):
+  * per-word classification with a punctuation strip, short-word and
+  * reference-pattern skips, a philosophy-term whitelist, then four garble
+  * detectors (low-alpha ratio, consonant cluster with German-suffix
+  * exemption, symbol run, mid-word CamelCase, control chars).
+  * Score = max(0, 1 - 2 * garbled/total); texts under 100 chars are neutral.
+  *
+  * All patterns precompiled at object load (the reference compiles at class
+  * load, quality.py:38-43); the term sets live here as plain Scala sets and
+  * are broadcast by the job layer, never reloaded per row.
+  */
+object GarbledSignal {
+
+  /** Garble patterns (reference: quality.py:38-43). `(?U)` gives Python-like
+    * Unicode \w / \s semantics (SURVEY.md §2.8).
+    */
+  private val GarblePatterns: Seq[(Pattern, String)] = Seq(
+    Pattern.compile("(?i)[bcdfghjklmnpqrstvwxz]{6,}") -> "consonant_cluster",
+    Pattern.compile("(?U)[^\\w\\s.,;:!?'\"\\-–—…*()]{3,}") -> "symbol_run",
+    Pattern.compile("\\b[A-Z][a-z]+[A-Z][a-z]*\\b") -> "weird_case",
+    Pattern.compile("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]") -> "control_char"
+  )
+
+  // Domain whitelists (reference: quality.py:45-101) — philosophy terms that
+  // must never be flagged even though they fail dictionary/structure checks.
+  private val HeideggerTerms = Set(
+    "erschlossenheit", "befindlichkeit", "geworfenheit", "eigentlichkeit",
+    "uneigentlichkeit", "vorhandenheit", "zuhandenheit", "mitsein", "dasein",
+    "zeitlichkeit", "geschichtlichkeit", "weltlichkeit", "sorge", "schuld",
+    "entschlossenheit", "wiederholung", "augenblick", "vorlaufen",
+    "gewesenheit", "gegenwärtigen", "gewärtigen", "verstehen", "auslegung",
+    "rede", "gerede", "neugier", "zweideutigkeit", "verfallenheit",
+    "angst", "furcht", "langeweile", "stimmung", "befindlich",
+    "lichtung", "gestell", "ereignis", "kehre", "gelassenheit",
+    "grundstimmung", "unverborgenheit", "seinsgeschichte")
+
+  private val KantTerms = Set(
+    "vernunft", "verstand", "anschauung", "urteilskraft", "pflicht",
+    "kategorisch", "imperativ", "transzendental", "apriorisch", "erkenntnis",
+    "erscheinung", "noumenon", "ding", "einbildungskraft", "sinnlichkeit",
+    "empfindung", "wahrnehmung")
+
+  private val HegelTerms = Set(
+    "geist", "aufhebung", "dialektik", "synthese", "entfremdung",
+    "selbstbewusstsein", "absolut", "vermittlung", "wirklichkeit")
+
+  private val HusserlTerms = Set(
+    "intentionalität", "epoché", "reduktion", "lebenswelt",
+    "noesis", "noema", "konstitution", "evidenz")
+
+  val GermanPhilosophyTerms: Set[String] = Set(
+    "wissenschaft", "grundlegung", "weltanschauung", "vorstellung",
+    "bestimmung", "begrifflichkeit", "zusammenhang", "beziehung",
+    "freiheit", "wahrheit", "sein", "seiende", "nichts", "wesen",
+    "bedeutung", "sinn", "zweck", "grund", "ursache", "wirkung",
+    "vorurteil", "bildung", "erfahrung", "geschichte", "natur", "kultur",
+    "gesellschaft", "gemeinschaft", "freundschaft", "eigenschaft",
+    "grundsätzlichkeit", "freundlichkeit", "möglichkeit", "notwendigkeit",
+    "widerspruch", "gegensatz", "einheit", "vielheit", "allgemeinheit",
+    "besonderheit", "einzelheit", "substanz", "subjekt", "objekt",
+    "bewusstsein", "unbewusstes", "trieb", "wille", "macht"
+  ) ++ HeideggerTerms ++ KantTerms ++ HegelTerms ++ HusserlTerms
+
+  private val FrenchTerms = Set(
+    "autrement", "visage", "infini", "totalité", "altérité",
+    "jouissance", "fécondité", "proximité", "responsabilité",
+    "substitution", "signification", "conscience", "différence",
+    "présence", "absence", "parole", "écriture", "discours")
+
+  private val GreekTerms = Set(
+    "aletheia", "phronesis", "episteme", "techne", "theoria", "praxis",
+    "ousia", "eidos", "logos", "nous", "psyche", "pneuma",
+    "arche", "telos", "dynamis", "energeia", "entelecheia",
+    "eudaimonia", "arete", "sophia", "doxa", "noesis")
+
+  val ValidTerms: Set[String] = GermanPhilosophyTerms ++ FrenchTerms ++ GreekTerms
+
+  /** German suffixes exempt from the consonant-cluster rule
+    * (reference: quality.py:103).
+    */
+  private val GermanSuffixes =
+    Seq("keit", "heit", "ung", "schaft", "lich", "isch", "tum", "nis")
+
+  /** Common short words skipped outright (reference: quality.py:105-111). */
+  private val ValidShort: Set[String] = Set(
+    "a", "i", "à", "y", "ô", "le", "la", "de", "du", "un", "en",
+    "et", "ou", "au", "il", "je", "tu", "on", "ce", "se", "ne",
+    "the", "of", "to", "in", "is", "it", "an", "as", "at", "be",
+    "by", "or", "so", "we", "if", "my", "up", "no", "do",
+    "ad", "ex", "ab")
+
+  /** Reference/citation patterns that look garbled but are valid — page
+    * ranges, ISBNs, roman numerals, §refs (reference: quality.py:113-130).
+    * Matched with Python `re.match` semantics (anchored at start).
+    */
+  private val ValidPatterns: Seq[Pattern] = Seq(
+    "^\\d+$",
+    "^\\d{1,4}[-–—]+\\d{1,4}$",
+    "(?i)^[ivxlcdm]+$",
+    "^\\d{4}$",
+    "^[A-Z]\\d+$",
+    "^\\d+[a-z]?$",
+    "(?i)^ISBN",
+    "^\\d{1,3}\\.\\d",
+    "^[A-Z]{2,4}\\d",
+    "(?i)^pp?\\.\\s*\\d",
+    "^\\(\\d+\\)$",
+    "^\\[\\d+\\]$",
+    "^§\\d",
+    "^\\d+[a-z]?[-–—]+\\d+[a-z]?$",
+    "^[\\d][\\d\\-–—]+[\\d]$",
+    "^\\d[\\d.\\-–—/]+\\d$"
+  ).map(Pattern.compile)
+
+  private val StripChars: Set[Char] = ".,;:!?()[]{}\"'-–—".toSet
+
+  /** Python `word.strip(chars)` analogue. */
+  private def stripEnds(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && StripChars.contains(s.charAt(a))) a += 1
+    while (b > a && StripChars.contains(s.charAt(b - 1))) b -= 1
+    s.substring(a, b)
+  }
+
+  final case class Result(
+      score: Double,
+      garbledCount: Int,
+      totalWords: Int,
+      sampleIssues: Seq[String],
+      sampleContext: Seq[String]
+  ) {
+    def toSignal(threshold: Double): Signal = Signal(
+      "garbled",
+      score,
+      passed = score >= threshold,
+      Map(
+        "garbled_count" -> garbledCount.toString,
+        "total_words" -> totalWords.toString
+      )
+    )
+  }
+
+  private val Neutral = Result(1.0, 0, 0, Nil, Nil)
+
+  /** Classify one already-stripped word; returns the issue type if garbled.
+    * (reference: quality.py:170-199)
+    */
+  def classifyWord(wordClean: String): Option[String] = {
+    if (wordClean.length < 2 || ValidShort.contains(wordClean.toLowerCase)) return None
+    if (ValidPatterns.exists(p => p.matcher(wordClean).lookingAt())) return None
+    val lower = wordClean.toLowerCase
+    if (ValidTerms.contains(lower)) return None
+
+    val alphaCount = wordClean.count(Character.isLetter)
+    val alphaRatio = alphaCount.toDouble / wordClean.length
+    if (alphaRatio < 0.3 && wordClean.length > 4) return Some("low_alpha")
+
+    val hasGermanSuffix = GermanSuffixes.exists(lower.endsWith)
+    GarblePatterns.collectFirst {
+      case (p, ptype)
+          if !(ptype == "consonant_cluster" && hasGermanSuffix) &&
+            p.matcher(wordClean).find() =>
+        ptype
+    }
+  }
+
+  /** Score a text. Texts with <100 stripped chars are neutral (score 1.0),
+    * matching the reference's short-text rule (quality.py:138-149).
+    */
+  def score(text: String, maxSamples: Int = 10, collectContext: Boolean = false): Result = {
+    if (text == null || text.strip().length < 100) return Neutral
+    val words = text.split("\\s+").filter(_.nonEmpty)
+    val total = words.length
+    if (total == 0) return Neutral
+
+    var garbled = 0
+    val issues = Seq.newBuilder[String]
+    val contexts = Seq.newBuilder[String]
+    var issueCount = 0
+    var idx = 0
+    while (idx < words.length) {
+      val wordClean = stripEnds(words(idx))
+      classifyWord(wordClean) match {
+        case Some(issueType) =>
+          garbled += 1
+          if (issueCount < maxSamples) {
+            issueCount += 1
+            issues += s"$wordClean ($issueType)"
+            if (collectContext) {
+              val start = math.max(0, idx - 5)
+              val end = math.min(words.length, idx + 6)
+              contexts += ("..." + words.slice(start, end).mkString(" ") + "...")
+            }
+          }
+        case None => ()
+      }
+      idx += 1
+    }
+    val ratio = garbled.toDouble / total
+    Result(math.max(0.0, 1.0 - ratio * 2), garbled, total, issues.result(), contexts.result())
+  }
+}

@@ -1,0 +1,169 @@
+package graft.text
+
+import java.text.Normalizer
+import java.util.regex.{Matcher, Pattern}
+import scala.collection.mutable
+
+/** Deterministic text postprocess chain.
+  *
+  * Semantics derived from the reference's postprocess transforms
+  * (reference: postprocess.py:11-156). The chain order is the CODE order of
+  * postprocess.py:150-156 — unicode -> dehyphenate -> join_paragraphs ->
+  * normalize_punctuation — NOT the docstring order; byte-identity of golden
+  * fixtures depends on it (SURVEY.md §2.2 P5).
+  *
+  * Every transform is a pure function returning (text, replacementCounts);
+  * counts feed the lineage/diagnostics `postprocess_counts` map
+  * (reference: postprocess.py:29-47 side-channel made pure).
+  */
+object Postprocess {
+
+  /** Ligature decomposition map (reference: postprocess.py:11-17). */
+  private val Ligatures: Seq[(String, String)] = Seq(
+    "ﬀ" -> "ff",
+    "ﬁ" -> "fi",
+    "ﬂ" -> "fl",
+    "ﬃ" -> "ffi",
+    "ﬄ" -> "ffl"
+  )
+
+  private val SoftHyphen = "­"
+
+  /** Hyphenated proper names whose line-break hyphen must be kept
+    * (reference: postprocess.py:20-24).
+    */
+  private val HyphenatedNames: Set[String] =
+    Set("merleau-ponty", "sartre-beauvoir", "buber-rosenzweig")
+
+  // (?U) makes \w match Unicode word chars like Python's re (SURVEY.md §2.8
+  // parity watchpoint).
+  private val HyphenBreak = Pattern.compile("(?U)(\\w+)-\\n(\\w+)")
+
+  private val ParaSplit = Pattern.compile("\n\n+")
+  private val SpaceBeforePunct = Pattern.compile("\\s+([.,;:!?])")
+  private val MultiSpace = Pattern.compile("  +")
+  private val TrailingBeforeNewline = Pattern.compile("[ \\t]+(\\n)")
+  private val TrailingAtEnd = Pattern.compile("[ \\t]+$")
+
+  type Counts = Map[String, Int]
+
+  private def countOccurrences(haystack: String, needle: String): Int = {
+    var n = 0
+    var i = haystack.indexOf(needle)
+    while (i >= 0) { n += 1; i = haystack.indexOf(needle, i + needle.length) }
+    n
+  }
+
+  /** NFC-normalize, decompose ligatures, strip soft hyphens
+    * (reference: postprocess.py:29-47).
+    */
+  def normalizeUnicode(text: String): (String, Counts) = {
+    var replacements = 0
+    var t = text
+    Ligatures.foreach { case (lig, rep) =>
+      replacements += countOccurrences(t, lig)
+      t = t.replace(lig, rep)
+    }
+    replacements += countOccurrences(t, SoftHyphen)
+    t = t.replace(SoftHyphen, "")
+    t = Normalizer.normalize(t, Normalizer.Form.NFC)
+    (t, Map("unicode_normalizations" -> replacements))
+  }
+
+  /** Rejoin line-break hyphens, preserving proper-name hyphens
+    * (reference: postprocess.py:91-120).
+    */
+  def dehyphenate(text: String): (String, Counts) = {
+    var rejoined = 0
+    val m = HyphenBreak.matcher(text)
+    val sb = new java.lang.StringBuilder
+    while (m.find()) {
+      val left = m.group(1)
+      val right = m.group(2)
+      val hyphenated = s"$left-$right"
+      val keep =
+        HyphenatedNames.contains(hyphenated.toLowerCase) ||
+          (Character.isUpperCase(left.charAt(0)) && Character.isUpperCase(right.charAt(0)))
+      val replacement =
+        if (keep) hyphenated
+        else { rejoined += 1; left + right }
+      m.appendReplacement(sb, Matcher.quoteReplacement(replacement))
+    }
+    m.appendTail(sb)
+    (sb.toString, Map("dehyphenations" -> rejoined))
+  }
+
+  /** Join single-newline lines within paragraph blocks; indented lines and
+    * lines after a short (heading-like, <60 chars) line stay separate
+    * (reference: postprocess.py:50-88).
+    */
+  def joinParagraphs(text: String): (String, Counts) = {
+    var joins = 0
+    val blocks = ParaSplit.split(text, -1)
+    val out = blocks.map { block =>
+      val lines = block.split("\n", -1)
+      if (lines.length <= 1) block
+      else {
+        val merged = mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < lines.length) {
+          val line = lines(i)
+          val stripped = rstrip(line)
+          val indented =
+            line.nonEmpty && (line.charAt(0) == ' ' || line.charAt(0) == '\t') && i > 0
+          if (indented) {
+            merged += ("\n" + line)
+          } else {
+            val headingBreak = i > 0 && merged.nonEmpty && {
+              val prev = rstrip(merged.last)
+              prev.replace("\n", "").strip().length < 60 &&
+              stripped.nonEmpty && Character.isUpperCase(stripped.charAt(0))
+            }
+            if (headingBreak) merged += ("\n" + stripped)
+            else if (i == 0) merged += stripped
+            else { merged += (" " + stripped); joins += 1 }
+          }
+          i += 1
+        }
+        merged.mkString
+      }
+    }
+    (out.mkString("\n\n"), Map("paragraph_joins" -> joins))
+  }
+
+  /** Collapse whitespace around punctuation; strip per-line trailing
+    * whitespace (reference: postprocess.py:123-147).
+    */
+  def normalizePunctuation(text: String): (String, Counts) = {
+    var fixes = 0
+    def subn(p: Pattern, repl: String, t: String): String = {
+      val m = p.matcher(t)
+      val sb = new java.lang.StringBuilder
+      while (m.find()) { fixes += 1; m.appendReplacement(sb, repl) }
+      m.appendTail(sb)
+      sb.toString
+    }
+    var t = text
+    t = subn(SpaceBeforePunct, "$1", t)
+    t = subn(MultiSpace, " ", t)
+    t = subn(TrailingBeforeNewline, "$1", t)
+    t = subn(TrailingAtEnd, "", t)
+    (t, Map("punctuation_fixes" -> fixes))
+  }
+
+  /** Full chain in reference code order (postprocess.py:150-156). */
+  def apply(text: String): (String, Counts) = {
+    val (t1, c1) = normalizeUnicode(text)
+    val (t2, c2) = dehyphenate(t1)
+    val (t3, c3) = joinParagraphs(t2)
+    val (t4, c4) = normalizePunctuation(t3)
+    (t4, c1 ++ c2 ++ c3 ++ c4)
+  }
+
+  /** Python-`rstrip()` analogue: strip trailing Unicode whitespace. */
+  private def rstrip(s: String): String = {
+    var end = s.length
+    while (end > 0 && Character.isWhitespace(s.charAt(end - 1))) end -= 1
+    s.substring(0, end)
+  }
+}
