@@ -226,7 +226,7 @@ $footerBlock
       // failure: oversized payload (skip-big guard) — only in the tiny tier
       case 17 =>
         if (idx < 1000) {
-          val big = ("<p>" + ("x " * 200_000) + "</p>").getBytes(StandardCharsets.UTF_8)
+          val big = ("<p>" + ("x " * 300_000) + "</p>").getBytes(StandardCharsets.UTF_8)
           RawPage(u, ts, big, "", lang)
         } else
           RawPage(u, ts, articleHtml(seed, idx, clean(4), title)

@@ -22,7 +22,7 @@ object Extractor {
       threshold: Double = 0.85,
       diagnostics: Boolean = false,
       forceHeavy: Boolean = false,
-      maxBytes: Int = 8 * 1024 * 1024, // skip-big guard (tesseract.py:19 analogue)
+      maxBytes: Int = 512 * 1024, // skip-big guard (tesseract.py:19 analogue)
       languages: Set[String] = Set("en", "fr", "de", "el", "la"),
       words: Set[String] = null
   ) {

@@ -135,7 +135,7 @@ object PdfExtractor {
     val advances = ls.sliding(2).collect { case Vector(a, b) => b._1 - a._1 }.filter(_ > 0).toVector
     val median =
       if (advances.isEmpty) 12
-      else advances.sorted.apply(advances.length / 2)
+      else advances.sorted.apply((advances.length - 1) / 2)
     val sb = new StringBuilder(ls.head._2)
     ls.sliding(2).foreach {
       case Vector((y1, _), (y2, t2)) =>

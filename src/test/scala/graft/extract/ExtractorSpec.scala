@@ -1,0 +1,215 @@
+package graft.extract
+
+import java.nio.charset.StandardCharsets
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.CorpusGen
+import graft.model.{Engines, RawPage}
+
+class HtmlExtractorSpec extends AnyFunSuite {
+
+  private val article =
+    """<html><head><title>A Title</title>
+      |<style>p { color: red }</style><script>var x = "<p>not text</p>";</script>
+      |</head><body>
+      |<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>
+      |<div class="main"><h1>The Question of Meaning</h1>
+      |<p>The question of meaning in language and history has a long tradition
+      |of careful reading and patient interpretation across many works.</p>
+      |<p>Another substantial paragraph discussing the history of interpretation
+      |and the structure of understanding in considerable detail here.</p>
+      |</div>
+      |<footer><p>Copyright 2026. <a href="/p">Privacy</a> <a href="/t">Terms</a></p></footer>
+      |</body></html>""".stripMargin
+
+  test("content paragraphs survive, nav/footer/script/style are stripped") {
+    val ex = HtmlExtractor.extract(article)
+    val text = ex.contentBlocks.map(_.text).mkString("\n\n")
+    assert(text.contains("question of meaning"))
+    assert(text.contains("Another substantial paragraph"))
+    assert(!text.contains("Home"))
+    assert(!text.contains("Copyright"))
+    assert(!text.contains("color: red"))
+    assert(!text.contains("not text"))
+  }
+
+  test("title is captured separately") {
+    assert(HtmlExtractor.extract(article).title == "A Title")
+  }
+
+  test("heading adjacent to content is kept") {
+    val ex = HtmlExtractor.extract(article)
+    assert(ex.contentBlocks.exists(b => b.tag == "h1" && b.text.contains("Question")))
+  }
+
+  test("link-farm blocks are boilerplate by link density") {
+    val farm = "<ul>" + (1 to 10)
+      .map(i => s"""<li><a href="/$i">some linked related article number $i</a></li>""")
+      .mkString + "</ul>"
+    val html = s"<html><body>$farm<p>${"real content words here " * 8}</p></body></html>"
+    val ex = HtmlExtractor.extract(html)
+    val text = ex.contentBlocks.map(_.text).mkString(" ")
+    assert(!text.contains("linked related"))
+    assert(text.contains("real content words"))
+  }
+
+  test("entities decode, including numeric") {
+    val html = "<html><body><p>" + ("pad word " * 15) +
+      "A &amp; B &lt;tag&gt; caf&eacute; &#233; &#x2014; done</p></body></html>"
+    val ex = HtmlExtractor.extract(html)
+    val text = ex.contentBlocks.map(_.text).mkString
+    assert(text.contains("A & B <tag> café é — done"))
+  }
+
+  test("truncated tag at EOF does not crash") {
+    val ex = HtmlExtractor.extract("<html><body><p>words here</p><div class=")
+    assert(ex.blocks.nonEmpty)
+  }
+
+  test("heavy segmentation recovers content the fast rules missed") {
+    // content split into many small paragraphs (each below MinContentWords)
+    val paras = (1 to 8).map(i => s"<p>short real sentence number $i of text</p>").mkString
+    val farm = (1 to 12).map(i => s"""<a href="/$i">link $i</a>""").mkString(" ")
+    val html = s"<html><body><div>$farm</div>$paras<div>$farm</div></body></html>"
+    val fast = HtmlExtractor.extract(html)
+    val heavy = HtmlExtractor.heavySegment(html)
+    assert(heavy.contentBlocks.map(_.words).sum >= fast.contentBlocks.map(_.words).sum)
+    assert(heavy.contentBlocks.exists(_.text.contains("short real sentence")))
+  }
+}
+
+class PdfExtractorSpec extends AnyFunSuite {
+
+  private def payload(lines: String): Array[Byte] =
+    s"%PDF-GRAFT 1.0\n$lines".getBytes(StandardCharsets.UTF_8)
+
+  test("magic detection") {
+    assert(PdfExtractor.isPdf("%PDF-GRAFT 1.0\n".getBytes))
+    assert(!PdfExtractor.isPdf("<html>".getBytes))
+    assert(!PdfExtractor.isPdf(null))
+  }
+
+  test("single column reading order sorts by y") {
+    val p = payload("P 612 792\nT 50 62 second line\nT 50 50 first line\n")
+    val Right(ex) = PdfExtractor.extract(p): @unchecked
+    assert(ex.text == "first line\nsecond line")
+  }
+
+  test("two columns segment at the x gap and read left then right") {
+    val p = payload(
+      "P 612 792\n" +
+        "T 50 50 left one\nT 50 62 left two\n" +
+        "T 330 50 right one\nT 330 62 right two\n")
+    val Right(ex) = PdfExtractor.extract(p): @unchecked
+    assert(ex.columns.map(_._1) == Vector("pdf-p0-col0", "pdf-p0-col1"))
+    assert(ex.text == "left one\nleft two\n\nright one\nright two")
+  }
+
+  test("paragraph breaks on large y jumps") {
+    val p = payload("P 612 792\nT 50 50 a b c\nT 50 62 d e f\nT 50 110 new para\n")
+    val Right(ex) = PdfExtractor.extract(p): @unchecked
+    assert(ex.text == "a b c\nd e f\n\nnew para")
+  }
+
+  test("same-line runs join with spaces in x order") {
+    val p = payload("P 612 792\nT 200 50 world\nT 50 50 hello\n")
+    val Right(ex) = PdfExtractor.extract(p): @unchecked
+    assert(ex.text == "hello world")
+  }
+
+  test("malformed records are contained errors") {
+    assert(PdfExtractor.extract(payload("P 612")).isLeft)
+    assert(PdfExtractor.extract(payload("P 612 792\nT 50 notanint x\n")).isLeft)
+    assert(PdfExtractor.extract("%PDF-1.7 realpdf".getBytes).isLeft)
+  }
+}
+
+class ExtractorKernelSpec extends AnyFunSuite {
+
+  private val cfg = Extractor.Config()
+  private def ts = new java.sql.Timestamp(CorpusGen.Epoch)
+
+  test("passthrough: clean existing text skips extraction") {
+    val row = CorpusGen.genRow(42L, 3) // class 3: good text layer
+    val doc = Extractor.fastExtract(row, cfg)
+    assert(doc.success && doc.engine == Engines.Passthrough)
+    assert(!doc.quality.flagged)
+    assert(doc.extracted_text.nonEmpty)
+  }
+
+  test("garbled text layer is flagged and routed to re-extraction") {
+    val row = CorpusGen.genRow(42L, 5) // class 5: garbled text + clean html
+    val doc = Extractor.fastExtract(row, cfg)
+    // flagged passthrough never happens: html re-extraction kicks in
+    assert(doc.engine == Engines.Html)
+    assert(doc.success)
+  }
+
+  test("html row extracts content") {
+    val row = CorpusGen.genRow(42L, 0)
+    val doc = Extractor.fastExtract(row, cfg)
+    assert(doc.success && doc.engine == Engines.Html)
+    assert(doc.extracted_text.length > 100)
+    assert(doc.spans.nonEmpty)
+    assert(doc.spans.forall(s => s.end <= doc.extracted_text.length && s.start < s.end))
+  }
+
+  test("pdf row takes the layout path") {
+    val row = CorpusGen.genRow(42L, 12)
+    val doc = Extractor.fastExtract(row, cfg)
+    assert(doc.success && doc.engine == Engines.Pdf)
+    assert(doc.spans.exists(_.kind.startsWith("pdf-")))
+  }
+
+  test("failure rows are contained, never thrown") {
+    val noPayload = Extractor.fastExtract(CorpusGen.genRow(42L, 15), cfg)
+    assert(!noPayload.success && noPayload.error == "no_payload")
+    val truncated = Extractor.fastExtract(CorpusGen.genRow(42L, 16), cfg)
+    assert(!truncated.success && truncated.error.startsWith("pdf_parse:"))
+    val oversized = Extractor.fastExtract(CorpusGen.genRow(42L, 17), cfg)
+    assert(!oversized.success && oversized.error.startsWith("oversized_payload:"))
+    val badLang = Extractor.fastExtract(CorpusGen.genRow(42L, 18), cfg)
+    assert(!badLang.success && badLang.error == "unknown_lang:xx")
+  }
+
+  test("short-text edge rows are neutral, not flagged") {
+    val doc = Extractor.fastExtract(CorpusGen.genRow(42L, 19), cfg)
+    assert(doc.success && !doc.quality.flagged)
+  }
+
+  test("spans partition the extracted text with double-newline separators") {
+    val doc = Extractor.fastExtract(CorpusGen.genRow(42L, 1), cfg)
+    val rebuilt = doc.spans
+      .map(s => doc.extracted_text.substring(s.start, s.end))
+      .mkString("\n\n")
+    assert(rebuilt == doc.extracted_text)
+  }
+
+  test("heavy path keeps fast output when it cannot do better") {
+    val row = CorpusGen.genRow(42L, 12) // pdf: heavy has no better engine
+    val fast = Extractor.fastExtract(row, cfg)
+    val heavy = Extractor.heavyExtract(row, fast, cfg)
+    assert(heavy eq fast)
+  }
+
+  test("heavy path re-postprocesses (double application is stable)") {
+    val row = CorpusGen.genRow(42L, 10) // boilerplate-heavy html
+    val fast = Extractor.fastExtract(row, cfg)
+    val heavy = Extractor.heavyExtract(row, fast, Extractor.Config(diagnostics = true))
+    assert(heavy.success)
+    if (heavy.engine == Engines.Heavy) {
+      assert(heavy.diagnostics.exists(_.fastText == fast.extracted_text))
+      val (again, _) = graft.text.Postprocess(heavy.extracted_text)
+      assert(again == heavy.extracted_text, "postprocess must be idempotent on heavy output")
+    }
+  }
+
+  test("diagnostics are gated by config") {
+    val row = CorpusGen.genRow(42L, 0)
+    assert(Extractor.fastExtract(row, cfg).diagnostics.isEmpty)
+    val withDiag = Extractor.fastExtract(row, Extractor.Config(diagnostics = true))
+    assert(withDiag.diagnostics.nonEmpty)
+    assert(withDiag.diagnostics.get.signalScores.nonEmpty)
+  }
+}

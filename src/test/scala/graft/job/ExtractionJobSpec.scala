@@ -1,0 +1,131 @@
+package graft.job
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.corpus.CorpusGen
+import graft.model.Engines
+
+class CorpusGenSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("generation is deterministic and partition-invariant") {
+    import spark.implicits._
+    val a = CorpusGen.pages(spark, 100, partitions = 1)
+      .map(p => (p.url, p.text, if (p.html == null) -1 else p.html.length))
+      .collect().sortBy(_._1)
+    val b = CorpusGen.pages(spark, 100, partitions = 7)
+      .map(p => (p.url, p.text, if (p.html == null) -1 else p.html.length))
+      .collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("host distribution is skewed (host0 ~40%)") {
+    val hosts = (0L until 1000L).map(i => CorpusGen.host(42L, i))
+    val share = hosts.count(_ == "host0").toDouble / hosts.size
+    assert(share > 0.3 && share < 0.5, s"host0 share $share")
+  }
+
+  test("every taxonomy class appears") {
+    val classes = (0L until 40L).map(CorpusGen.rowClass).toSet
+    assert(classes == (0 until 20).toSet)
+  }
+}
+
+class ExtractionJobSpec extends AnyFunSuite {
+  private implicit lazy val spark: org.apache.spark.sql.SparkSession = SparkTestBase.spark
+
+  private val cfg = ExtractionJob.JobConfig(numGroups = 8, groupsPerCommit = 4, numPartitions = 4)
+
+  test("end-to-end on the tiny corpus: engines, failures, flags") {
+    val pages = CorpusGen.pages(spark, 200).toDF()
+    val results = ExtractionJob.extract(pages, cfg).collect()
+    assert(results.length == 200)
+
+    val byEngine = results.groupBy(_.engine).view.mapValues(_.length).toMap
+    assert(byEngine.getOrElse(Engines.Html, 0) >= 20, s"engines: $byEngine")
+    assert(byEngine.getOrElse(Engines.Pdf, 0) >= 20)
+    assert(byEngine.getOrElse(Engines.Passthrough, 0) >= 20)
+
+    // failure classes 15,16,17,18 = 4/20 of rows
+    val failures = results.filterNot(_.success)
+    assert(failures.length == 40, s"failures: ${failures.length}")
+    assert(failures.forall(_.engine == Engines.None_))
+
+    // clean html rows extract real content
+    val htmlDocs = results.filter(r => r.engine == Engines.Html && r.success)
+    assert(htmlDocs.forall(_.extracted_text.nonEmpty))
+    // no boilerplate leaked
+    assert(htmlDocs.forall(!_.extracted_text.contains("Copyright")))
+  }
+
+  test("heavy stage only touches flagged rows and improves or keeps quality") {
+    val pages = CorpusGen.pages(spark, 200).toDF()
+    val results = ExtractionJob.extract(pages, cfg).collect()
+    val heavy = results.filter(_.engine == Engines.Heavy)
+    // boilerplate-heavy rows (classes 10/11) may land here; all must be successes
+    assert(heavy.forall(_.success))
+  }
+
+  test("lineage counts add up") {
+    val pages = CorpusGen.pages(spark, 200).toDF()
+    val results = ExtractionJob.extract(pages, cfg)
+    val lin = ExtractionJob.lineage(results).collect()
+    assert(lin.map(_.doc_count).sum == 200)
+    assert(lin.map(_.failure_count).sum == 40)
+    assert(lin.forall(l => l.commit_group >= 0 && l.commit_group < cfg.numGroups))
+  }
+
+  test("checkpointed run commits all groups and is resumable + idempotent") {
+    val out = Files.createTempDirectory("graft-ckpt").toString
+    val pages = CorpusGen.pages(spark, 120).toDF()
+
+    // first run commits only the first batch (simulate a kill by limiting groups)
+    val partial = cfg.copy(numGroups = 8, groupsPerCommit = 8)
+    val firstBatchCfg = partial.copy(groupsPerCommit = 4)
+    // run only the first commit batch by calling extract+write manually
+    val skewed = ExtractionJob.detectSkewedHosts(pages, partial)
+    val firstGroups = Some(Seq(0, 1, 2, 3))
+    import spark.implicits._
+    val firstResults = ExtractionJob.extract(pages, firstBatchCfg, skewed, firstGroups)
+    firstResults.write.mode("append").partitionBy("commit_group").parquet(s"$out/results")
+    ExtractionJob.lineage(firstResults).coalesce(1)
+      .write.mode("append").parquet(s"$out/lineage")
+
+    // resume: must process only the remaining groups
+    val lin2 = ExtractionJob.runCheckpointed(pages, partial, out)
+    assert(lin2.nonEmpty)
+    assert(lin2.forall(l => l.commit_group >= 4), s"re-processed committed groups: $lin2")
+
+    // final state: every row exactly once
+    val all = spark.read.parquet(s"$out/results")
+    assert(all.count() == 120)
+    assert(all.select("url").distinct().count() == 120)
+
+    // second resume is a no-op
+    val lin3 = ExtractionJob.runCheckpointed(pages, partial, out)
+    assert(lin3.isEmpty)
+    assert(spark.read.parquet(s"$out/results").count() == 120)
+  }
+
+  test("results are independent of parallelism and salting (plan-only knobs)") {
+    val pages = CorpusGen.pages(spark, 100).toDF()
+    val r1 = ExtractionJob.extract(pages, cfg.copy(numPartitions = 1), Set.empty)
+      .collect().map(r => (r.url, r.extracted_text, r.engine, r.quality.score))
+      .sortBy(_._1)
+    val r2 = ExtractionJob.extract(pages, cfg.copy(numPartitions = 7, skewSalts = 3),
+        Set("host0.example"))
+      .collect().map(r => (r.url, r.extracted_text, r.engine, r.quality.score))
+      .sortBy(_._1)
+    assert(r1.toSeq == r2.toSeq)
+  }
+
+  test("summarize produces the batch rollup") {
+    val pages = CorpusGen.pages(spark, 100).toDF()
+    val s = ExtractionJob.summarize(ExtractionJob.extract(pages, cfg)).collect()
+    assert(s.map(_.getAs[Long]("docs")).sum == 100)
+    assert(s.exists(_.getAs[String]("engine") == Engines.Html))
+  }
+}
