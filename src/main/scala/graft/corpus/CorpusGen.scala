@@ -201,13 +201,29 @@ $footerBlock
         val text = s"$title\n${paragraph(seed, idx, 1000, 2)}\n  ${paragraph(seed, idx, 1001, 2)}\nNext Section Heading\n${paragraph(seed, idx, 1002, 2)}"
         RawPage(u, ts, null, text, lang)
       // boilerplate-heavy html: link farms around a small content core
-      case 10 | 11 =>
+      case 10 =>
         val core = clean(2)
         val html = s"""<html><head><title>$title</title></head><body>
 ${navBlock(seed, idx)}
 ${linkFarm(seed, idx, 20)}
 <div><p>${core.mkString("</p><p>")}</p></div>
 ${linkFarm(seed, idx, 20)}
+$footerBlock
+</body></html>"""
+        RawPage(u, ts, html.getBytes(StandardCharsets.UTF_8), "", lang)
+      // fragmented content: every paragraph is below the fast classifier's
+      // word threshold, surrounded by link farms -> fast extraction comes up
+      // (nearly) empty, the coverage signal flags it, the heavy stage's
+      // windowed re-segmentation recovers it
+      case 11 =>
+        val frags = (0 until 14)
+          .map(k => s"<p>${sentence(seed, idx, 1200 + k, int(seed, idx, 1300 + k, 5, 8))}</p>")
+          .mkString("\n")
+        val html = s"""<html><head><title>$title</title></head><body>
+${navBlock(seed, idx)}
+${linkFarm(seed, idx, 15)}
+$frags
+${linkFarm(seed, idx, 15)}
 $footerBlock
 </body></html>"""
         RawPage(u, ts, html.getBytes(StandardCharsets.UTF_8), "", lang)

@@ -1,0 +1,58 @@
+package graft.corpus
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.job.ExtractionJob
+
+/** One-shot golden-fixture generator (the reference's corpus-baseline
+  * discipline, tests/corpus/baselines/: outputs are generated once, hand
+  * verified, then FROZEN — tests regress against the committed bytes, they
+  * never regenerate them).
+  *
+  * Writes, for the first 60 rows of the seed-42 tiny corpus:
+  *   src/test/resources/fixtures/extracted/doc_<idx>.txt   (byte-compared)
+  *   src/test/resources/fixtures/metadata.tsv              (engine/quality/flags)
+  */
+object FixtureGen {
+  val Rows = 60L
+
+  def main(args: Array[String]): Unit = {
+    val out = Paths.get(
+      if (args.nonEmpty) args(0) else "src/test/resources/fixtures")
+    implicit val spark: SparkSession = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val pages = CorpusGen.pages(spark, Rows).toDF()
+    val cfg = ExtractionJob.JobConfig(numGroups = 8, numPartitions = 4, diagnostics = true)
+    val results = ExtractionJob.extract(pages, cfg).collect().sortBy(_.url)
+
+    Files.createDirectories(out.resolve("extracted"))
+    val meta = new StringBuilder(
+      "idx\turl\tengine\tsuccess\terror\tflagged\tscore\tgarbled\tdict\tspans\tstruggles\n")
+    results.foreach { r =>
+      val idx = r.url.substring(r.url.lastIndexOf('/') + 1).toLong
+      Files.write(
+        out.resolve("extracted").resolve(s"doc_$idx.txt"),
+        r.extracted_text.getBytes(StandardCharsets.UTF_8))
+      val struggles = r.diagnostics.map(_.struggleCategories.mkString(",")).getOrElse("")
+      meta.append(
+        s"$idx\t${r.url}\t${r.engine}\t${r.success}\t${Option(r.error).getOrElse("")}\t" +
+          s"${r.quality.flagged}\t${fmt(r.quality.score)}\t" +
+          s"${fmt(r.quality.signalScores.getOrElse("garbled", -1.0))}\t" +
+          s"${fmt(r.quality.signalScores.getOrElse("dictionary", -1.0))}\t" +
+          s"${r.spans.map(s => s"${s.start}:${s.end}:${s.kind}").mkString(",")}\t$struggles\n")
+    }
+    Files.write(out.resolve("metadata.tsv"), meta.toString.getBytes(StandardCharsets.UTF_8))
+    println(s"wrote ${results.length} fixtures to $out")
+    spark.stop()
+  }
+
+  def fmt(d: Double): String = "%.6f".formatLocal(java.util.Locale.ROOT, d)
+}

@@ -55,6 +55,13 @@ object Extractor {
   def mergeCounts(a: Map[String, Int], b: Map[String, Int]): Map[String, Int] =
     b.foldLeft(a) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0) + v) }
 
+  /** Coverage-signal parameters: pages with at least this many visible
+    * (non-boilerplate-container) words must keep at least `CoverageFloor` of
+    * them, else the row is flagged for the heavy stage.
+    */
+  val MinCoverageWords = 50
+  val CoverageFloor = 0.2
+
   /** Block-classification margin as 1-99 pseudo-confidence, feeding the
     * confidence signal the way Tesseract word confidences feed the
     * reference's (confidence.py:44-88). Deterministic integer arithmetic.
@@ -133,7 +140,21 @@ object Extractor {
       val ex = HtmlExtractor.extract(html)
       val content = ex.contentBlocks
       val (text, spans, counts) = assemble(content.map(b => (b.tag, b.text)))
-      val q = analyzer.analyze(text, Some(confidenceData(content)))
+      val q0 = analyzer.analyze(text, Some(confidenceData(content)))
+      // Extraction-coverage signal: a near-empty extraction from a page with
+      // substantial visible text is an extraction FAILURE, not a short
+      // document — the garbled/dictionary signals are neutral on short text
+      // (quality.py:138 rule) and would let it pass. Coverage is recorded as
+      // a signal score with its own floor; it does not enter the composite
+      // (combine weights only the reference's three signals).
+      val totalWords = ex.blocks.iterator.filterNot(_.inBoilerplateTag).map(_.words).sum
+      val q =
+        if (totalWords >= MinCoverageWords) {
+          val cov = content.iterator.map(_.words).sum.toDouble / totalWords
+          q0.copy(
+            signalScores = q0.signalScores + ("coverage" -> cov),
+            flagged = q0.flagged || cov < CoverageFloor)
+        } else q0
       result(row, text, spans, q, Engines.Html, counts, cfg, analyzer)
     }
   }

@@ -193,16 +193,23 @@ class ExtractorKernelSpec extends AnyFunSuite {
     assert(heavy eq fast)
   }
 
-  test("heavy path re-postprocesses (double application is stable)") {
-    val row = CorpusGen.genRow(42L, 10) // boilerplate-heavy html
+  test("coverage signal flags near-empty extraction of fragmented pages") {
+    val row = CorpusGen.genRow(42L, 11) // fragmented content + link farms
+    val doc = Extractor.fastExtract(row, cfg)
+    assert(doc.success && doc.engine == Engines.Html)
+    assert(doc.quality.signalScores.get("coverage").exists(_ < Extractor.CoverageFloor))
+    assert(doc.quality.flagged)
+  }
+
+  test("heavy path recovers fragmented content and re-postprocesses (stable)") {
+    val row = CorpusGen.genRow(42L, 11)
     val fast = Extractor.fastExtract(row, cfg)
     val heavy = Extractor.heavyExtract(row, fast, Extractor.Config(diagnostics = true))
-    assert(heavy.success)
-    if (heavy.engine == Engines.Heavy) {
-      assert(heavy.diagnostics.exists(_.fastText == fast.extracted_text))
-      val (again, _) = graft.text.Postprocess(heavy.extracted_text)
-      assert(again == heavy.extracted_text, "postprocess must be idempotent on heavy output")
-    }
+    assert(heavy.success && heavy.engine == Engines.Heavy)
+    assert(heavy.extracted_text.length > fast.extracted_text.length)
+    assert(heavy.diagnostics.exists(_.fastText == fast.extracted_text))
+    val (again, _) = graft.text.Postprocess(heavy.extracted_text)
+    assert(again == heavy.extracted_text, "postprocess must be idempotent on heavy output")
   }
 
   test("diagnostics are gated by config") {

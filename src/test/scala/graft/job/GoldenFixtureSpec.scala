@@ -1,0 +1,74 @@
+package graft.job
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.corpus.{CorpusGen, FixtureGen}
+
+/** Golden-corpus regression: the full pipeline's extracted text must be
+  * BYTE-identical per url to the frozen fixtures (the reference's
+  * tests/corpus/baselines discipline; per-row invariant from the
+  * BASELINE.json input_hint: "byte-identical extracted text per url").
+  * Fixtures were generated once by graft.corpus.FixtureGen, hand-verified,
+  * and committed; this suite never regenerates them.
+  */
+class GoldenFixtureSpec extends AnyFunSuite {
+  private implicit lazy val spark: org.apache.spark.sql.SparkSession = SparkTestBase.spark
+
+  private val fixtureDir = Paths.get("src/test/resources/fixtures")
+
+  private lazy val results = {
+    val pages = CorpusGen.pages(spark, FixtureGen.Rows).toDF()
+    val cfg = ExtractionJob.JobConfig(numGroups = 8, numPartitions = 4, diagnostics = true)
+    ExtractionJob.extract(pages, cfg).collect()
+      .map(r => r.url.substring(r.url.lastIndexOf('/') + 1).toLong -> r)
+      .toMap
+  }
+
+  test("extracted text is byte-identical to the frozen fixtures") {
+    assert(Files.exists(fixtureDir.resolve("extracted")), "fixtures missing — run FixtureGen once")
+    var compared = 0
+    (0L until FixtureGen.Rows).foreach { idx =>
+      val expected = Files.readAllBytes(fixtureDir.resolve(s"extracted/doc_$idx.txt"))
+      val actual = results(idx).extracted_text.getBytes(StandardCharsets.UTF_8)
+      assert(
+        java.util.Arrays.equals(expected, actual),
+        s"doc_$idx bytes differ: expected ${expected.length}B, got ${actual.length}B")
+      compared += 1
+    }
+    assert(compared == FixtureGen.Rows)
+  }
+
+  test("engine, flags, scores and spans match the frozen metadata") {
+    val lines = Files.readAllLines(fixtureDir.resolve("metadata.tsv"))
+    lines.stream().skip(1).forEach { line =>
+      val f = line.split("\t", -1)
+      val r = results(f(0).toLong)
+      assert(r.engine == f(2), s"doc_${f(0)} engine")
+      assert(r.success.toString == f(3), s"doc_${f(0)} success")
+      assert(Option(r.error).getOrElse("") == f(4), s"doc_${f(0)} error")
+      assert(r.quality.flagged.toString == f(5), s"doc_${f(0)} flagged")
+      assert(FixtureGen.fmt(r.quality.score) == f(6), s"doc_${f(0)} score")
+      assert(
+        r.spans.map(s => s"${s.start}:${s.end}:${s.kind}").mkString(",") == f(9),
+        s"doc_${f(0)} spans")
+    }
+  }
+
+  test("difficult rows regress: hyphenation, german, heavy recovery") {
+    // hyphenation row (class 8): ligatures gone, Merleau-Ponty hyphen kept
+    val hyph = results(8L).extracted_text
+    assert(hyph.contains("first difference continues"))
+    assert(hyph.contains("Merleau-Ponty"))
+    assert(!hyph.contains("ﬁ") && !hyph.contains("­"))
+    // german row (class 7): never flagged
+    assert(!results(7L).quality.flagged)
+    assert(!results(27L).quality.flagged)
+    // fragmented row (class 11): heavy engine, recovered content
+    assert(results(11L).engine == graft.model.Engines.Heavy)
+    assert(results(11L).extracted_text.length > 100)
+  }
+}
