@@ -1,13 +1,377 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.corpus.CorpusGen
+import graft.job.ExtractionJob
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract — one `queries` entry per implemented operator family
+  * (SURVEY.md §2 + the training-data ops), each with an independent ANSI SQL
+  * oracle where the semantics are SQL-expressible. Non-SQL-expressible ops
+  * (the extraction pipeline itself, hash-based sketches, approximate search)
+  * carry no oracle and are verified by the ScalaTest golden-fixture and
+  * recall suites instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  /** Flagship: the full extraction pipeline over (a) the seeded synthetic
+    * Common-Crawl-style corpus and (b) the driver's sf0.001 documents table
+    * mapped in as passthrough text rows. Driver smoke-checks rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    implicit val s: SparkSession = spark
+    val corpus = CorpusGen.pages(spark, 1000).toDF()
+    val docsAsPages = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(
+        concat(lit("https://docs.example/"), col("doc_id")).as("url"),
+        lit(new java.sql.Timestamp(CorpusGen.Epoch)).as("warc_ts"),
+        lit(null).cast("binary").as("html"),
+        col("text"),
+        lit("en").as("lang"))
+    val pages = corpus.unionByName(docsAsPages)
+    val cfg = ExtractionJob.JobConfig(numGroups = 16, numPartitions = 8)
+    ExtractionJob.extract(pages, cfg)(spark)
+      .select(col("url"), col("engine"), col("success"),
+        round(col("quality.score"), 6).as("quality_score"),
+        length(col("extracted_text")).cast("long").as("n_chars"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core (scan/filter/agg/join/window/setop/explode) ------
+    "q_agg_filter" -> ((s, dir) => {
+      s.read.parquet(t(dir, "lineitem"))
+        .filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("n_rows"))
+    }),
+    "q_join_broadcast" -> ((s, dir) => {
+      val orders = s.read.parquet(t(dir, "orders"))
+      val customer = s.read.parquet(t(dir, "customer"))
+      val nation = s.read.parquet(t(dir, "nation"))
+      orders
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+    }),
+    "q_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      s.read.parquet(t(dir, "orders"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    }),
+    "q_semi_join" -> ((s, dir) => {
+      s.read.parquet(t(dir, "customer"))
+        .join(s.read.parquet(t(dir, "orders")),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    "q_anti_join" -> ((s, dir) => {
+      s.read.parquet(t(dir, "customer"))
+        .join(s.read.parquet(t(dir, "orders")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    "q_setop_except" -> ((s, dir) => {
+      val orders = s.read.parquet(t(dir, "orders"))
+      val y95 = orders.filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_custkey")).distinct()
+      val y96 = orders.filter(year(col("o_orderdate")) === 1996)
+        .select(col("o_custkey")).distinct()
+      y95.except(y96)
+    }),
+    "q_explode_tokens" -> ((s, dir) => {
+      s.read.parquet(t(dir, "documents"))
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+    "q_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val ms = unix_millis(col("ts").cast("timestamp")) // parquet NTZ -> instant (UTC session)
+      s.read.parquet(t(dir, "events"))
+        .withColumn("prev_ms", lag(ms, 1).over(byUser))
+        .withColumn(
+          "new_session",
+          when(col("prev_ms").isNull || ms - col("prev_ms") > 3600 * 1000, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"))
+        .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+
+    // ---- extraction-domain scalar surface over documents -------------------
+    "q_punct_normalize" -> ((s, dir) => {
+      s.read.parquet(t(dir, "documents"))
+        .select(
+          col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("text"), "\\s+([.,;:!?])", "$1"),
+            "  +", " ").as("clean_text"))
+    }),
+    "q_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(s.read.parquet(t(dir, "documents")))),
+    "q_langid" -> ((s, dir) =>
+      TextAnalysis.langId(s.read.parquet(t(dir, "documents")))),
+    "q_token_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStats(s.read.parquet(t(dir, "documents")))),
+    "q_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(s.read.parquet(t(dir, "documents")))),
+
+    // ---- dedup family -------------------------------------------------------
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(s.read.parquet(t(dir, "documents")))),
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(s.read.parquet(t(dir, "documents")), n = 4, threshold = 0.8)(s)),
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(s.read.parquet(t(dir, "documents")), n = 4, threshold = 0.8)(s)),
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashes(s.read.parquet(t(dir, "documents")))(s)),
+    "q_dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(s.read.parquet(t(dir, "documents")), radius = 3)(s)),
+    "q_dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingDupPairs(s.read.parquet(t(dir, "embeddings")), threshold = 0.4)),
+
+    // ---- similarity search --------------------------------------------------
+    "q_ann_brute" -> ((s, dir) =>
+      Similarity.bruteForceTopK(
+        s.read.parquet(t(dir, "embeddings")), col("vec_id") < 10, k = 5)),
+    "q_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(
+        s.read.parquet(t(dir, "embeddings")), col("vec_id") < 10, k = 5)(s)),
+
+    // ---- multimodal plumbing ------------------------------------------------
+    "q_multimodal_meta" -> ((s, dir) => {
+      val media = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id").as("content_id"), col("text").cast("binary").as("payload"))
+      Multimodal.imageMeta(media)(s)
+        .select(col("content_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+          col("format"), col("content_hash"))
+    }),
+    "q_frame_sample" -> ((s, dir) => {
+      val media = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id").as("content_id"), col("text").cast("binary").as("payload"))
+      Multimodal.sampleFrames(media)(s)
+    }),
+
+    // ---- the extraction pipeline itself (rows-only; golden fixtures are the
+    // ---- real gate, GoldenFixtureSpec) --------------------------------------
+    "q_extract_pipeline" -> ((s, dir) => {
+      val pages = CorpusGen.pages(s, 2000).toDF()
+      val cfg = ExtractionJob.JobConfig(numGroups = 16, numPartitions = 8)
+      ExtractionJob.extract(pages, cfg)(s)
+        .select(col("url"), col("engine"), col("success"),
+          round(col("quality.score"), 6).as("quality_score"),
+          length(col("extracted_text")).cast("long").as("n_chars"))
+    }),
+    "q_extract_summary" -> ((s, dir) => {
+      val pages = CorpusGen.pages(s, 2000).toDF()
+      val cfg = ExtractionJob.JobConfig(numGroups = 16, numPartitions = 8)
+      ExtractionJob.summarize(ExtractionJob.extract(pages, cfg)(s))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_filter" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         round(avg(l_discount), 4) AS avg_disc,
+         count(*) AS n_rows
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q_join_broadcast" ->
+      """SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn::INT AS rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) WHERE rn <= 3""",
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q_setop_except" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         EXCEPT
+         SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996""",
+    "q_explode_tokens" ->
+      """SELECT word, count(*) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         GROUP BY word""",
+    "q_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ms(ts) AS ms,
+                  lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                    ORDER BY ts ASC, event_id ASC) AS prev_ms
+           FROM events),
+         s AS (
+           SELECT user_id,
+                  CASE WHEN prev_ms IS NULL OR ms - prev_ms > 3600000
+                       THEN 1 ELSE 0 END AS new_session
+           FROM e)
+         SELECT user_id, sum(new_session)::BIGINT AS n_sessions,
+                count(*) AS n_events
+         FROM s GROUP BY user_id""",
+    "q_punct_normalize" ->
+      """SELECT doc_id,
+         regexp_replace(regexp_replace(text, '\s+([.,;:!?])', '\1', 'g'),
+                        '  +', ' ', 'g') AS clean_text
+         FROM documents""",
+    "q_quality_score" ->
+      """WITH base AS (
+           SELECT doc_id, text,
+             len(string_split(text, ' '))::DOUBLE AS n_tokens,
+             ((length(' ' || text || ' ') -
+               length(replace(' ' || text || ' ', ' the ', ''))) / 5 +
+              (length(' ' || text || ' ') -
+               length(replace(' ' || text || ' ', ' a ', ''))) / 3 +
+              (length(' ' || text || ' ') -
+               length(replace(' ' || text || ' ', ' of ', ''))) / 4 +
+              (length(' ' || text || ' ') -
+               length(replace(' ' || text || ' ', ' and ', ''))) / 5 +
+              (length(' ' || text || ' ') -
+               length(replace(' ' || text || ' ', ' in ', ''))) / 4)::DOUBLE AS stopwords,
+             (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE AS digits
+           FROM documents),
+         sig AS (
+           SELECT doc_id, n_tokens,
+             (length(text) - (n_tokens - 1)) / n_tokens AS avg_word_len,
+             least(1.0, n_tokens / 100.0) AS length_signal,
+             least(1.0, stopwords / n_tokens * 8.0) AS stop_signal,
+             1.0 - least(1.0, digits / length(text) * 4.0) AS digit_signal
+           FROM base)
+         SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+           round(avg_word_len, 4) AS avg_word_len,
+           round(stop_signal, 4) AS stop_signal,
+           round(digit_signal, 4) AS digit_signal,
+           round(0.3 * length_signal + 0.3 * stop_signal + 0.2 * digit_signal +
+             0.2 * (CASE WHEN avg_word_len >= 3.0 AND avg_word_len <= 8.0
+                    THEN 1.0 ELSE 0.5 END), 4) AS quality_score,
+           (round(0.3 * length_signal + 0.3 * stop_signal + 0.2 * digit_signal +
+             0.2 * (CASE WHEN avg_word_len >= 3.0 AND avg_word_len <= 8.0
+                    THEN 1.0 ELSE 0.5 END), 4) < 0.5) AS flagged
+         FROM sig""",
+    "q_langid" -> {
+      def cnt(m: String) =
+        s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', '$m', ''))) / ${m.length}"
+      val scores = TextAnalysis.LangMarkers.map { case (l, ms) =>
+        ms.map(m => cnt(m.trim match { case t => s" $t " })).mkString(" + ") + s" AS score_$l"
+      }.mkString(",\n             ")
+      val maxExpr = "greatest(" + TextAnalysis.LangMarkers.map(m => s"score_${m._1}").mkString(", ") + ")"
+      val caseExpr = TextAnalysis.LangMarkers
+        .map { case (l, _) => s"WHEN score_$l = $maxExpr AND $maxExpr > 0 THEN '$l'" }
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH scored AS (
+           SELECT doc_id, lang,
+             $scores
+           FROM documents)
+         SELECT doc_id, lang, $caseExpr AS predicted_lang,
+           ${TextAnalysis.LangMarkers.map(m => s"score_${m._1}::BIGINT AS score_${m._1}").mkString(", ")}
+         FROM scored"""
+    },
+    "q_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+         sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+         sum(length(text))::BIGINT AS total_chars,
+         round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+         FROM documents GROUP BY lang""",
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
+         length(text)::BIGINT AS n_chars FROM documents""",
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, count(*) AS dup_count,
+         min(doc_id) AS keep_id FROM documents GROUP BY md5(text)""",
+    "q_dedup_ngram" ->
+      """WITH tok AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(w) < 4 THEN [array_to_string(w, ' ')]
+               ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                     for i in range(1, len(w) - 2)] END) AS s
+           FROM tok),
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             len(list_intersect(a.s, b.s)) AS common,
+             len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS un
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s)) > 0)
+         SELECT a_id, b_id, round(common::DOUBLE / un, 4) AS jaccard
+         FROM pairs WHERE round(common::DOUBLE / un, 4) >= 0.8""",
+    "q_dedup_minhash" ->
+      """WITH tok AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(w) < 4 THEN [array_to_string(w, ' ')]
+               ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                     for i in range(1, len(w) - 2)] END) AS s
+           FROM tok),
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             len(list_intersect(a.s, b.s)) AS common,
+             len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS un
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s)) > 0)
+         SELECT a_id, b_id, round(common::DOUBLE / un, 4) AS jaccard
+         FROM pairs WHERE round(common::DOUBLE / un, 4) >= 0.8""",
+    "q_dedup_embedding" ->
+      """SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
+         round(list_cosine_similarity(
+           list_transform(a.embedding, x -> x::DOUBLE),
+           list_transform(b.embedding, x -> x::DOUBLE)), 6) AS cosine
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(
+           list_transform(a.embedding, x -> x::DOUBLE),
+           list_transform(b.embedding, x -> x::DOUBLE)) >= 0.4""",
+    "q_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS q_id,
+             list_transform(embedding, x -> x::DOUBLE) AS q_v
+           FROM embeddings WHERE vec_id < 10),
+         scored AS (
+           SELECT q.q_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.q_v,
+               list_transform(e.embedding, x -> x::DOUBLE)) AS cos
+           FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+         ranked AS (
+           SELECT q_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         SELECT q_id, rank::INT AS rank, neighbor_id, round(cos, 6) AS cosine
+         FROM ranked WHERE rank <= 5""",
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS content_id,
+         octet_length(encode(text))::BIGINT AS n_bytes,
+         (1 + octet_length(encode(text)) % 640)::BIGINT AS width,
+         (1 + octet_length(encode(text)) % 480)::BIGINT AS height,
+         CASE WHEN octet_length(encode(text)) = 0 THEN 'empty'
+              WHEN ascii(substr(text, 1, 1)) % 2 = 0 THEN 'png'
+              ELSE 'jpeg' END AS format,
+         md5(text) AS content_hash
+         FROM documents"""
+  )
 }

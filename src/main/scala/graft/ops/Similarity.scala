@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`embeddings(vec_id, embedding array<float>, label)`).
+  *
+  * Brute-force cosine top-k is the correctness baseline (broadcast the query
+  * set, never the corpus); the LSH-bucketed variant is the scale path: at
+  * 10^12 vectors the corpus-side scan partitions by bucket and each query
+  * probes its own bucket only, turning a full scan into a pruned one.
+  */
+object Similarity {
+
+  /** Cosine similarity as a codegen'd Column expression: zip_with product +
+    * aggregate sum, double precision, sequential fold (deterministic — no
+    * UDF, stays inside whole-stage codegen).
+    */
+  def cosineCol(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Brute-force top-k: queries (small) are broadcast against the corpus;
+    * ranking is a per-query window. Ties break on vec_id for determinism.
+    */
+  def bruteForceTopK(embeddings: DataFrame, queryFilter: Column, k: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = e.filter(queryFilter)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val scored = e
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosineCol(col("q_v"), col("v")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Deterministic random hyperplanes for sign-LSH: plane p, dim d comes
+    * from a counter hash mapped to (-1, 1).
+    */
+  def hyperplane(seed: Long, plane: Int, dim: Int): Double = {
+    val h = Dedup.mix64(seed ^ (plane.toLong << 32) ^ dim.toLong)
+    (h.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
+  }
+
+  /** Sign-LSH bucket id: `planes` hyperplane sign bits. */
+  def lshBucket(v: Array[Double], seed: Long, planes: Int): Int = {
+    var bucket = 0
+    var p = 0
+    while (p < planes) {
+      var dotv = 0.0
+      var d = 0
+      while (d < v.length) { dotv += v(d) * hyperplane(seed, p, d); d += 1 }
+      if (dotv > 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
+  /** LSH-bucketed ANN: corpus is bucketed once by sign-LSH; each query
+    * searches its own bucket plus all hamming-1 neighbor buckets
+    * (multi-probe — recovers most of the recall the hard partition loses).
+    * The bucket join replaces the brute-force cross product; at scale the
+    * corpus side would be written bucket-partitioned so a query probes
+    * 1+`planes` partitions instead of scanning everything.
+    */
+  def lshTopK(
+      embeddings: DataFrame,
+      queryFilter: Column,
+      k: Int,
+      planes: Int = 8,
+      seed: Long = 7L
+  )(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val bucketUdf = udf { v: Seq[Double] => lshBucket(v.toArray, seed, planes) }
+    val probesUdf = udf { v: Seq[Double] =>
+      val b = lshBucket(v.toArray, seed, planes)
+      b +: (0 until planes).map(p => b ^ (1 << p))
+    }
+    val e = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", bucketUdf(col("v")))
+    val queries = e.filter(queryFilter)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        explode(probesUdf(col("v"))).as("bucket"))
+    val scored = e
+      .join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosineCol(col("q_v"), col("v")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+}

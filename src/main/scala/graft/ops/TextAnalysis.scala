@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column-only text analysis over `documents(doc_id, text, lang, ...)` —
+  * language ID, quality scoring, token counting, fingerprinting. Everything
+  * here is pure Catalyst Column arithmetic (no UDFs): whole-stage codegen'd
+  * end to end, and independently re-computable by any ANSI SQL engine, which
+  * is exactly how the oracle verifies it.
+  */
+object TextAnalysis {
+
+  /** Occurrences of `marker` in ' '||text||' ' via length difference —
+    * deterministic integer arithmetic, no regex dialect concerns.
+    */
+  def markerCount(text: Column, marker: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(marker), ""))) /
+      lit(marker.length)
+  }
+
+  /** Language markers: high-frequency function words per language (the
+    * n-gram-heuristic language-ID slot; marker profile, not a model).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " is "),
+    "de" -> Seq(" der ", " die ", " und ", " das "),
+    "fr" -> Seq(" le ", " la ", " et ", " les "),
+    "es" -> Seq(" el ", " los ", " las ", " y "),
+    "la" -> Seq(" et ", " in ", " est ", " non ")
+  )
+
+  /** Per-doc predicted language: argmax of marker counts, ties broken by the
+    * fixed language order above; all-zero -> "und".
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val withScores = LangMarkers.foldLeft(docs.select(col("doc_id"), col("lang"), col("text"))) {
+      case (df, (lang, markers)) =>
+        df.withColumn(
+          s"score_$lang",
+          markers.map(m => markerCount(col("text"), m)).reduce(_ + _))
+    }
+    val maxScore = greatest(LangMarkers.map { case (l, _) => col(s"score_$l") }: _*)
+    val predicted = LangMarkers
+      .foldRight(lit("und"): Column) { case ((lang, _), elseCol) =>
+        when(col(s"score_$lang") === maxScore && maxScore > 0, lit(lang)).otherwise(elseCol)
+      }
+    // NB: foldRight + when-chain means the FIRST language in LangMarkers
+    // order wins ties, deterministically.
+    withScores
+      .withColumn("predicted_lang", predicted)
+      .select(
+        col("doc_id") +: col("lang") +: col("predicted_lang") +:
+          LangMarkers.map { case (l, _) => col(s"score_$l").cast("long").as(s"score_$l") }: _*)
+  }
+
+  /** Whitespace token count (documents are single-space tokenized). */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** Per-doc quality proxy signals + composite, all integer-ratio
+    * arithmetic: token count, average word length, stopword rate, digit
+    * rate. The composite mirrors the extraction engine's weighted-mean
+    * shape (quality.py:327-342) with SQL-expressible signals.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val nTokens = tokenCount(t).cast("double")
+    val stopwords = Seq(" the ", " a ", " of ", " and ", " in ")
+      .map(m => markerCount(t, m)).reduce(_ + _).cast("double")
+    val digits =
+      (length(t) - length(regexp_replace(t, "[0-9]", ""))).cast("double")
+    val avgWordLen = (length(t) - (nTokens - 1)) / nTokens
+    val lengthSignal = least(lit(1.0), nTokens / lit(100.0))
+    val stopSignal = least(lit(1.0), stopwords / nTokens * lit(8.0))
+    val digitSignal = lit(1.0) - least(lit(1.0), digits / length(t).cast("double") * lit(4.0))
+    val wordLenSignal =
+      when(avgWordLen >= 3.0 && avgWordLen <= 8.0, lit(1.0)).otherwise(lit(0.5))
+    val score = round(
+      lit(0.3) * lengthSignal + lit(0.3) * stopSignal +
+        lit(0.2) * digitSignal + lit(0.2) * wordLenSignal, 4)
+    docs.select(
+      col("doc_id"),
+      nTokens.cast("long").as("n_tokens"),
+      round(avgWordLen, 4).as("avg_word_len"),
+      round(stopSignal, 4).as("stop_signal"),
+      round(digitSignal, 4).as("digit_signal"),
+      score.as("quality_score"),
+      (score < 0.5).as("flagged"))
+  }
+
+  /** Token totals per language (the corpus rollup a data pipeline reports). */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text"))).as("total_tokens"),
+        sum(length(col("text"))).as("total_chars"),
+        round(avg(tokenCount(col("text"))), 4).as("avg_tokens"))
+
+  /** Content fingerprint: md5 of the normalized text (lowercase, trimmed) —
+    * the document-fingerprinting slot; cheap, exact, engine-independent.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(lower(trim(col("text")))).as("fingerprint"),
+      length(col("text")).cast("long").as("n_chars"))
+}
