@@ -73,10 +73,22 @@ object Extractor {
 
   private def confidenceData(
       blocks: Seq[HtmlExtractor.Block]
-  ): Seq[ConfidenceSignal.WordConf] =
-    blocks.flatMap { b =>
+  ): Seq[ConfidenceSignal.BlockConf] =
+    blocks.map { b =>
       val conf = blockConfidence(b)
-      b.text.split("\\s+").iterator.filter(_.nonEmpty).map(ConfidenceSignal.WordConf(_, conf))
+      var charWeight = 0L
+      var i = 0
+      while (i < b.text.length) {
+        if (!Character.isWhitespace(b.text.charAt(i))) charWeight += 1
+        i += 1
+      }
+      ConfidenceSignal.BlockConf(
+        conf,
+        b.words,
+        charWeight,
+        // word samples only materialize on the rare low-confidence branch
+        if (conf < 30) b.text.split(" ").iterator.filter(_.nonEmpty).take(20).toSeq
+        else Nil)
     }
 
   private def failure(row: RawPage, error: String): DocResult =
@@ -140,7 +152,7 @@ object Extractor {
       val ex = HtmlExtractor.extract(html)
       val content = ex.contentBlocks
       val (text, spans, counts) = assemble(content.map(b => (b.tag, b.text)))
-      val q0 = analyzer.analyze(text, Some(confidenceData(content)))
+      val q0 = analyzer.analyzeWith(text, Some(ConfidenceSignal.scoreBlocks(confidenceData(content))))
       // Extraction-coverage signal: a near-empty extraction from a page with
       // substantial visible text is an extraction FAILURE, not a short
       // document — the garbled/dictionary signals are neutral on short text
@@ -178,7 +190,7 @@ object Extractor {
       // double postprocess (pipeline.py:689 quirk)
       val (text, counts1) = Postprocess(text0)
       val spans = Seq(Span(0, text.length, "heavy"))
-      val q = analyzer.analyze(text, Some(confidenceData(content)))
+      val q = analyzer.analyzeWith(text, Some(ConfidenceSignal.scoreBlocks(confidenceData(content))))
       val counts = mergeCounts(counts0, counts1)
       val diag =
         if (!cfg.diagnostics) None

@@ -35,6 +35,43 @@ object ConfidenceSignal {
 
   private val Neutral = Result(0.5, 0, None, None, Nil)
 
+  /** Block-granular input: every word in a block shares the block's
+    * confidence, so the length-weighted mean only needs per-block
+    * (conf, wordCount, charWeight=sum of word lengths) — mathematically
+    * identical to the per-word form but allocation-free on the hot path.
+    */
+  final case class BlockConf(
+      conf: Int,
+      wordCount: Int,
+      charWeight: Long,
+      lowConfSample: Seq[String] = Nil
+  )
+
+  def scoreBlocks(blocks: Seq[BlockConf]): Result = {
+    val valid = blocks.filter(b => b.conf > 0 && b.wordCount > 0)
+    if (valid.isEmpty) Neutral
+    else {
+      var totalWeight = 0L
+      var weightedSum = 0.0
+      var words = 0
+      var minConf = Int.MaxValue
+      valid.foreach { b =>
+        totalWeight += b.charWeight
+        weightedSum += b.conf.toDouble * b.charWeight
+        words += b.wordCount
+        if (b.conf < minConf) minConf = b.conf
+      }
+      val meanConf = weightedSum / totalWeight
+      Result(
+        score = meanConf / 100.0,
+        wordCount = words,
+        meanConf = Some(round2(meanConf)),
+        minConf = Some(minConf),
+        lowConfWords = valid.filter(_.conf < 30).flatMap(_.lowConfSample).take(20)
+      )
+    }
+  }
+
   def score(data: Seq[WordConf]): Result = {
     val valid = data.filter(w => w.conf > 0 && w.text.strip().nonEmpty)
     if (valid.isEmpty) Neutral

@@ -60,13 +60,16 @@ object Postprocess {
   def normalizeUnicode(text: String): (String, Counts) = {
     var replacements = 0
     var t = text
+    // Java's String.replace compiles a literal regex per call — only pay it
+    // when the needle is actually present (it almost never is on the hot path)
     Ligatures.foreach { case (lig, rep) =>
-      replacements += countOccurrences(t, lig)
-      t = t.replace(lig, rep)
+      val n = countOccurrences(t, lig)
+      if (n > 0) { replacements += n; t = t.replace(lig, rep) }
     }
-    replacements += countOccurrences(t, SoftHyphen)
-    t = t.replace(SoftHyphen, "")
-    t = Normalizer.normalize(t, Normalizer.Form.NFC)
+    val softHyphens = countOccurrences(t, SoftHyphen)
+    if (softHyphens > 0) { replacements += softHyphens; t = t.replace(SoftHyphen, "") }
+    if (!Normalizer.isNormalized(t, Normalizer.Form.NFC))
+      t = Normalizer.normalize(t, Normalizer.Form.NFC)
     (t, Map("unicode_normalizations" -> replacements))
   }
 
@@ -76,6 +79,8 @@ object Postprocess {
   def dehyphenate(text: String): (String, Counts) = {
     var rejoined = 0
     val m = HyphenBreak.matcher(text)
+    if (!m.find()) return (text, Map("dehyphenations" -> 0))
+    m.reset()
     val sb = new java.lang.StringBuilder
     while (m.find()) {
       val left = m.group(1)
@@ -138,6 +143,8 @@ object Postprocess {
     var fixes = 0
     def subn(p: Pattern, repl: String, t: String): String = {
       val m = p.matcher(t)
+      if (!m.find()) return t // no-match fast path: no copy
+      m.reset()
       val sb = new java.lang.StringBuilder
       while (m.find()) { fixes += 1; m.appendReplacement(sb, repl) }
       m.appendTail(sb)

@@ -28,10 +28,16 @@ final case class QualityAnalyzer(
   def analyze(
       text: String,
       confidence: Option[Seq[ConfidenceSignal.WordConf]] = None
+  ): Quality =
+    analyzeWith(text, confidence.map(ConfidenceSignal.score))
+
+  /** Hot-path entry: confidence already reduced (block-granular form). */
+  def analyzeWith(
+      text: String,
+      conf: Option[ConfidenceSignal.Result]
   ): Quality = {
     val garbled = GarbledSignal.score(text, maxSamples)
     val dict = DictionarySignal.score(text, wordSet)
-    val conf = confidence.map(ConfidenceSignal.score)
 
     val scores: Map[String, Double] =
       Map("garbled" -> garbled.score, "dictionary" -> dict.score) ++

@@ -112,16 +112,19 @@ class ExtractionJobSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/results").count() == 120)
   }
 
-  test("results are independent of parallelism and salting (plan-only knobs)") {
+  test("results are independent of parallelism, salting and heavy mode (plan-only knobs)") {
     val pages = CorpusGen.pages(spark, 100).toDF()
-    val r1 = ExtractionJob.extract(pages, cfg.copy(numPartitions = 1), Set.empty)
-      .collect().map(r => (r.url, r.extracted_text, r.engine, r.quality.score))
-      .sortBy(_._1)
-    val r2 = ExtractionJob.extract(pages, cfg.copy(numPartitions = 7, skewSalts = 3),
-        Set("host0.example"))
-      .collect().map(r => (r.url, r.extracted_text, r.engine, r.quality.score))
-      .sortBy(_._1)
-    assert(r1.toSeq == r2.toSeq)
+    def run(c: ExtractionJob.JobConfig, hosts: Set[String]) =
+      ExtractionJob.extract(pages, c, hosts)
+        .collect().map(r => (r.url, r.extracted_text, r.engine, r.quality.score))
+        .sortBy(_._1).toSeq
+    val r1 = run(cfg.copy(numPartitions = 1), Set.empty)
+    val r2 = run(
+      cfg.copy(numPartitions = 7, skewSalts = 3, repartitionInput = true),
+      Set("host0.example"))
+    val r3 = run(cfg.copy(numPartitions = 5, batchedHeavy = true), Set.empty)
+    assert(r1 == r2)
+    assert(r1 == r3, "inline and batched heavy modes must produce identical results")
   }
 
   test("summarize produces the batch rollup") {

@@ -1,0 +1,206 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class DedupSpec extends AnyFunSuite {
+  private implicit lazy val spark: org.apache.spark.sql.SparkSession = SparkTestBase.spark
+  import spark.implicits._
+
+  // tiny corpus with planted near-duplicates
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+    (2L, "completely different text about database query optimization and planning"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (4L, "another unrelated document discussing spark partitioning and shuffles"),
+    (5L, "completely different text about database query optimization and planning systems") // near-dup of 2
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, survivor = min id") {
+    val r = Dedup.exact(docs).collect()
+    assert(r.length == 5) // 6 docs, one exact pair
+    val dup = r.find(_.getAs[Long]("dup_count") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("exact ngram jaccard finds planted near-dups and the exact dup") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((2L, 5L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH pairs equal exact pairs on the planted corpus") {
+    val exact = Dedup.ngramJaccardPairs(docs, n = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.minhashPairs(docs, n = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == exact)
+  }
+
+  test("minhash signature approximates jaccard") {
+    val a = Dedup.shingleHashes(docs.collect()(0).getString(1), 4)
+    val b = Dedup.shingleHashes(docs.collect()(1).getString(1), 4)
+    val sigA = Dedup.minhashSignature(a, 128)
+    val sigB = Dedup.minhashSignature(b, 128)
+    val est = sigA.zip(sigB).count { case (x, y) => x == y }.toDouble / 128
+    val common = a.toSet.intersect(b.toSet).size
+    val trueJ = common.toDouble / (a.length + b.length - common)
+    assert(math.abs(est - trueJ) < 0.2, s"est=$est true=$trueJ")
+  }
+
+  test("simhash: identical texts collide, near texts are close, unrelated far") {
+    val h0 = Dedup.simhash64(docs.collect()(0).getString(1))
+    val h3 = Dedup.simhash64(docs.collect()(3).getString(1))
+    val h1 = Dedup.simhash64(docs.collect()(1).getString(1))
+    val h4 = Dedup.simhash64(docs.collect()(4).getString(1))
+    assert(h0 == h3)
+    assert(Dedup.hamming(h0, h1) < Dedup.hamming(h0, h4))
+  }
+
+  test("simhash pair search finds all pairs within radius (vs brute force)") {
+    val hashes = docs.collect().map(r => (r.getLong(0), Dedup.simhash64(r.getString(1))))
+    val radius = 12
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes
+      if ia < ib && Dedup.hamming(ha, hb) <= 3
+    } yield (ia, ib)).toSet
+    val found = Dedup.simhashPairs(docs, radius = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == brute, s"found=$found brute=$brute (radius check: $radius unused)")
+  }
+
+  test("embedding dup pairs respect threshold and blocking") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 1),
+      (1L, Array(0.99f, 0.1f, 0.0f), 1), // ~cos 0.995 with 0, same label
+      (2L, Array(0.0f, 1.0f, 0.0f), 1), // orthogonal
+      (3L, Array(1.0f, 0.0f, 0.0f), 2) // same as 0 but different label (blocked away)
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingDupPairs(emb, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  private implicit lazy val spark: org.apache.spark.sql.SparkSession = SparkTestBase.spark
+  import spark.implicits._
+
+  // deterministic clustered embeddings in 16 dims: 5 cluster centers plus
+  // small per-vector noise (the structure real embedding spaces have; LSH
+  // recall is only meaningful when neighbors actually exist)
+  private lazy val emb = (0L until 200L).map { i =>
+    val label = (i % 5).toInt
+    val v = Array.tabulate(16) { d =>
+      val center = Dedup.mix64(label * 7919L + d).toDouble / Long.MaxValue
+      val noise = Dedup.mix64(i * 131 + d).toDouble / Long.MaxValue * 0.15
+      (center + noise).toFloat
+    }
+    (i, v, label)
+  }.toDF("vec_id", "embedding", "label")
+
+  test("brute-force top-k is exact (matches a local computation)") {
+    val rows = emb.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val q0 = rows.find(_._1 == 0L).get._2
+    val expected = rows.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q0, v)) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(5).map(_._1).toSeq
+    val got = Similarity.bruteForceTopK(emb, col("vec_id") === 0L, 5)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(got == expected)
+  }
+
+  test("LSH top-k achieves decent recall vs brute force") {
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") < 20, 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val lsh = Similarity.lshTopK(emb, col("vec_id") < 20, 5, planes = 6)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall") // multi-probe sign-LSH, 6 planes
+  }
+
+  test("cosineCol matches scalar cosine") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(3.0, 2.0, 1.0))).toDF("a", "b")
+    val got = df.select(Similarity.cosineCol(col("a"), col("b"))).head.getDouble(0)
+    val exp = (3.0 + 4.0 + 3.0) / (math.sqrt(14.0) * math.sqrt(14.0))
+    assert(math.abs(got - exp) < 1e-12)
+  }
+}
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private implicit lazy val spark: org.apache.spark.sql.SparkSession = SparkTestBase.spark
+  import spark.implicits._
+
+  test("markerCount counts padded occurrences") {
+    val df = Seq((1L, "the cat and the dog and more")).toDF("doc_id", "text")
+    val n = df.select(TextAnalysis.markerCount(col("text"), " the ").cast("long")).head.getLong(0)
+    assert(n == 2) // leading 'the' counts via padding
+    val m = df.select(TextAnalysis.markerCount(col("text"), " and ").cast("long")).head.getLong(0)
+    assert(m == 2)
+  }
+
+  test("langId predicts by marker majority with deterministic ties") {
+    val df = Seq(
+      (1L, "xx", "the cat and the dog of the house is here"),
+      (2L, "xx", "der hund und die katze und das haus"),
+      (3L, "xx", "no markers whatsoever")).toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.langId(df).collect().map(x =>
+      x.getAs[Long]("doc_id") -> x.getAs[String]("predicted_lang")).toMap
+    assert(r(1L) == "en")
+    assert(r(2L) == "de")
+    assert(r(3L) == "und")
+  }
+
+  test("quality score components and flag") {
+    val df = Seq(
+      (1L, ("the word and more of " * 30).trim), // long, stopword-rich
+      (2L, "1 2 3 4 5 6 7 8 9 0")).toDF("doc_id", "text") // digits only
+    val r = TextAnalysis.qualityScore(df).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Double]("quality_score") > r(2L).getAs[Double]("quality_score"))
+    assert(r(2L).getAs[Boolean]("flagged"))
+    assert(r(1L).getAs[Long]("n_tokens") == 150)
+  }
+
+  test("fingerprint is case/whitespace normalized") {
+    val df = Seq((1L, "  Hello World "), (2L, "hello world")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(df).collect().map(_.getAs[String]("fingerprint"))
+    assert(fp(0) == fp(1))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  private implicit lazy val spark: org.apache.spark.sql.SparkSession = SparkTestBase.spark
+  import spark.implicits._
+
+  test("image meta stub is deterministic and typed") {
+    val media = Seq((1L, "hello".getBytes), (2L, Array.empty[Byte]))
+      .toDF("content_id", "payload")
+    val r = Multimodal.imageMeta(media).collect()
+      .map(x => x.getAs[Long]("content_id") -> x).toMap
+    assert(r(1L).getAs[Int]("n_bytes") == 5)
+    assert(r(1L).getAs[Int]("width") == 6 && r(1L).getAs[Int]("height") == 6)
+    assert(r(1L).getAs[String]("content_hash") == "5d41402abc4b2a76b9719d911017c592") // md5("hello")
+    assert(r(2L).getAs[String]("format") == "empty")
+  }
+
+  test("frame sampling emits one row per stride slice") {
+    val media = Seq((1L, Array.fill[Byte](200)(7))).toDF("content_id", "payload")
+    val frames = Multimodal.sampleFrames(media, stride = 64).collect()
+    assert(frames.length == 4) // offsets 0, 64, 128, 192
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 1, 2, 3))
+    assert(frames.head.getAs[Long]("frame_checksum") == 16 * 7)
+  }
+}
