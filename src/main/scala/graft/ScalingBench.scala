@@ -93,7 +93,7 @@ object ScalingBench {
          |executors, evidenced in-sandbox by the identical extraction job on
          |identical deterministic input (seed-42 corpus, $rows docs, full
          |pipeline: fast extract -> quality gate -> inline heavy fallback)
-         |at two local parallelism levels, best-of-3 interleaved runs after
+         |at two local parallelism levels, best-of-5 interleaved runs after
          |full-size warmups (the host VM shows intermittent ~20% CPU steal).
          |
          || cores N -> 4N | wall N / 4N (s) | docs/s N -> 4N | efficiency |

@@ -197,15 +197,20 @@ object Extractor {
         else {
           val struggles = QualityAnalyzer.classifyStruggle(
             q.signalScores, q.score, cfg.threshold, Engines.Heavy, Some(q.score))
+          val d = WordDiff.diff(fast.extracted_text, text)
+          val disagreements = QualityAnalyzer.signalDisagreements(q.signalScores)
           Some(Diagnostics(
             q.signalScores,
             weightsFor(q.signalScores),
-            QualityAnalyzer.signalDisagreements(q.signalScores),
-            QualityAnalyzer.signalDisagreements(q.signalScores)
-              .exists(_.magnitude > QualityAnalyzer.DisagreementThreshold),
+            disagreements,
+            disagreements.exists(_.magnitude > QualityAnalyzer.DisagreementThreshold),
             counts,
             struggles,
-            fastText = fast.extracted_text
+            fastText = fast.extracted_text,
+            engineDiff = Some(EngineDiff(
+              d.additions, d.deletions,
+              d.substitutions.map { case (f2, t2) => Substitution(f2, t2) },
+              d.summary))
           ))
         }
       DocResult(row.url, text, spans, q, Engines.Heavy, success = true, error = null, diag)
@@ -240,7 +245,8 @@ object Extractor {
           disagreements.exists(_.magnitude > QualityAnalyzer.DisagreementThreshold),
           counts,
           QualityAnalyzer.classifyStruggle(q.signalScores, q.score, cfg.threshold),
-          fastText = null
+          fastText = null,
+          engineDiff = None
         ))
       }
     DocResult(row.url, text, spans, q, engine, success = true, error = null, diag)

@@ -48,6 +48,15 @@ final case class Span(start: Int, end: Int, kind: String)
 /** Pairwise signal disagreement (reference: diagnostics.py:32-37). */
 final case class Disagreement(signals: Seq[String], magnitude: Double)
 
+/** Word-level fast-vs-heavy engine diff (reference: diagnostics.py:40-56). */
+final case class Substitution(from: String, to: String)
+final case class EngineDiff(
+    additions: Seq[String],
+    deletions: Seq[String],
+    substitutions: Seq[Substitution],
+    summary: Map[String, Int]
+)
+
 /** Per-row diagnostics sidecar (reference: diagnostics.py:59-112). */
 final case class Diagnostics(
     signalScores: Map[String, Double],
@@ -56,7 +65,8 @@ final case class Diagnostics(
     hasSignalDisagreement: Boolean,
     postprocessCounts: Map[String, Int],
     struggleCategories: Seq[String],
-    fastText: String // fast-path text preserved for engine diffing (pipeline.py:578-593 analogue)
+    fastText: String, // fast-path text preserved for engine diffing (pipeline.py:578-593 analogue)
+    engineDiff: Option[EngineDiff] // populated on the heavy path (diagnostics.py:230-275)
 )
 
 /** Output row: one per url. */

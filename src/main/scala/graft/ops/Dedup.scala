@@ -243,12 +243,13 @@ object Dedup {
     val b = posts.select(col("block"), col("value"), col("doc_id").as("b_id"), col("simhash").as("b_h"))
     a.join(b, Seq("block", "value"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), hammingUdf(col("a_h"), col("b_h")).as("hamming"))
+      // hamming distance as pure built-ins (bit_count(a XOR b)) — stays
+      // inside whole-stage codegen, no UDF boundary on the pair stream
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_h").bitwiseXOR(col("b_h"))).cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= radius)
   }
-
-  private val hammingUdf = udf { (a: Long, b: Long) => hamming(a, b) }
 
   /** Embedding cosine near-dup pairs, blocked by `label` (the cluster id the
     * table carries) — the blocking join keeps the pair space linear-ish; the

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.corpus.CorpusGen
+import graft.job.ExtractionJob
+import graft.model.RawPage
+
+class StreamingSpec extends AnyFunSuite {
+  private implicit lazy val spark: org.apache.spark.sql.SparkSession = SparkTestBase.spark
+
+  private val cfg = ExtractionJob.JobConfig(numGroups = 8, numPartitions = 4)
+
+  test("streaming extraction produces byte-identical rows to the batch job") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = (0L until 60L).map(CorpusGen.genRow(42L, _))
+    val stream = MemoryStream[RawPage]
+    stream.addData(rows)
+
+    val q = StreamingExtraction.extract(stream.toDF(), cfg)
+      .writeStream
+      .format("memory")
+      .queryName("stream_extract")
+      .outputMode(OutputMode.Append())
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.sql("SELECT url, extracted_text, engine, success FROM stream_extract")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getBoolean(3)))
+      .sortBy(_._1)
+
+    val batch = ExtractionJob.extract(CorpusGen.pages(spark, 60).toDF(), cfg)
+      .collect().map(r => (r.url, r.extracted_text, r.engine, r.success))
+      .sortBy(_._1)
+
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("watermarked windowed quality rollup aggregates per window") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // rows span 200 seconds (1s apart) -> several 1-minute windows
+    val rows = (0L until 200L).map(CorpusGen.genRow(42L, _))
+    val stream = MemoryStream[RawPage]
+    stream.addData(rows)
+
+    val q = StreamingExtraction.qualityByWindow(stream.toDF(), cfg)
+      .writeStream
+      .format("memory")
+      .queryName("stream_quality")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val out = spark.sql("SELECT * FROM stream_quality").collect()
+    assert(out.length == 4) // 200s at 1 row/s -> windows 0,1,2,3
+    assert(out.map(_.getAs[Long]("docs")).sum == 200)
+    // failure classes 15-18 = 4/20 of rows
+    assert(out.map(_.getAs[Long]("failures")).sum == 40)
+  }
+}
