@@ -1,0 +1,95 @@
+package graft.text
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.ops.Dedup
+
+/** ScalaCheck properties for the determinism-critical kernels
+  * (FIXTURES.md §3: postprocess-chain invariants).
+  */
+object PostprocessProps extends Properties("Postprocess") {
+
+  private val word: Gen[String] =
+    Gen.chooseNum(1, 10).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar)).map(_.mkString)
+
+  private val token: Gen[String] = Gen.frequency(
+    8 -> word,
+    1 -> Gen.oneOf("ﬁrst", "diﬀerent", "soft­hyphen", "Merleau-Ponty", "12-34"),
+    1 -> Gen.oneOf(".", ",", "!", "word,", "(note)", "§4"))
+
+  private val line: Gen[String] =
+    Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, token)).map(_.mkString(" "))
+
+  private val text: Gen[String] = for {
+    nBlocks <- Gen.chooseNum(1, 4)
+    blocks <- Gen.listOfN(nBlocks, Gen.chooseNum(1, 4).flatMap(n =>
+      Gen.listOfN(n, line).map(_.mkString("\n"))))
+  } yield blocks.mkString("\n\n")
+
+  property("normalizePunctuation is idempotent") = forAll(text) { t =>
+    val (once, _) = Postprocess.normalizePunctuation(t)
+    Postprocess.normalizePunctuation(once)._1 == once
+  }
+
+  property("normalizeUnicode is idempotent and leaves no ligatures/soft hyphens") =
+    forAll(text) { t =>
+      val (once, _) = Postprocess.normalizeUnicode(t)
+      Postprocess.normalizeUnicode(once)._1 == once &&
+      !"ﬀﬁﬂﬃﬄ­".exists(once.contains(_))
+    }
+
+  // The chain is NOT idempotent in general: join_paragraphs' heading rule
+  // measures the last appended FRAGMENT (reference: postprocess.py:72
+  // `merged_lines[-1]`), so a line kept separate in pass 1 can merge in
+  // pass 2 once its predecessor has grown past 60 chars. The reference has
+  // the identical behavior — this is the J3 double-postprocess trap
+  // (SURVEY.md §2.5): heavy-path output is defined as the SECOND
+  // application, which the property below pins as a fixed point.
+  property("second application is a fixed point (heavy-path contract)") =
+    forAll(text) { t =>
+      val settled = Postprocess(Postprocess(t)._1)._1
+      Postprocess(settled)._1 == settled
+    }
+
+  property("dehyphenate leaves no lowercase line-break hyphens") = forAll(text) { t =>
+    val (out, _) = Postprocess.dehyphenate(t)
+    // remaining \w-\n\w splices must be capitalized-capitalized (kept on purpose)
+    val m = java.util.regex.Pattern.compile("(?U)(\\w+)-\\n(\\w+)").matcher(out)
+    var ok = true
+    while (m.find()) {
+      ok &&= Character.isUpperCase(m.group(1).charAt(0)) &&
+        Character.isUpperCase(m.group(2).charAt(0))
+    }
+    ok
+  }
+
+  property("garbled and dictionary scores stay in [0,1]") = forAll(text) { t =>
+    val g = GarbledSignal.score(t).score
+    val d = DictionarySignal.score(t).score
+    g >= 0.0 && g <= 1.0 && d >= 0.0 && d <= 1.0
+  }
+
+  property("round4 is stable (round4(round4(x)) == round4(x))") =
+    forAll(Gen.chooseNum(0.0, 1.0)) { x =>
+      val r = DictionarySignal.round4(x)
+      DictionarySignal.round4(r) == r
+    }
+
+  property("shingle hashing is order-canonical and deterministic") =
+    forAll(Gen.listOfN(20, word)) { ws =>
+      val t = ws.mkString(" ")
+      java.util.Arrays.equals(Dedup.shingleHashes(t, 4), Dedup.shingleHashes(t, 4)) && {
+        val sh = Dedup.shingleHashes(t, 4)
+        sh.sorted.sameElements(sh) // sorted-set contract
+      }
+    }
+
+  property("identical texts have identical minhash signatures and simhash") =
+    forAll(Gen.listOfN(30, word)) { ws =>
+      val t = ws.mkString(" ")
+      val s1 = Dedup.minhashSignature(Dedup.shingleHashes(t, 4), 32)
+      val s2 = Dedup.minhashSignature(Dedup.shingleHashes(t, 4), 32)
+      java.util.Arrays.equals(s1, s2) && Dedup.simhash64(t) == Dedup.simhash64(t)
+    }
+}
