@@ -126,21 +126,26 @@ $footerBlock
 </body></html>"""
   }
 
-  private def pdfPayload(seed: Long, idx: Long, twoColumn: Boolean): Array[Byte] = {
-    val sb = new StringBuilder("%PDF-GRAFT 1.0\nP 612 792\n")
-    val nLines = int(seed, idx, 600, 10, 18)
-    def emitCol(x: Int, s: Long): Unit = {
-      var y = 50
-      var k = 0
-      while (k < nLines) {
-        sb.append(s"T $x $y ${sentence(seed, idx, s + k, int(seed, idx, s + k + 50, 4, 7))}\n")
-        // paragraph gap every ~5 lines
-        y += (if (k % 5 == 4) 30 else 12)
-        k += 1
+  private def pdfPayload(seed: Long, idx: Long, twoColumn: Boolean, pages: Int = 1): Array[Byte] = {
+    val sb = new StringBuilder("%PDF-GRAFT 1.0\n")
+    var page = 0
+    while (page < pages) {
+      sb.append("P 612 792\n")
+      val nLines = int(seed, idx, 600 + page, 10, 18)
+      def emitCol(x: Int, s: Long): Unit = {
+        var y = 50
+        var k = 0
+        while (k < nLines) {
+          sb.append(s"T $x $y ${sentence(seed, idx, s + k, int(seed, idx, s + k + 50, 4, 7))}\n")
+          // paragraph gap every ~5 lines
+          y += (if (k % 5 == 4) 30 else 12)
+          k += 1
+        }
       }
+      emitCol(50, 700 + page * 5000)
+      if (twoColumn) emitCol(330, 800 + page * 5000)
+      page += 1
     }
-    emitCol(50, 700)
-    if (twoColumn) emitCol(330, 800)
     sb.toString.getBytes(StandardCharsets.UTF_8)
   }
 
@@ -227,9 +232,11 @@ ${linkFarm(seed, idx, 15)}
 $footerBlock
 </body></html>"""
         RawPage(u, ts, html.getBytes(StandardCharsets.UTF_8), "", lang)
-      // two-column PDF payload
-      case 12 | 13 =>
+      // two-column PDF payload (class 13: multi-page)
+      case 12 =>
         RawPage(u, ts, pdfPayload(seed, idx, twoColumn = true), "", lang)
+      case 13 =>
+        RawPage(u, ts, pdfPayload(seed, idx, twoColumn = true, pages = 3), "", lang)
       // single-column PDF payload
       case 14 =>
         RawPage(u, ts, pdfPayload(seed, idx, twoColumn = false), "", lang)

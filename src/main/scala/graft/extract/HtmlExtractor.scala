@@ -138,7 +138,7 @@ object HtmlExtractor {
           val end = html.indexOf('>', i)
           i = if (end < 0) n else end + 1
         } else {
-          val end = html.indexOf('>', i)
+          val end = findTagEnd(html, i + 1)
           if (end < 0) { i = n } // truncated tag: drop the tail
           else {
             val inner = html.substring(i + 1, end)
@@ -195,6 +195,24 @@ object HtmlExtractor {
     }
     flush("body")
     (title.toString.strip(), out.result())
+  }
+
+  /** Find the closing '>' of a tag starting after '<', skipping quoted
+    * attribute values (an href containing '>' must not end the tag).
+    */
+  private def findTagEnd(html: String, from: Int): Int = {
+    var i = from
+    val n = html.length
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '>') return i
+      if (c == '"' || c == '\'') {
+        val close = html.indexOf(c, i + 1)
+        if (close < 0) return -1
+        i = close + 1
+      } else i += 1
+    }
+    -1
   }
 
   /** Density classification with neighbor context:

@@ -67,6 +67,15 @@ class HtmlExtractorSpec extends AnyFunSuite {
     assert(ex.blocks.nonEmpty)
   }
 
+  test("attribute values containing '>' do not terminate the tag") {
+    val html = "<html><body><p>" + ("real words here " * 5) +
+      """<a href="/x?q=a>b" title='1>2'>link</a> tail words</p></body></html>"""
+    val ex = HtmlExtractor.extract(html)
+    val text = ex.blocks.map(_.text).mkString(" ")
+    assert(!text.contains("q=a"))
+    assert(text.contains("link tail words"))
+  }
+
   test("heavy segmentation recovers content the fast rules missed") {
     // content split into many small paragraphs (each below MinContentWords)
     val paras = (1 to 8).map(i => s"<p>short real sentence number $i of text</p>").mkString
@@ -160,6 +169,14 @@ class ExtractorKernelSpec extends AnyFunSuite {
     val doc = Extractor.fastExtract(row, cfg)
     assert(doc.success && doc.engine == Engines.Pdf)
     assert(doc.spans.exists(_.kind.startsWith("pdf-")))
+  }
+
+  test("multi-page pdf emits spans for every page in order") {
+    val row = CorpusGen.genRow(42L, 13) // class 13: 3 pages, 2 columns
+    val doc = Extractor.fastExtract(row, cfg)
+    assert(doc.success && doc.engine == Engines.Pdf)
+    val pages = doc.spans.map(_.kind.split("-")(1)).distinct
+    assert(pages == Seq("p0", "p1", "p2"))
   }
 
   test("failure rows are contained, never thrown") {
