@@ -206,17 +206,16 @@ object Dedup {
     }
 
   /** Per-doc 64-bit SimHash (near-dup = small hamming distance; identical
-    * simhash groups are exact-bucket near-dups). Emitted per doc so
-    * downstream can choose the radius; grouping by the hash itself is the
-    * radius-0 dedup.
+    * simhash groups are exact-bucket near-dups). Computed by the native
+    * Catalyst expression (codegen'd, no object churn); bit-identical to the
+    * Scala kernel `simhash64` (tested). Emitted per doc so downstream can
+    * choose the radius; grouping by the hash itself is the radius-0 dedup.
     */
   def simhashes(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    docs
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, text) => (id, simhash64(text)) }
-      .toDF("doc_id", "simhash")
+    graft.expressions.GraftFunctions.register(spark)
+    docs.select(
+      col("doc_id"),
+      graft.expressions.GraftFunctions.simhash64(col("text")).as("simhash"))
   }
 
   /** SimHash near-dup pairs within hamming radius via block-key indexing
