@@ -103,10 +103,16 @@ object Main {
       repartitionInput = args.repartitionInput,
       batchedHeavy = args.batchedHeavy)
 
+    // phase timings (reference: phase_timings map, pipeline.py:86-98)
+    val t0 = System.nanoTime()
     val lineage = ExtractionJob.runCheckpointed(pages, cfg, args.output)
+    val extractSecs = (System.nanoTime() - t0) / 1e9
     val failures = lineage.map(_.failure_count).sum
     val docs = lineage.map(_.doc_count).sum
-    println(s"""{"committed_groups":${lineage.map(_.commit_group).distinct.size},"docs":$docs,"failures":$failures}""")
+    val docsPerSec = if (extractSecs > 0) docs / extractSecs else 0.0
+    println(
+      s"""{"committed_groups":${lineage.map(_.commit_group).distinct.size},"docs":$docs,"failures":$failures,""" +
+        s""""phase_timings":{"extract_and_commit":${f"$extractSecs%.3f"}},"docs_per_sec":${f"$docsPerSec%.1f"}}""")
     spark.stop()
     if (failures > 0) sys.exit(1) // error_count!=0 -> nonzero exit (cli.py:404)
   }

@@ -92,6 +92,16 @@ object SparkEntry {
         .select(col("o_custkey")).distinct()
       y95.except(y96)
     }),
+    "q_distinct_count" -> ((s, dir) => {
+      // distinct-aggregation surface (url-dedup counting shape at scale;
+      // approx_count_distinct is the 10^12-row variant, exact here for the oracle)
+      s.read.parquet(t(dir, "lineitem"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+    }),
     "q_explode_tokens" -> ((s, dir) => {
       s.read.parquet(t(dir, "documents"))
         .select(explode(split(col("text"), " ")).as("word"))
@@ -216,6 +226,12 @@ object SparkEntry {
       """SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
          EXCEPT
          SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996""",
+    "q_distinct_count" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_orderkey) AS n_orders,
+         count(DISTINCT l_partkey) AS n_parts,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
     "q_explode_tokens" ->
       """SELECT word, count(*) AS cnt
          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
