@@ -144,6 +144,9 @@ object SparkEntry {
     // ---- dedup family -------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(s.read.parquet(t(dir, "documents")))),
+    "q_dedup_mark" -> ((s, dir) =>
+      Dedup.markDuplicates(s.read.parquet(t(dir, "documents")))
+        .select(col("doc_id"), col("canonical_id"), col("is_duplicate"))),
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(s.read.parquet(t(dir, "documents")), n = 4, threshold = 0.8)(s)),
     "q_dedup_minhash" -> ((s, dir) =>
@@ -319,6 +322,11 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS dup_count,
          min(doc_id) AS keep_id FROM documents GROUP BY md5(text)""",
+    "q_dedup_mark" ->
+      """SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+         doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+         FROM documents""",
     "q_dedup_ngram" ->
       """WITH tok AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -106,6 +106,18 @@ object Dedup {
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(count(lit(1)).as("dup_count"), min(col("doc_id")).as("keep_id"))
 
+  /** Annotate every row with its exact-dup canonical id (min id over the
+    * md5(text) group) and a duplicate flag — the form a training-data
+    * pipeline consumes (filter `!is_duplicate` keeps one survivor per
+    * content hash). One window over one hash shuffle.
+    */
+  def markDuplicates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol)))
+    docs
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("is_duplicate", col(idCol) =!= col("canonical_id"))
+  }
+
   /** Exact all-pairs n-gram Jaccard >= threshold via shingle postings:
     * explode (shingle, doc) -> self-join on shingle -> per-pair common count
     * -> |A|+|B|-common denominator. Only docs sharing a shingle ever meet,

@@ -26,6 +26,15 @@ class DedupSpec extends AnyFunSuite {
     assert(dup.getAs[Long]("keep_id") == 0L)
   }
 
+  test("markDuplicates: canonical id is the min of the content group") {
+    val r = Dedup.markDuplicates(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("canonical_id"), x.getAs[Boolean]("is_duplicate"))).toMap
+    assert(r(3L) == ((0L, true))) // exact dup of doc 0
+    assert(r(0L) == ((0L, false)))
+    assert(r(1L) == ((1L, false))) // near-dup is NOT an exact dup
+  }
+
   test("exact ngram jaccard finds planted near-dups and the exact dup") {
     val pairs = Dedup.ngramJaccardPairs(docs, n = 4, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
