@@ -67,16 +67,28 @@ object ScalingBench {
     runOnce(32, rows)
     runOnce(8, rows)
 
-    // fully interleaved rounds so throttle bursts and residual warmup hit
-    // all levels alike; best-of-5 per level (best approximates the
-    // unthrottled capability on a machine with intermittent steal)
+    // Weak-scaling measurement: rows scale with cores so every run has the
+    // SAME duration and the same exposure to the host's intermittent CPU
+    // throttling (observed ~20% steal in bursts; unequal run lengths would
+    // bias strong-scaling ratios). Efficiency = thr(4N) / (4 * thr(N)) is
+    // identical under weak and strong scaling for a linear-work job.
+    // Fully interleaved reps; median per level.
+    val reps = sys.env.getOrElse("GRAFT_SCALE_REPS", "5").toInt
     val levels = Seq(4, 16, 8, 32)
-    val best = scala.collection.mutable.Map[Int, Double]().withDefaultValue(Double.MaxValue)
-    for (_ <- 1 to 5; c <- levels)
-      best(c) = math.min(best(c), runOnce(c, rows))
+    val samples = scala.collection.mutable.Map[Int, Vector[Double]]().withDefaultValue(Vector.empty)
+    for (r <- 1 to reps; c <- levels) {
+      val levelRows = rows / 8 * c // rows per core held constant
+      val t = runOnce(c, levelRows)
+      val thr = levelRows / t
+      println(f"""{"sample":{"rep":$r,"cpus":$c,"rows":$levelRows,"wall":$t%.2f,"docs_per_sec":$thr%.0f}}""")
+      samples(c) = samples(c) :+ thr
+    }
+    def median(xs: Vector[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
+    // synthetic wall normalized to `rows` so Pair.thrX == median throughput
+    def wallFor(c: Int): Double = rows / median(samples(c))
 
-    val p416 = Pair(4, 16, best(4), best(16), rows)
-    val p832 = Pair(8, 32, best(8), best(32), rows)
+    val p416 = Pair(4, 16, wallFor(4), wallFor(16), rows)
+    val p832 = Pair(8, 32, wallFor(8), wallFor(32), rows)
 
     // salted-input path, one probe per level (host-clustered-scan mode)
     val tLoS = runOnce(8, rows, salted = true)
@@ -93,8 +105,14 @@ object ScalingBench {
          |executors, evidenced in-sandbox by the identical extraction job on
          |identical deterministic input (seed-42 corpus, $rows docs, full
          |pipeline: fast extract -> quality gate -> inline heavy fallback)
-         |at two local parallelism levels, best-of-5 interleaved runs after
-         |full-size warmups (the host VM shows intermittent ~20% CPU steal).
+         |at two local parallelism levels. Measurement: WEAK scaling — rows
+         |scale with cores (10k rows/core) so every run has the same duration
+         |and the same exposure to the host VM's intermittent CPU throttling
+         |(~20% steal observed in bursts; unequal run lengths bias
+         |strong-scaling ratios). Efficiency = thr(4N) / (4 * thr(N)), median
+         |of 5 fully interleaved reps per level after full-size warmups.
+         |The docs/s columns below are those medians (wall shown normalized
+         |to 80k rows).
          |
          || cores N -> 4N | wall N / 4N (s) | docs/s N -> 4N | efficiency |
          ||---|---|---|---|
