@@ -134,6 +134,33 @@ object SparkEntry {
     }),
     "q_quality_score" -> ((s, dir) =>
       TextAnalysis.qualityScore(s.read.parquet(t(dir, "documents")))),
+    // reference quality kernels over the documents table (rows-only checks:
+    // regex/whitelist semantics aren't ANSI-SQL-expressible; the kernels'
+    // correctness gate is the golden-fixture + unit suites)
+    "q_garbled_signal" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val r = graft.text.GarbledSignal.score(text)
+          val d = graft.text.DictionarySignal.score(text)
+          val q = graft.text.QualityAnalyzer().analyzeWith(text, None)
+          (id, r.score, r.garbledCount, r.totalWords, d.score, q.score, q.flagged)
+        }
+        .toDF("doc_id", "garbled_score", "garbled_count", "total_words",
+          "dict_score", "composite_score", "flagged")
+    }),
+    "q_postprocess_chain" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val (clean, counts) = graft.text.Postprocess(text)
+          (id, clean, counts.getOrElse("paragraph_joins", 0),
+            counts.getOrElse("punctuation_fixes", 0))
+        }
+        .toDF("doc_id", "clean_text", "paragraph_joins", "punctuation_fixes")
+    }),
     "q_langid" -> ((s, dir) =>
       TextAnalysis.langId(s.read.parquet(t(dir, "documents")))),
     "q_token_stats" -> ((s, dir) =>
