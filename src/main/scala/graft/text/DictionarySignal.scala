@@ -28,6 +28,7 @@ object DictionarySignal {
 
   private val RepeatPattern = Pattern.compile("(.)\\1{3,}")
   private val AlternatingPattern = Pattern.compile("(..)\\1{2,}")
+  private val Whitespace = Pattern.compile("\\s+")
 
   val DefaultFloor = 0.5
 
@@ -93,7 +94,7 @@ object DictionarySignal {
     var structured = 0
     var garbled = 0
     var total = 0
-    text.split("\\s+").foreach { token =>
+    Whitespace.split(text).foreach { token =>
       val word = token.filterNot(PunctChars.contains).strip()
       if (word.length >= 3 && word.exists(Character.isLetter)) {
         total += 1
