@@ -312,7 +312,11 @@ object ExtractionJob {
           .mode("append")
           .partitionBy("commit_group")
           .parquet(resultsPath)
-        val lin = lineage(persisted).collect().toSeq
+        val computed = lineage(persisted).collect().toSeq
+        // groups with zero rows still need a commit record, else every
+        // resume re-scans them forever (found by CLI resume verification)
+        val empties = batch.toSet -- computed.map(_.commit_group)
+        val lin = computed ++ empties.toSeq.sorted.map(Lineage(_, -1, 0L, 0L, 0L))
         lin.toDS().coalesce(1).write.mode("append").parquet(lineagePath)
         all ++= lin
       } finally { persisted.unpersist(); () }
