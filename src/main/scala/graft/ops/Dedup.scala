@@ -268,15 +268,22 @@ object Dedup {
     * precision, sequential fold order (deterministic).
     */
   def embeddingDupPairs(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+    // per-row norm computed once before the join — bit-identical to the
+    // per-pair formula (sqrt(dot(v,v)) is the same double either way) at a
+    // third of the pair-stage work
     val e = embeddings.select(
       col("vec_id"),
       col("label"),
       col("embedding").cast("array<double>").as("v"))
-    val a = e.select(col("label"), col("vec_id").as("a_id"), col("v").as("a_v"))
-    val b = e.select(col("label"), col("vec_id").as("b_id"), col("v").as("b_v"))
+      .withColumn("norm", sqrt(Similarity.dotCol(col("v"), col("v"))))
+    val a = e.select(col("label"), col("vec_id").as("a_id"), col("v").as("a_v"),
+      col("norm").as("a_norm"))
+    val b = e.select(col("label"), col("vec_id").as("b_id"), col("v").as("b_v"),
+      col("norm").as("b_norm"))
     a.join(b, Seq("label"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cos", Similarity.cosineCol(col("a_v"), col("b_v")))
+      .withColumn("cos",
+        Similarity.dotCol(col("a_v"), col("b_v")) / (col("a_norm") * col("b_norm")))
       .filter(col("cos") >= threshold)
       .select(col("label"), col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
   }

@@ -14,26 +14,38 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity as a codegen'd Column expression: zip_with product +
+  /** Dot product as a codegen'd Column expression: zip_with product +
     * aggregate sum, double precision, sequential fold (deterministic — no
     * UDF, stays inside whole-stage codegen).
     */
-  def cosineCol(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def dotCol(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity from scratch (norms recomputed per call). Prefer the
+    * norm-precomputed form in joins — `dot/(norm_a*norm_b)` with per-row
+    * norm columns is bit-identical (sqrt(dot(v,v)) is the same double
+    * whether computed per row or per pair) at a third of the work.
+    */
+  def cosineCol(a: Column, b: Column): Column =
+    dotCol(a, b) / (sqrt(dotCol(a, a)) * sqrt(dotCol(b, b)))
+
+  /** vec_id, v (double array), norm — the join-ready projection. */
+  private[ops] def withNorm(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dotCol(col("v"), col("v"))))
 
   /** Brute-force top-k: queries (small) are broadcast against the corpus;
-    * ranking is a per-query window. Ties break on vec_id for determinism.
+    * norms precomputed per row (never per pair); ranking is a per-query
+    * window. Ties break on vec_id for determinism.
     */
   def bruteForceTopK(embeddings: DataFrame, queryFilter: Column, k: Int): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val e = withNorm(embeddings)
     val queries = e.filter(queryFilter)
-      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("norm").as("q_norm"))
     val scored = e
       .join(broadcast(queries), col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosineCol(col("q_v"), col("v")))
+      .withColumn("cos", dotCol(col("q_v"), col("v")) / (col("q_norm") * col("norm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -84,16 +96,15 @@ object Similarity {
       val b = lshBucket(v.toArray, seed, planes)
       b +: (0 until planes).map(p => b ^ (1 << p))
     }
-    val e = embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val e = withNorm(embeddings)
       .withColumn("bucket", bucketUdf(col("v")))
     val queries = e.filter(queryFilter)
-      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("norm").as("q_norm"),
         explode(probesUdf(col("v"))).as("bucket"))
     val scored = e
       .join(broadcast(queries), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosineCol(col("q_v"), col("v")))
+      .withColumn("cos", dotCol(col("q_v"), col("v")) / (col("q_norm") * col("norm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
