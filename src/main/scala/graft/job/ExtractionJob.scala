@@ -303,13 +303,18 @@ object ExtractionJob {
       val results = extract(pages, cfg, skewed, Some(batch))
       val persisted = results.persist(StorageLevel.MEMORY_AND_DISK_SER)
       try {
-        // one shuffle of the (payload-free) results into commit groups:
+        // One shuffle of the (payload-free) results into commit groups:
         // bounds output file count to ~1 per group instead of
-        // numPartitions x groups
+        // numPartitions x groups. DYNAMIC partition overwrite (not append)
+        // makes the batch write idempotent: a crash after this write but
+        // before the lineage append leaves orphan partition dirs, and the
+        // resumed batch replaces them instead of duplicating rows — the
+        // parquet stand-in for Iceberg's single-transaction commit.
         persisted
           .repartition(math.max(batch.size, 1), col("commit_group"))
           .write
-          .mode("append")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
           .partitionBy("commit_group")
           .parquet(resultsPath)
         val computed = lineage(persisted).collect().toSeq

@@ -112,6 +112,21 @@ class ExtractionJobSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/results").count() == 120)
   }
 
+  test("crash between results write and lineage append does not duplicate rows") {
+    // simulate: a batch's results land but the commit record (lineage) never
+    // does — the resumed run must REPLACE the orphan partitions, not append
+    val out = Files.createTempDirectory("graft-orphan").toString
+    val pages = CorpusGen.pages(spark, 120).toDF()
+    val c = cfg.copy(numGroups = 8, groupsPerCommit = 8)
+    val orphan = ExtractionJob.extract(pages, c, Set.empty, Some(Seq(0, 1, 2, 3)))
+    orphan.write.mode("append").partitionBy("commit_group").parquet(s"$out/results")
+    // no lineage written -> nothing is committed -> full run reprocesses all
+    ExtractionJob.runCheckpointed(pages, c, out)
+    val all = spark.read.parquet(s"$out/results")
+    assert(all.count() == 120, "orphan batch rows must be replaced, not duplicated")
+    assert(all.select("url").distinct().count() == 120)
+  }
+
   test("results are independent of parallelism, salting and heavy mode (plan-only knobs)") {
     val pages = CorpusGen.pages(spark, 100).toDF()
     def run(c: ExtractionJob.JobConfig, hosts: Set[String]) =
