@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.extract.Extractor
 import graft.job.ExtractionJob
@@ -39,6 +40,52 @@ object StreamingExtraction {
           else fastDoc
         }
       }
+  }
+
+  /** Per-content-hash dedup state: id of the first-seen doc + how many
+    * later occurrences were dropped.
+    */
+  final case class DedupState(first_url: String, dropped: Long)
+
+  /** Kept output row of the streaming dedup. */
+  final case class DedupedDoc(url: String, content_hash: String, extracted_text: String)
+
+  /** Streaming first-seen-wins exact dedup via custom state
+    * (`flatMapGroupsWithState`): the first document with a given content
+    * hash is emitted; every later occurrence — in the same OR any later
+    * micro-batch — is dropped and counted in state. This is the streaming
+    * form of `Dedup.markDuplicates`, with the canonical-survivor decision
+    * made incrementally instead of by a window over the full corpus.
+    * State is unbounded by design here (content hashes accrete); a
+    * production deployment bounds it with `GroupStateTimeout` eviction.
+    */
+  def dedupedExtract(pages: DataFrame, cfg: ExtractionJob.JobConfig)(
+      implicit spark: SparkSession): Dataset[DedupedDoc] = {
+    import spark.implicits._
+    extract(pages, cfg)
+      .filter(_.success)
+      .map(d => (md5Hex(d.extracted_text), d.url, d.extracted_text))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (hash: String, rows: Iterator[(String, String, String)],
+         state: GroupState[DedupState]) => {
+          val batch = rows.toSeq.sortBy(_._2) // deterministic within-batch order
+          state.getOption match {
+            case Some(s) =>
+              state.update(s.copy(dropped = s.dropped + batch.size))
+              Iterator.empty
+            case None =>
+              val first = batch.head
+              state.update(DedupState(first._2, batch.size - 1L))
+              Iterator.single(DedupedDoc(first._2, hash, first._3))
+          }
+        })
+  }
+
+  private def md5Hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
   }
 
   /** Watermarked per-window quality metrics over the extracted stream —

@@ -42,6 +42,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("stateful streaming dedup drops duplicates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // class-3 rows carry a clean passthrough text layer; re-adding the SAME
+    // rows in a second micro-batch must be dropped by persisted state
+    val batch1 = Seq(CorpusGen.genRow(42L, 3), CorpusGen.genRow(42L, 23))
+    val batch2 = Seq(
+      CorpusGen.genRow(42L, 3), // exact duplicate of batch1 row (same idx)
+      CorpusGen.genRow(42L, 43)) // fresh row
+    val stream = MemoryStream[RawPage]
+
+    val q = StreamingExtraction.dedupedExtract(stream.toDF(), cfg)
+      .writeStream
+      .format("memory")
+      .queryName("stream_dedup")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      stream.addData(batch1)
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM stream_dedup").head.getLong(0) == 2)
+      stream.addData(batch2)
+      q.processAllAvailable()
+      val urls = spark.sql("SELECT url FROM stream_dedup").collect().map(_.getString(0)).toSet
+      assert(urls.size == 3, s"duplicate re-emitted: $urls")
+      assert(urls.contains(CorpusGen.url(42L, 43)))
+    } finally q.stop()
+  }
+
   test("watermarked windowed quality rollup aggregates per window") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
