@@ -19,6 +19,9 @@ object SparkEntry {
 
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
 
+  private def udf_topk(s: SparkSession) =
+    org.apache.spark.sql.functions.udaf(new graft.ops.Aggregators.TopKTokens(20))
+
   /** Flagship: the full extraction pipeline over (a) the seeded synthetic
     * Common-Crawl-style corpus and (b) the driver's sf0.001 documents table
     * mapped in as passthrough text rows. Driver smoke-checks rows > 0.
@@ -167,6 +170,16 @@ object SparkEntry {
       TextAnalysis.tokenStats(s.read.parquet(t(dir, "documents")))),
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(s.read.parquet(t(dir, "documents")))),
+    "q_topk_tokens" -> ((s, dir) => {
+      // corpus top-k token frequency via a typed Aggregator (one-pass,
+      // vocab-sized partial buffers)
+      val topk = udf_topk(s)
+      s.read.parquet(t(dir, "documents"))
+        .agg(topk(col("text")).as("top"))
+        .select(posexplode(col("top")).as(Seq("rank0", "tc")))
+        .select((col("rank0") + 1).cast("int").as("rank"),
+          col("tc.token").as("token"), col("tc.cnt").as("cnt"))
+    }),
 
     // ---- dedup family -------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
@@ -349,6 +362,14 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS dup_count,
          min(doc_id) AS keep_id FROM documents GROUP BY md5(text)""",
+    "q_topk_tokens" ->
+      """SELECT row_number() OVER (ORDER BY count(*) DESC, word ASC)::INT AS rank,
+         word AS token, count(*) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         WHERE word <> ''
+         GROUP BY word
+         ORDER BY count(*) DESC, word ASC
+         LIMIT 20""",
     "q_dedup_mark" ->
       """SELECT doc_id,
          min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
