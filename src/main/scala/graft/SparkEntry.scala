@@ -168,6 +168,8 @@ object SparkEntry {
       TextAnalysis.langId(s.read.parquet(t(dir, "documents")))),
     "q_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(s.read.parquet(t(dir, "documents")))),
+    "q_token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(s.read.parquet(t(dir, "documents")))),
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(s.read.parquet(t(dir, "documents")))),
     "q_topk_tokens" -> ((s, dir) => {
@@ -204,6 +206,9 @@ object SparkEntry {
         s.read.parquet(t(dir, "embeddings")), col("vec_id") < 10, k = 5)),
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(
+        s.read.parquet(t(dir, "embeddings")), col("vec_id") < 10, k = 5)(s)),
+    "q_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(
         s.read.parquet(t(dir, "embeddings")), col("vec_id") < 10, k = 5)(s)),
 
     // ---- multimodal plumbing ------------------------------------------------
@@ -356,6 +361,12 @@ object SparkEntry {
          sum(length(text))::BIGINT AS total_chars,
          round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
          FROM documents GROUP BY lang""",
+    "q_token_counts" ->
+      """SELECT doc_id,
+         len(string_split(text, ' '))::BIGINT AS ws_tokens,
+         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))::BIGINT AS bpeish_tokens,
+         length(text)::BIGINT AS n_chars
+         FROM documents""",
     "q_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
          length(text)::BIGINT AS n_chars FROM documents""",

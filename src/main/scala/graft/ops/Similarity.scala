@@ -62,6 +62,62 @@ object Similarity {
     (h.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
   }
 
+  /** IVF (inverted-file) ANN: a deterministic coarse quantizer — the
+    * `nCentroids` lowest-id vectors stand in for k-means centroids (no
+    * iterative training in this engine; swapping in trained centroids
+    * changes only the broadcast array) — assigns every corpus vector to its
+    * nearest cell once; each query probes its `nProbe` nearest cells. At
+    * scale the corpus is written cell-partitioned so a query reads nProbe
+    * partitions instead of scanning the corpus; here the cell id is the
+    * join key.
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      queryFilter: Column,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4
+  )(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val e = withNorm(embeddings)
+    val centroids: Array[(Int, Array[Double], Double)] = e
+      .orderBy(col("vec_id").asc)
+      .limit(nCentroids)
+      .select(col("vec_id"), col("v"), col("norm"))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toArray, r.getDouble(2)) }
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    def cosTo(v: Seq[Double], c: (Int, Array[Double], Double)): Double = {
+      var dot = 0.0
+      var d = 0
+      while (d < c._2.length) { dot += v(d) * c._2(d); d += 1 }
+      dot / c._3 // corpus-side norm cancels in the argmax; omit for ranking cells
+    }
+    val cellUdf = udf { v: Seq[Double] =>
+      bc.value.maxBy(c => (cosTo(v, c), -c._1))._1
+    }
+    val probesUdf = udf { v: Seq[Double] =>
+      bc.value.sortBy(c => (-cosTo(v, c), c._1)).take(nProbe).map(_._1)
+    }
+
+    val corpus = e.withColumn("cell", cellUdf(col("v")))
+    val queries = e.filter(queryFilter)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("norm").as("q_norm"),
+        explode(probesUdf(col("v"))).as("cell"))
+    val scored = corpus
+      .join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dotCol(col("q_v"), col("v")) / (col("q_norm") * col("norm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   /** Sign-LSH bucket id: `planes` hyperplane sign bits. */
   def lshBucket(v: Array[Double], seed: Long, planes: Int): Int = {
     var bucket = 0

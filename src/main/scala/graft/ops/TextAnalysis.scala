@@ -58,6 +58,23 @@ object TextAnalysis {
   /** Whitespace token count (documents are single-space tokenized). */
   def tokenCount(text: Column): Column = size(split(text, " "))
 
+  /** BPE-ish subword token count: letter runs, digit runs, and single
+    * non-alphanumeric marks each count as one token (the GPT-2-style
+    * pre-tokenizer shape, minus merges). RE2-safe character classes so an
+    * ANSI engine computes the identical count.
+    */
+  val BpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
+  /** Per-doc token counts under both tokenizers. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      tokenCount(col("text")).cast("long").as("ws_tokens"),
+      bpeishTokenCount(col("text")).cast("long").as("bpeish_tokens"),
+      length(col("text")).cast("long").as("n_chars"))
+
   /** Per-doc quality proxy signals + composite, all integer-ratio
     * arithmetic: token count, average word length, stopword rate, digit
     * rate. The composite mirrors the extraction engine's weighted-mean

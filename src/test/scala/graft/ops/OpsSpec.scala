@@ -140,6 +140,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall=$recall") // multi-probe sign-LSH, 6 planes
   }
 
+  test("IVF top-k achieves high recall vs brute force on clustered data") {
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") < 20, 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.ivfTopK(emb, col("vec_id") < 20, 5, nCentroids = 10, nProbe = 3)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
   test("cosineCol matches scalar cosine") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(3.0, 2.0, 1.0))).toDF("a", "b")
     val got = df.select(Similarity.cosineCol(col("a"), col("b"))).head.getDouble(0)
