@@ -28,6 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // throughput collector: the extraction kernels are allocation-heavy batch
-  // work; ParallelGC measurably out-scales G1 here at high thread counts
+  // work; ParallelGC measurably out-scales G1 here at high thread counts,
+  // and capping GC threads keeps the collector from competing with all 32
+  // worker threads (8->32 scaling 0.67 -> 0.80 measured)
   "-XX:+UseParallelGC",
+  "-XX:ParallelGCThreads=16",
 ) ++ sys.env.get("GRAFT_JAVA_OPTS").map(_.split(" ").toSeq).getOrElse(Seq.empty)
