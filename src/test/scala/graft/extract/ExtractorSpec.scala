@@ -67,6 +67,24 @@ class HtmlExtractorSpec extends AnyFunSuite {
     assert(ex.blocks.nonEmpty)
   }
 
+  test("uppercase tags and CRLF line endings are handled") {
+    val html = "<HTML><BODY>\r\n<P>" + ("content words here " * 8) +
+      "</P>\r\n<NAV><A HREF='/'>Home</A></NAV>\r\n</BODY></HTML>"
+    val ex = HtmlExtractor.extract(html)
+    val text = ex.contentBlocks.map(_.text).mkString(" ")
+    assert(text.contains("content words here"))
+    assert(!text.contains("Home"))
+  }
+
+  test("self-closing and void tags do not corrupt anchor depth") {
+    val html = "<html><body><p>" + ("words before " * 6) +
+      "<img src='/x.png'/> <br/> <a href='/l'>link text</a> " +
+      ("words after " * 6) + "</p></body></html>"
+    val ex = HtmlExtractor.extract(html)
+    val b = ex.blocks.find(_.text.contains("words before")).get
+    assert(b.linkWords == 2, s"only the anchor's words count as link words: $b")
+  }
+
   test("attribute values containing '>' do not terminate the tag") {
     val html = "<html><body><p>" + ("real words here " * 5) +
       """<a href="/x?q=a>b" title='1>2'>link</a> tail words</p></body></html>"""
