@@ -165,26 +165,89 @@ object GarbledSignal {
 
   private val Neutral = Result(1.0, 0, 0, Nil, Nil)
 
+  private val ConsonantSet: Array[Boolean] = {
+    val a = new Array[Boolean](128)
+    "bcdfghjklmnpqrstvwxz".foreach { c =>
+      a(c) = true; a(Character.toUpperCase(c)) = true
+    }
+    a
+  }
+
+  /** Longest run of ASCII consonants — hand-rolled form of the
+    * `(?i)[bcdfghjklmnpqrstvwxz]{6,}` detector (the (?i) flag without
+    * UNICODE_CASE folds ASCII only, so the table above is exact).
+    */
+  private def maxConsonantRun(w: String): Int = {
+    var best = 0
+    var run = 0
+    var i = 0
+    while (i < w.length) {
+      val c = w.charAt(i)
+      if (c < 128 && ConsonantSet(c)) { run += 1; if (run > best) best = run }
+      else run = 0
+      i += 1
+    }
+    best
+  }
+
+  private def isAsciiLetter(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  /** For an all-ASCII-letter word, `\b[A-Z][a-z]+[A-Z][a-z]*\b` can only
+    * anchor at the word's ends, so it matches iff the whole word has the
+    * shape Upper lower+ Upper lower*.
+    */
+  private def weirdCaseShape(w: String): Boolean = {
+    if (w.length < 3 || !Character.isUpperCase(w.charAt(0))) return false
+    var i = 1
+    while (i < w.length && w.charAt(i) >= 'a' && w.charAt(i) <= 'z') i += 1
+    if (i < 2 || i >= w.length || !Character.isUpperCase(w.charAt(i))) return false
+    i += 1
+    while (i < w.length) {
+      if (!(w.charAt(i) >= 'a' && w.charAt(i) <= 'z')) return false
+      i += 1
+    }
+    true
+  }
+
   /** Classify one already-stripped word; returns the issue type if garbled.
-    * (reference: quality.py:170-199)
+    * (reference: quality.py:170-199). Hot path: clean lowercase words cost
+    * two set lookups and two char scans; regexes only run for words that
+    * could possibly match them (equivalence property-tested against the
+    * pure-regex form).
     */
   def classifyWord(wordClean: String): Option[String] = {
-    if (wordClean.length < 2 || ValidShort.contains(wordClean.toLowerCase)) return None
+    if (wordClean.length < 2) return None
+    val lower = wordClean.toLowerCase
+    if (ValidShort.contains(lower)) return None
     if (mayBeReference(wordClean.charAt(0)) &&
       ValidPatterns.exists(p => p.matcher(wordClean).lookingAt())) return None
-    val lower = wordClean.toLowerCase
     if (ValidTerms.contains(lower)) return None
 
     val alphaCount = wordClean.count(Character.isLetter)
     val alphaRatio = alphaCount.toDouble / wordClean.length
     if (alphaRatio < 0.3 && wordClean.length > 4) return Some("low_alpha")
 
-    val hasGermanSuffix = GermanSuffixes.exists(lower.endsWith)
-    GarblePatterns.collectFirst {
-      case (p, ptype)
-          if !(ptype == "consonant_cluster" && hasGermanSuffix) &&
-            p.matcher(wordClean).find() =>
-        ptype
+    // pattern order is semantic (first match wins): consonant_cluster,
+    // symbol_run, weird_case, control_char
+    if (maxConsonantRun(wordClean) >= 6 && !GermanSuffixes.exists(lower.endsWith))
+      return Some("consonant_cluster")
+
+    var allAsciiLetters = true
+    var i = 0
+    while (allAsciiLetters && i < wordClean.length) {
+      if (!isAsciiLetter(wordClean.charAt(i))) allAsciiLetters = false
+      i += 1
+    }
+    if (allAsciiLetters) {
+      // symbol_run and control_char provably cannot match ASCII letters
+      if (weirdCaseShape(wordClean)) Some("weird_case") else None
+    } else {
+      GarblePatterns.collectFirst {
+        case (p, ptype)
+            if ptype != "consonant_cluster" && p.matcher(wordClean).find() =>
+          ptype
+      }
     }
   }
 

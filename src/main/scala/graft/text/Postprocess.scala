@@ -58,6 +58,16 @@ object Postprocess {
     * (reference: postprocess.py:29-47).
     */
   def normalizeUnicode(text: String): (String, Counts) = {
+    // ASCII fast path: pure-ASCII text is already NFC and cannot contain
+    // ligatures or soft hyphens — one scan instead of six needle searches
+    // plus the normalizer check
+    var ascii = true
+    var k = 0
+    while (ascii && k < text.length) {
+      if (text.charAt(k) >= 0x80) ascii = false
+      k += 1
+    }
+    if (ascii) return (text, Map("unicode_normalizations" -> 0))
     var replacements = 0
     var t = text
     // Java's String.replace compiles a literal regex per call — only pay it

@@ -85,6 +85,64 @@ object PostprocessProps extends Properties("Postprocess") {
       }
     }
 
+  // Pure-regex reference form of the garble classifier (quality.py:170-199
+  // literally) — the production classifyWord takes equivalence-preserving
+  // fast paths; this property pins them to the regex semantics.
+  private object RegexRef {
+    import java.util.regex.Pattern
+    val patterns = Seq(
+      Pattern.compile("(?i)[bcdfghjklmnpqrstvwxz]{6,}") -> "consonant_cluster",
+      Pattern.compile("(?U)[^\\w\\s.,;:!?'\"\\-–—…*()]{3,}") -> "symbol_run",
+      Pattern.compile("\\b[A-Z][a-z]+[A-Z][a-z]*\\b") -> "weird_case",
+      Pattern.compile("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]") -> "control_char")
+    val suffixes = Seq("keit", "heit", "ung", "schaft", "lich", "isch", "tum", "nis")
+    val validPatterns = Seq(
+      "^\\d+$", "^\\d{1,4}[-\u2013\u2014]+\\d{1,4}$", "(?i)^[ivxlcdm]+$", "^\\d{4}$",
+      "^[A-Z]\\d+$", "^\\d+[a-z]?$", "(?i)^ISBN", "^\\d{1,3}\\.\\d", "^[A-Z]{2,4}\\d",
+      "(?i)^pp?\\.\\s*\\d", "^\\(\\d+\\)$", "^\\[\\d+\\]$", "^\u00a7\\d",
+      "^\\d+[a-z]?[-\u2013\u2014]+\\d+[a-z]?$", "^[\\d][\\d\\-\u2013\u2014]+[\\d]$",
+      "^\\d[\\d.\\-\u2013\u2014/]+\\d$").map(Pattern.compile)
+    def validReference(w: String): Boolean =
+      validPatterns.exists(_.matcher(w).lookingAt())
+    def classify(w: String): Option[String] = {
+      if (w.length < 2) return None
+      val lower = w.toLowerCase
+      val alphaRatio = w.count(Character.isLetter).toDouble / w.length
+      if (alphaRatio < 0.3 && w.length > 4) return Some("low_alpha")
+      val german = suffixes.exists(lower.endsWith)
+      patterns.collectFirst {
+        case (p, t) if !(t == "consonant_cluster" && german) && p.matcher(w).find() => t
+      }
+    }
+  }
+
+  private val trickyWord: Gen[String] = Gen.frequency(
+    4 -> word,
+    2 -> Gen.chooseNum(2, 10).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf(Gen.alphaChar,
+        Gen.oneOf('@', '#', '$', '%', '1', '\u0001', '\u00df', '\u00e9')))).map(_.mkString),
+    2 -> Gen.chooseNum(3, 9).flatMap(n => Gen.listOfN(n, Gen.alphaChar)).map(_.mkString),
+    1 -> Gen.oneOf("GarBled", "AbCdEf", "ABc", "AbCD", "bcdfghjk", "xylophonesque",
+      "freundlichkeit", "mnbvcxzlich", "a@#$%b", "Ab", "aB", "AaA", "AbCd"))
+
+  property("classifyWord fast paths match the pure-regex reference") =
+    forAll(trickyWord) { w =>
+      val lower = w.toLowerCase
+      // stages production has but the stripped regex reference omits:
+      // whitelists and valid-reference patterns make production return None
+      val whitelisted = w.length < 2 ||
+        GarbledSignal.ValidTerms.contains(lower) ||
+        Set("a", "i", "\u00e0", "y", "\u00f4", "le", "la", "de", "du", "un", "en",
+          "et", "ou", "au", "il", "je", "tu", "on", "ce", "se", "ne",
+          "the", "of", "to", "in", "is", "it", "an", "as", "at", "be",
+          "by", "or", "so", "we", "if", "my", "up", "no", "do",
+          "ad", "ex", "ab").contains(lower) ||
+        RegexRef.validReference(w)
+      if (whitelisted) GarbledSignal.classifyWord(w).isEmpty
+      else GarbledSignal.classifyWord(w) == RegexRef.classify(w)
+    }
+
+
   property("identical texts have identical minhash signatures and simhash") =
     forAll(Gen.listOfN(30, word)) { ws =>
       val t = ws.mkString(" ")
