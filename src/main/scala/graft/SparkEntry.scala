@@ -95,6 +95,16 @@ object SparkEntry {
         .select(col("o_custkey")).distinct()
       y95.except(y96)
     }),
+    "q_approx_distinct" -> ((s, dir) => {
+      // HLL++ sketch counting — the url-dedup cardinality shape at 10^12
+      // rows where exact countDistinct's shuffle is unaffordable. No oracle:
+      // sketch estimates are engine-specific (exact twin: q_distinct_count).
+      s.read.parquet(t(dir, "lineitem"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+    }),
     "q_distinct_count" -> ((s, dir) => {
       // distinct-aggregation surface (url-dedup counting shape at scale;
       // approx_count_distinct is the 10^12-row variant, exact here for the oracle)
