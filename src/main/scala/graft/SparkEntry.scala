@@ -462,7 +462,7 @@ object SparkEntry {
          (1 + octet_length(encode(text)) % 640)::BIGINT AS width,
          (1 + octet_length(encode(text)) % 480)::BIGINT AS height,
          CASE WHEN octet_length(encode(text)) = 0 THEN 'empty'
-              WHEN ascii(substr(text, 1, 1)) % 2 = 0 THEN 'png'
+              WHEN octet_length(encode(text)) % 2 = 0 THEN 'png'
               ELSE 'jpeg' END AS format,
          md5(text) AS content_hash
          FROM documents"""

@@ -117,30 +117,27 @@ object Extractor {
       return failure(row, s"oversized_payload:${row.html.length}")
 
     val analyzer = cfg.analyzer
+    // analyzed once, reused by the pruning check and every passthrough branch
+    lazy val textQuality = analyzer.analyze(row.text)
 
     // Work pruning: existing text layer that passes quality skips extraction.
-    if (hasText) {
-      val q = analyzer.analyze(row.text)
-      if (!q.flagged && !cfg.forceHeavy) {
-        val (text, spans, counts) = assemble(Seq(("text", row.text)))
-        return result(row, text, spans, q, Engines.Passthrough, counts, cfg, analyzer)
-      }
+    if (hasText && !textQuality.flagged && !cfg.forceHeavy) {
+      val (text, spans, counts) = assemble(Seq(("text", row.text)))
+      return result(row, text, spans, textQuality, Engines.Passthrough, counts, cfg, analyzer)
     }
 
     if (!hasHtml) {
       // flagged text layer and nothing to re-extract from: keep it, flagged
-      val q = analyzer.analyze(row.text)
       val (text, spans, counts) = assemble(Seq(("text", row.text)))
-      return result(row, text, spans, q, Engines.Passthrough, counts, cfg, analyzer)
+      return result(row, text, spans, textQuality, Engines.Passthrough, counts, cfg, analyzer)
     }
 
     if (PdfExtractor.isPdf(row.html)) {
       PdfExtractor.extract(row.html) match {
         case Left(err) =>
           if (hasText) {
-            val q = analyzer.analyze(row.text)
             val (text, spans, counts) = assemble(Seq(("text", row.text)))
-            result(row, text, spans, q, Engines.Passthrough, counts, cfg, analyzer)
+            result(row, text, spans, textQuality, Engines.Passthrough, counts, cfg, analyzer)
           } else failure(row, s"pdf_parse:$err")
         case Right(ex) =>
           val (text, spans, counts) = assemble(ex.columns)
@@ -220,9 +217,7 @@ object Extractor {
   }
 
   private def weightsFor(scores: Map[String, Double]): Map[String, Double] =
-    if (scores.contains("confidence"))
-      Map("garbled" -> 0.4, "dictionary" -> 0.3, "confidence" -> 0.3)
-    else Map("garbled" -> 0.55, "dictionary" -> 0.45)
+    QualityAnalyzer.weightsFor(scores)
 
   private def result(
       row: RawPage,

@@ -107,7 +107,8 @@ object ExtractionJob {
       .count()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val total = counts.agg(sum("count")).first().getLong(0)
+      val totalRow = counts.agg(sum("count")).first()
+      val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
       if (total == 0) Set.empty
       else
         counts
@@ -192,7 +193,7 @@ object ExtractionJob {
           val raw = RawPage(p.url, p.warc_ts, p.html, p.text, p.lang)
           val fastDoc = Extractor.fastExtract(raw, exCfg)
           val doc =
-            if (fastDoc.success && fastDoc.quality.flagged)
+            if (fastDoc.success && (fastDoc.quality.flagged || exCfg.forceHeavy))
               Extractor.heavyExtract(raw, fastDoc, exCfg)
             else fastDoc
           toResult(doc, p.commit_group, pid)
@@ -210,7 +211,7 @@ object ExtractionJob {
       it.map { p =>
         val raw = RawPage(p.url, p.warc_ts, p.html, p.text, p.lang)
         val doc = Extractor.fastExtract(raw, exCfg)
-        val needsHeavy = doc.success && doc.quality.flagged
+        val needsHeavy = doc.success && (doc.quality.flagged || exCfg.forceHeavy)
         FastRow(
           doc, p.commit_group, pid, needsHeavy,
           if (needsHeavy) p.html else null,
@@ -300,6 +301,9 @@ object ExtractionJob {
 
     val all = Seq.newBuilder[Lineage]
     remaining.grouped(cfg.groupsPerCommit).foreach { batch =>
+      // snapshot cached RDD ids so the batch can release EVERYTHING it
+      // cached (incl. the batched-heavy mode's internal FastRow persist)
+      val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
       val results = extract(pages, cfg, skewed, Some(batch))
       val persisted = results.persist(StorageLevel.MEMORY_AND_DISK_SER)
       try {
@@ -324,7 +328,11 @@ object ExtractionJob {
         val lin = computed ++ empties.toSeq.sorted.map(Lineage(_, -1, 0L, 0L, 0L))
         lin.toDS().coalesce(1).write.mode("append").parquet(lineagePath)
         all ++= lin
-      } finally { persisted.unpersist(); () }
+      } finally {
+        persisted.unpersist()
+        val now = spark.sparkContext.getPersistentRDDs
+        (now.keySet -- cachedBefore).foreach(id => now.get(id).foreach(_.unpersist(false)))
+      }
     }
     all.result()
   }

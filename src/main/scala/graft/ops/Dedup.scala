@@ -152,8 +152,11 @@ object Dedup {
     * candidates (the only shuffle proportional to corpus size); candidate
     * pairs are then verified against the true shingle-set Jaccard so the
     * output contains no false positives. Degenerate buckets are capped at
-    * `maxBucket` docs (mass-duplicate clusters; the cap count is reported in
-    * the `truncated_buckets` accumulator-style column of `lshStats`).
+    * `maxBucket` docs — a cap that only binds on mass-duplicate clusters,
+    * where pairwise output is the wrong shape anyway (cluster these via
+    * `exact`/`markDuplicates` instead). Shingling is recomputed per use
+    * rather than cached: a persist here would outlive the returned (lazy)
+    * DataFrame with no unpersist point, and the shingle pass is cheap.
     */
   def minhashPairs(
       docs: DataFrame,
@@ -173,7 +176,6 @@ object Dedup {
         (id, sh, minhashSignature(sh, numHashes))
       }
       .toDF("doc_id", "shingles", "sig")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
     // band buckets: (band, hash(slice)) -> doc list
     val bandRows = shingled

@@ -26,13 +26,17 @@ object Multimodal {
       content_hash: String
   )
 
-  /** STUB decode: pseudo width/height from the byte length, format from the
-    * first byte, md5 as the content hash. Deterministic, engine-independent
-    * (an ANSI SQL oracle can recompute every field from the same blob).
+  /** STUB decode: pseudo width/height/format from the byte length, md5 as
+    * the content hash. Every field is a pure function of the payload BYTES
+    * (not characters), so an ANSI SQL oracle recomputes it from the same
+    * blob with no UTF-8 ambiguity.
     */
-  def decodeImageMeta(id: Long, bytes: Array[Byte]): ImageMeta = {
+  def decodeImageMeta(id: Long, bytes: Array[Byte]): ImageMeta =
+    decodeImageMeta(id, bytes, java.security.MessageDigest.getInstance("MD5"))
+
+  def decodeImageMeta(id: Long, bytes: Array[Byte], md: java.security.MessageDigest): ImageMeta = {
     val n = if (bytes == null) 0 else bytes.length
-    val md = java.security.MessageDigest.getInstance("MD5")
+    md.reset()
     val hash =
       if (bytes == null) "" else md.digest(bytes).map("%02x".format(_)).mkString
     ImageMeta(
@@ -40,15 +44,15 @@ object Multimodal {
       n_bytes = n,
       width = 1 + n % 640,
       height = 1 + n % 480,
-      format = if (n == 0) "empty" else if ((bytes(0) & 0xff) % 2 == 0) "png" else "jpeg",
+      format = if (n == 0) "empty" else if (n % 2 == 0) "png" else "jpeg",
       content_hash = hash
     )
   }
 
   /** Batched metadata extraction over a (content_id, payload binary) frame.
-    * One "codec" per partition (the MessageDigest/codec instance is created
-    * in the partition closure, amortized across the batch — the
-    * mapPartitions-batched pattern the extraction engine uses for parsers).
+    * One "codec" per partition (the MessageDigest instance is created in the
+    * partition closure and reset per row — the mapPartitions-batched pattern
+    * the extraction engine uses for parsers).
     */
   def imageMeta(media: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -57,7 +61,8 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition "codec" instantiation point
-        it.map { case (id, bytes) => decodeImageMeta(id, bytes) }
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) => decodeImageMeta(id, bytes, md) }
       }
       .toDF()
   }

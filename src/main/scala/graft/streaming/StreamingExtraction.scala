@@ -35,7 +35,7 @@ object StreamingExtraction {
       .mapPartitions { it =>
         it.map { raw =>
           val fastDoc = Extractor.fastExtract(raw, exCfg)
-          if (fastDoc.success && fastDoc.quality.flagged)
+          if (fastDoc.success && (fastDoc.quality.flagged || exCfg.forceHeavy))
             Extractor.heavyExtract(raw, fastDoc, exCfg)
           else fastDoc
         }
@@ -105,7 +105,13 @@ object StreamingExtraction {
       .as[RawPage]
       .mapPartitions { it =>
         it.map { raw =>
-          val d = Extractor.fastExtract(raw, exCfg)
+          // same inline heavy fallback as extract(): the rollup must agree
+          // with what actually lands in the sink
+          val fast = Extractor.fastExtract(raw, exCfg)
+          val d =
+            if (fast.success && (fast.quality.flagged || exCfg.forceHeavy))
+              Extractor.heavyExtract(raw, fast, exCfg)
+            else fast
           (raw.warc_ts, d.success, d.quality.flagged, d.quality.score)
         }
       }

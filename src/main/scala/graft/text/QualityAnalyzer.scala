@@ -65,10 +65,7 @@ final case class QualityAnalyzer(
 
   /** Weighted composite (reference: quality.py:327-342). */
   def combine(scores: Map[String, Double]): Double = {
-    val weights =
-      if (scores.contains("confidence"))
-        Map("garbled" -> 0.4, "dictionary" -> 0.3, "confidence" -> 0.3)
-      else Map("garbled" -> 0.55, "dictionary" -> 0.45)
+    val weights = QualityAnalyzer.weightsFor(scores)
     val totalWeight = scores.keysIterator.map(weights.getOrElse(_, 0.0)).sum
     if (totalWeight == 0) 0.5
     else
@@ -77,6 +74,14 @@ final case class QualityAnalyzer(
 }
 
 object QualityAnalyzer {
+
+  /** Composite weight profiles (reference: quality.py:329-332) — the single
+    * source for both scoring and the diagnostics sidecar.
+    */
+  def weightsFor(scores: Map[String, Double]): Map[String, Double] =
+    if (scores.contains("confidence"))
+      Map("garbled" -> 0.4, "dictionary" -> 0.3, "confidence" -> 0.3)
+    else Map("garbled" -> 0.55, "dictionary" -> 0.45)
 
   val GrayZone = 0.05
   val DisagreementThreshold = 0.3

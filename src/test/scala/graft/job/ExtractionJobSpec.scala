@@ -142,6 +142,19 @@ class ExtractionJobSpec extends AnyFunSuite {
     assert(r1 == r3, "inline and batched heavy modes must produce identical results")
   }
 
+  test("forceHeavy routes every successful row through the heavy engine") {
+    val pages = CorpusGen.pages(spark, 40).toDF()
+    val results = ExtractionJob.extract(pages, cfg.copy(forceHeavy = true)).collect()
+    val successes = results.filter(_.success)
+    // heavyExtract keeps the fast output where it cannot do better (pdf /
+    // text-only rows), but every successful html row must show the heavy engine
+    val htmlCapable = successes.filter(r =>
+      Seq(Engines.Heavy, Engines.Html).contains(r.engine))
+    assert(htmlCapable.nonEmpty)
+    assert(htmlCapable.forall(_.engine == Engines.Heavy),
+      s"html rows must be heavy under forceHeavy: ${htmlCapable.map(r => r.url -> r.engine).toSeq}")
+  }
+
   test("summarize produces the batch rollup") {
     val pages = CorpusGen.pages(spark, 100).toDF()
     val s = ExtractionJob.summarize(ExtractionJob.extract(pages, cfg)).collect()
