@@ -10,6 +10,13 @@ import org.apache.spark.sql.functions._
   * aggregation; the near-dup family works on (key, doc_id) postings so the
   * only quadratic step is within an LSH bucket / shared-shingle group,
   * never across the corpus.
+  *
+  * Algorithms are the published classics: MinHash resemblance sketching
+  * (Broder, "On the resemblance and containment of documents", 1997) with
+  * banded LSH (Indyk/Motwani-style), SimHash (Charikar, "Similarity
+  * estimation techniques from rounding algorithms", 2002) with the
+  * block-permutation hamming search of Manku/Jain/Das Sarma ("Detecting
+  * near-duplicates for web crawling", WWW 2007).
   */
 object Dedup {
 
