@@ -60,7 +60,7 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val rows = sys.env.getOrElse("GRAFT_SCALE_ROWS", "80000").toLong
+    val rows = sys.env.getOrElse("GRAFT_SCALE_ROWS", "160000").toLong
 
     // global JIT/codegen warmup: full-size runs so every measured level sees
     // identical code warmth
@@ -106,7 +106,7 @@ object ScalingBench {
          |identical deterministic input (seed-42 corpus, $rows docs, full
          |pipeline: fast extract -> quality gate -> inline heavy fallback)
          |at two local parallelism levels. Measurement: WEAK scaling — rows
-         |scale with cores (10k rows/core) so every run has the same duration
+         |scale with cores (20k rows/core) so every run has the same duration
          |and the same exposure to the host VM's intermittent CPU throttling
          |(~20% steal observed in bursts; unequal run lengths bias
          |strong-scaling ratios). Efficiency = thr(4N) / (4 * thr(N)), median
