@@ -22,8 +22,9 @@ import graft.job.ExtractionJob
   *     daemon threads and the collector compete with workers — a local-mode
   *     artifact a real cluster does not have; reported for completeness.
   *
-  * The host VM throttles CPU intermittently (20% steal observed), so each
-  * level is measured as best-of-3 interleaved runs after full-size warmups.
+  * The host VM throttles CPU intermittently (20% steal observed), so the
+  * measurement is duration-equalized weak scaling: rows scale with cores,
+  * fully interleaved reps, median per level (see main()).
   *
   * Writes BENCH.md and prints one JSON line.
   */
@@ -111,8 +112,8 @@ object ScalingBench {
          |(~20% steal observed in bursts; unequal run lengths bias
          |strong-scaling ratios). Efficiency = thr(4N) / (4 * thr(N)), median
          |of 5 fully interleaved reps per level after full-size warmups.
-         |The docs/s columns below are those medians (wall shown normalized
-         |to 80k rows).
+         |The docs/s columns below are those medians (wall columns are
+         |normalized to $rows rows for comparability).
          |
          || cores N -> 4N | wall N / 4N (s) | docs/s N -> 4N | efficiency |
          ||---|---|---|---|
@@ -139,8 +140,9 @@ object ScalingBench {
          |
          |## Per-round throughput reference
          |
-         |Single-node fast-path kernel throughput is ~1.5k docs/s/core
-         |(multi-paragraph HTML pages, full quality gate) vs the reference's
+         |Single-node fast-path kernel throughput is ~2-2.7k docs/s/core
+         |(0.33 ms/doc single-thread; multi-paragraph HTML pages, full
+         |quality gate) vs the reference's
          |365 pages/s single-core embedded-text extraction + 904 pages/s
          |quality analysis (BASELINE.md) — i.e. the per-core kernel budget is
          |met with margin while doing strictly more work per row
