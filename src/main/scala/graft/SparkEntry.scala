@@ -152,13 +152,13 @@ object SparkEntry {
     // correctness gate is the golden-fixture + unit suites)
     "q_garbled_signal" -> ((s, dir) => {
       import s.implicits._
+      val analyzer = graft.text.QualityAnalyzer() // built once, shipped to executors
       s.read.parquet(t(dir, "documents"))
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, text) =>
-          val r = graft.text.GarbledSignal.score(text)
-          val d = graft.text.DictionarySignal.score(text)
-          val q = graft.text.QualityAnalyzer().analyzeWith(text, None)
-          (id, r.score, r.garbledCount, r.totalWords, d.score, q.score, q.flagged)
+          val q = analyzer.analyzeWith(text, None) // one pass computes all signals
+          (id, q.signalScores("garbled"), q.garbledCount, q.totalWords,
+            q.signalScores("dictionary"), q.score, q.flagged)
         }
         .toDF("doc_id", "garbled_score", "garbled_count", "total_words",
           "dict_score", "composite_score", "flagged")
