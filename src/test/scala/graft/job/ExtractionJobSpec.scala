@@ -142,6 +142,29 @@ class ExtractionJobSpec extends AnyFunSuite {
     assert(r1 == r3, "inline and batched heavy modes must produce identical results")
   }
 
+  test("diagnostics survive the parquet sink roundtrip") {
+    val out = Files.createTempDirectory("graft-diag").toString
+    val pages = CorpusGen.pages(spark, 60).toDF()
+    val c = cfg.copy(diagnostics = true, numGroups = 4, groupsPerCommit = 4)
+    ExtractionJob.runCheckpointed(pages, c, out)
+    val back = spark.read.parquet(s"$out/results")
+    import org.apache.spark.sql.functions.col
+    val heavyRows = back.filter(col("engine") === Engines.Heavy)
+      .select("diagnostics.fastText", "diagnostics.engineDiff.summary",
+        "diagnostics.struggleCategories", "diagnostics.postprocessCounts")
+      .collect()
+    assert(heavyRows.nonEmpty)
+    heavyRows.foreach { r =>
+      assert(r.getString(0) != null, "fastText must be preserved for diffing")
+      assert(r.getAs[Map[String, Int]](1).nonEmpty, "engine diff summary present")
+    }
+    // non-diagnostics runs write null structs
+    val out2 = Files.createTempDirectory("graft-nodiag").toString
+    ExtractionJob.runCheckpointed(pages, c.copy(diagnostics = false), out2)
+    val nodiag = spark.read.parquet(s"$out2/results")
+    assert(nodiag.filter(col("diagnostics").isNotNull).count() == 0)
+  }
+
   test("forceHeavy routes every successful row through the heavy engine") {
     val pages = CorpusGen.pages(spark, 40).toDF()
     val results = ExtractionJob.extract(pages, cfg.copy(forceHeavy = true)).collect()
