@@ -16,6 +16,7 @@ object WordDiff {
   )
 
   private val MaxWords = 2000 // cap row cost; diffs beyond this are truncated
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
 
   def diff(fastText: String, heavyText: String): Diff = {
     val a = tokenize(fastText)
@@ -64,5 +65,5 @@ object WordDiff {
 
   private def tokenize(t: String): Array[String] =
     if (t == null) Array.empty
-    else t.split("\\s+").filter(_.nonEmpty).take(MaxWords)
+    else Whitespace.split(t).filter(_.nonEmpty).take(MaxWords)
 }
