@@ -25,12 +25,7 @@ object CorpusGen {
   val Epoch = 1767225600000L // 2026-01-01T00:00:00Z, fixed (no wall clock)
 
   // -- counter-based RNG -----------------------------------------------------
-  private def mix64(z0: Long): Long = {
-    var z = z0
-    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
-    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
-    z ^ (z >>> 33)
-  }
+  private def mix64(z0: Long): Long = graft.util.Hashing.mix64(z0)
 
   /** Deterministic stream value for (seed, idx, stream). */
   def rng(seed: Long, idx: Long, stream: Long): Long =

@@ -21,11 +21,6 @@ object HtmlExtractor {
       inBoilerplateTag: Boolean
   ) {
     def linkDensity: Double = if (words == 0) 0.0 else linkWords.toDouble / words
-    /** Boilerpipe-style text density: words per 80-char wrapped line. */
-    def textDensity: Double = {
-      val lines = math.max(1, text.length / 80)
-      words.toDouble / lines
-    }
   }
 
   final case class Extraction(
@@ -183,7 +178,9 @@ object HtmlExtractor {
             else Entities.get(ent)
           decoded match {
             case Some(s) =>
-              s.foreach(appendChar)
+              // NBSP normalizes to a plain space exactly like the named
+              // &nbsp; mapping — &#160; and &nbsp; must extract identically
+              s.foreach(ch => appendChar(if (ch == '\u00a0') ' ' else ch))
               i = semi + 1
             case None => appendChar(c); i += 1
           }

@@ -178,7 +178,8 @@ object ExtractionJob {
       pages: DataFrame,
       cfg: JobConfig,
       skewedHosts: Set[String] = Set.empty,
-      groups: Option[Seq[Int]] = None
+      groups: Option[Seq[Int]] = None,
+      cacheRegistry: scala.collection.mutable.Buffer[Dataset[_]] = null
   )(implicit spark: SparkSession): Dataset[ResultRow] = {
     import spark.implicits._
     val exCfg = cfg.extractorConfig
@@ -223,7 +224,10 @@ object ExtractionJob {
     // Phase barrier analogue: persist so the good/heavy split doesn't
     // recompute extraction. Serialized, spills to disk; unflagged rows have
     // already dropped their payload so the cached footprint ~= output size.
+    // The handle is registered so the caller can unpersist it once the
+    // returned (lazy) result has been materialized.
     val persisted = fast.persist(StorageLevel.MEMORY_AND_DISK_SER)
+    if (cacheRegistry != null) cacheRegistry += persisted
 
     val good = persisted
       .filter(!_.needsHeavy)
@@ -292,7 +296,14 @@ object ExtractionJob {
     val committed: Set[Int] =
       try spark.read.parquet(lineagePath).select("commit_group").distinct()
         .collect().map(_.getInt(0)).toSet
-      catch { case _: Exception => Set.empty }
+      catch {
+        // ONLY a missing lineage table means "fresh run"; any other read
+        // failure must surface — treating it as empty would silently redo
+        // all work and append duplicate lineage rows
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getErrorClass == "PATH_NOT_FOUND" =>
+          Set.empty
+      }
 
     val remaining = (0 until cfg.numGroups).filterNot(committed)
     if (remaining.isEmpty) return Seq.empty
@@ -301,11 +312,14 @@ object ExtractionJob {
 
     val all = Seq.newBuilder[Lineage]
     remaining.grouped(cfg.groupsPerCommit).foreach { batch =>
-      // snapshot cached RDD ids so the batch can release EVERYTHING it
-      // cached (incl. the batched-heavy mode's internal FastRow persist)
-      val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
-      val results = extract(pages, cfg, skewed, Some(batch))
+      // every dataset the batch caches (incl. the batched-heavy mode's
+      // internal FastRow persist) is registered and released afterwards via
+      // its Dataset handle — raw-RDD unpersist would leak CacheManager
+      // entries and turn same-plan re-persists into no-ops
+      val caches = scala.collection.mutable.Buffer.empty[Dataset[_]]
+      val results = extract(pages, cfg, skewed, Some(batch), caches)
       val persisted = results.persist(StorageLevel.MEMORY_AND_DISK_SER)
+      caches += persisted
       try {
         // One shuffle of the (payload-free) results into commit groups:
         // bounds output file count to ~1 per group instead of
@@ -328,11 +342,7 @@ object ExtractionJob {
         val lin = computed ++ empties.toSeq.sorted.map(Lineage(_, -1, 0L, 0L, 0L))
         lin.toDS().coalesce(1).write.mode("append").parquet(lineagePath)
         all ++= lin
-      } finally {
-        persisted.unpersist()
-        val now = spark.sparkContext.getPersistentRDDs
-        (now.keySet -- cachedBefore).foreach(id => now.get(id).foreach(_.unpersist(false)))
-      }
+      } finally caches.foreach(_.unpersist())
     }
     all.result()
   }

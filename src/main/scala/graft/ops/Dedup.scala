@@ -22,15 +22,10 @@ object Dedup {
 
   // ---------- deterministic hashing (pure Scala, partitioning-invariant) ----
 
-  /** splitmix64 finalizer — stable across JVMs, unlike String.hashCode
-    * (which is stable too, but 32-bit); used for shingle/minhash streams.
+  /** splitmix64 finalizer (graft.util.Hashing) used for shingle/minhash
+    * streams.
     */
-  def mix64(z0: Long): Long = {
-    var z = z0
-    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
-    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
-    z ^ (z >>> 33)
-  }
+  def mix64(z0: Long): Long = graft.util.Hashing.mix64(z0)
 
   /** 64-bit FNV-1a over UTF-8 bytes, then mixed: the base shingle hash. */
   def hash64(s: String): Long = {
@@ -50,7 +45,9 @@ object Dedup {
   def shingleHashes(text: String, n: Int): Array[Long] = {
     val tokens = text.split(" ", -1)
     if (tokens.length < n) {
-      if (text.isEmpty) Array.empty[Long] else Array(hash64(text))
+      // one whole-text shingle, INCLUDING empty text: the SQL-oracle
+      // equivalent string_split('') yields [''], so '' must hash too
+      Array(hash64(text))
     } else {
       val set = scala.collection.mutable.SortedSet.empty[Long]
       var i = 0

@@ -28,7 +28,7 @@ object DictionarySignal {
 
   private val RepeatPattern = Pattern.compile("(.)\\1{3,}")
   private val AlternatingPattern = Pattern.compile("(..)\\1{2,}")
-  private val Whitespace = Pattern.compile("\\s+")
+  private val Whitespace = Pattern.compile("(?U)\\s+") // Python-parity: Unicode ws
 
   val DefaultFloor = 0.5
 

@@ -25,7 +25,8 @@ object GarbledSignal {
   private val GarblePatterns: Seq[(Pattern, String)] = Seq(
     Pattern.compile("(?i)[bcdfghjklmnpqrstvwxz]{6,}") -> "consonant_cluster",
     Pattern.compile("(?U)[^\\w\\s.,;:!?'\"\\-–—…*()]{3,}") -> "symbol_run",
-    Pattern.compile("\\b[A-Z][a-z]+[A-Z][a-z]*\\b") -> "weird_case",
+    // (?U): Python \\b is Unicode-aware (no false boundary inside GrossWort-style words)
+    Pattern.compile("(?U)\\b[A-Z][a-z]+[A-Z][a-z]*\\b") -> "weird_case",
     Pattern.compile("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]") -> "control_char"
   )
 
@@ -123,7 +124,7 @@ object GarbledSignal {
   private val StripChars: Set[Char] = ".,;:!?()[]{}\"'-–—".toSet
 
   // String.split(regex) recompiles the pattern per call — precompile once
-  private val Whitespace = Pattern.compile("\\s+")
+  private val Whitespace = Pattern.compile("(?U)\\s+") // Python str.split(): Unicode ws incl. NBSP
 
   /** First characters that can possibly begin a ValidPatterns match (all 16
     * patterns anchor on a digit, an uppercase letter, '(', '[', '§', a roman
@@ -164,6 +165,15 @@ object GarbledSignal {
   }
 
   private val Neutral = Result(1.0, 0, 0, Nil, Nil)
+
+  /** Length after Python-`str.strip()` (Unicode whitespace incl. NBSP). */
+  private def pyStrippedLength(s: String): Int = {
+    var a = 0
+    var b = s.length
+    while (a < b && graft.util.Hashing.isPyWhitespace(s.charAt(a))) a += 1
+    while (b > a && graft.util.Hashing.isPyWhitespace(s.charAt(b - 1))) b -= 1
+    b - a
+  }
 
   private val ConsonantSet: Array[Boolean] = {
     val a = new Array[Boolean](128)
@@ -255,7 +265,7 @@ object GarbledSignal {
     * matching the reference's short-text rule (quality.py:138-149).
     */
   def score(text: String, maxSamples: Int = 10, collectContext: Boolean = false): Result = {
-    if (text == null || text.strip().length < 100) return Neutral
+    if (text == null || pyStrippedLength(text) < 100) return Neutral
     val words = Whitespace.split(text).filter(_.nonEmpty)
     val total = words.length
     if (total == 0) return Neutral

@@ -1,7 +1,5 @@
 package graft.text
 
-import java.math.{BigDecimal => JBigDecimal, RoundingMode}
-
 import graft.model.{Disagreement, Quality}
 
 /** Composite multi-signal quality analyzer.
@@ -145,6 +143,5 @@ object QualityAnalyzer {
     categories.result()
   }
 
-  def round4(x: Double): Double =
-    new JBigDecimal(x).setScale(4, RoundingMode.HALF_EVEN).doubleValue()
+  def round4(x: Double): Double = DictionarySignal.round4(x)
 }

@@ -16,7 +16,7 @@ object WordDiff {
   )
 
   private val MaxWords = 2000 // cap row cost; diffs beyond this are truncated
-  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+  private val Whitespace = java.util.regex.Pattern.compile("(?U)\\s+")
 
   def diff(fastText: String, heavyText: String): Diff = {
     val a = tokenize(fastText)

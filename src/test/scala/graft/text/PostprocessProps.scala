@@ -93,7 +93,7 @@ object PostprocessProps extends Properties("Postprocess") {
     val patterns = Seq(
       Pattern.compile("(?i)[bcdfghjklmnpqrstvwxz]{6,}") -> "consonant_cluster",
       Pattern.compile("(?U)[^\\w\\s.,;:!?'\"\\-–—…*()]{3,}") -> "symbol_run",
-      Pattern.compile("\\b[A-Z][a-z]+[A-Z][a-z]*\\b") -> "weird_case",
+      Pattern.compile("(?U)\\b[A-Z][a-z]+[A-Z][a-z]*\\b") -> "weird_case",
       Pattern.compile("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]") -> "control_char")
     val suffixes = Seq("keit", "heit", "ung", "schaft", "lich", "isch", "tum", "nis")
     val validPatterns = Seq(
