@@ -94,6 +94,11 @@ class PostprocessSpec extends AnyFunSuite {
     assert(t == "line one\nline two")
   }
 
+  test("NBSP before punctuation collapses like Python \\s (parity)") {
+    val (t, _) = Postprocess.normalizePunctuation("word\u00a0, and\u00a0.")
+    assert(t == "word, and.")
+  }
+
   // POST-06: chain order is unicode -> dehyphenate -> join -> punctuation
   test("full chain: dehyphenation happens before paragraph joining") {
     // If join ran first, the single \n would become a space and the hyphen

@@ -38,6 +38,22 @@ class QualitySpec extends AnyFunSuite {
     assert(math.abs(r.score - math.max(0.0, 1.0 - 2 * ratio)) < 1e-12)
   }
 
+  test("NBSP splits tokens like Python str.split (parity)") {
+    // "alpha<NBSP>beta" must count as two words, not one glued token
+    val text = ("alpha\u00a0beta gamma delta epsilon zeta " * 6)
+    val r = GarbledSignal.score(text)
+    assert(r.totalWords == 36, s"got ${r.totalWords}")
+    assert(r.score == 1.0)
+  }
+
+  test("Unicode word boundary: mixed-script CamelCase is not weird_case (parity)") {
+    // Python \\b sees no boundary inside letters; ASCII \\b would split at the
+    // non-ASCII letter and falsely match the trailing CamelCase
+    assert(GarbledSignal.classifyWord("Gro\u00dfWortCase").isEmpty)
+    // pure-ASCII CamelCase still fires
+    assert(GarbledSignal.classifyWord("GarBled").contains("weird_case"))
+  }
+
   test("german philosophy terms are not garbled despite consonant clusters") {
     assert(GarbledSignal.classifyWord("Erschlossenheit").isEmpty)
     assert(GarbledSignal.classifyWord("zuhandenheit").isEmpty)
