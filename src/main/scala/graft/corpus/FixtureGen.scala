@@ -12,12 +12,12 @@ import graft.job.ExtractionJob
   * verified, then FROZEN — tests regress against the committed bytes, they
   * never regenerate them).
   *
-  * Writes, for the first 60 rows of the seed-42 tiny corpus:
+  * Writes, for the first 100 rows of the seed-42 tiny corpus:
   *   src/test/resources/fixtures/extracted/doc_<idx>.txt   (byte-compared)
   *   src/test/resources/fixtures/metadata.tsv              (engine/quality/flags)
   */
 object FixtureGen {
-  val Rows = 60L
+  val Rows = 100L
 
   def main(args: Array[String]): Unit = {
     val out = Paths.get(
