@@ -95,7 +95,16 @@ object DictionarySignal {
     var garbled = 0
     var total = 0
     Whitespace.split(text).foreach { token =>
-      val word = token.filterNot(PunctChars.contains).strip()
+      // translate-table strip: only allocate when punctuation is present
+      // (ws-split tokens carry no surrounding whitespace to strip unless
+      // punctuation removal exposes some)
+      var hasPunct = false
+      var j = 0
+      while (!hasPunct && j < token.length) {
+        if (PunctChars.contains(token.charAt(j))) hasPunct = true
+        j += 1
+      }
+      val word = if (hasPunct) token.filterNot(PunctChars.contains).strip() else token
       if (word.length >= 3 && word.exists(Character.isLetter)) {
         total += 1
         val lower = word.toLowerCase

@@ -226,10 +226,20 @@ object GarbledSignal {
     * could possibly match them (equivalence property-tested against the
     * pure-regex form).
     */
+  /** toLowerCase without the allocation when the word is already
+    * all-lowercase-ASCII (the overwhelmingly common case).
+    */
+  private def lowerOf(w: String): String = {
+    var i = 0
+    while (i < w.length && w.charAt(i) >= 'a' && w.charAt(i) <= 'z') i += 1
+    if (i == w.length) w else w.toLowerCase
+  }
+
   def classifyWord(wordClean: String): Option[String] = {
     if (wordClean.length < 2) return None
-    val lower = wordClean.toLowerCase
-    if (ValidShort.contains(lower)) return None
+    val lower = lowerOf(wordClean)
+    // ValidShort's longest member is 3 chars — longer words can't be in it
+    if (wordClean.length <= 3 && ValidShort.contains(lower)) return None
     if (mayBeReference(wordClean.charAt(0)) &&
       ValidPatterns.exists(p => p.matcher(wordClean).lookingAt())) return None
     if (ValidTerms.contains(lower)) return None
