@@ -121,6 +121,15 @@ object SparkEntry {
         .groupBy(col("word"))
         .agg(count(lit(1)).as("cnt"))
     }),
+    "q_json_extract" -> ((s, dir) => {
+      // JSON scalar surface (the reference serializes every structured sink
+      // as JSON, types.py:227-229): parse the events props payload, roll up
+      s.read.parquet(t(dir, "events"))
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          round(avg(col("k")), 4).as("avg_k"))
+    }),
     "q_sessionize" -> ((s, dir) => {
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
@@ -294,6 +303,11 @@ object SparkEntry {
       """SELECT word, count(*) AS cnt
          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
          GROUP BY word""",
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+         sum((props::JSON ->> 'k')::BIGINT)::BIGINT AS sum_k,
+         round(avg((props::JSON ->> 'k')::BIGINT), 4) AS avg_k
+         FROM events GROUP BY event_type""",
     "q_sessionize" ->
       """WITH e AS (
            SELECT user_id, epoch_ms(ts) AS ms,
