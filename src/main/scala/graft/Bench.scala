@@ -34,8 +34,16 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver parses this from noisy sbt logs: print it AND write it to a
+    // side file so `parsed` never comes back null (VERDICT r1 "What's wrong" #5)
+    println(json)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(Some("BENCH_LAST.json")).foreach { p =>
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(p), (json + "\n").getBytes("UTF-8"))
+      catch { case _: Exception => () }
+    }
     spark.stop()
   }
 }

@@ -70,10 +70,17 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
 
     if (args.status) {
-      // status probe: committed groups + counters from the lineage table
+      // status probe: committed groups + counters from the lineage table.
+      // ONLY a missing table reads as "fresh run" — a corrupted/unreadable
+      // lineage table must surface, matching runCheckpointed's strict-read
+      // policy (ExtractionJob.scala)
       val lin =
         try spark.read.parquet(s"${args.output}/lineage")
-        catch { case _: Exception => spark.emptyDataFrame }
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getErrorClass == "PATH_NOT_FOUND" =>
+            spark.emptyDataFrame
+        }
       if (lin.isEmpty) println(s"""{"committed_groups":0,"docs":0,"failures":0}""")
       else {
         val row = lin.agg(

@@ -24,7 +24,8 @@ object GarbledSignal {
     */
   private val GarblePatterns: Seq[(Pattern, String)] = Seq(
     Pattern.compile("(?i)[bcdfghjklmnpqrstvwxz]{6,}") -> "consonant_cluster",
-    Pattern.compile("(?U)[^\\w\\s.,;:!?'\"\\-–—…*()]{3,}") -> "symbol_run",
+    // \x1c-\x1f added: Python's \s (inside the negated class) includes them
+    Pattern.compile("(?U)[^\\w\\s\\x1c-\\x1f.,;:!?'\"\\-–—…*()]{3,}") -> "symbol_run",
     // (?U): Python \\b is Unicode-aware (no false boundary inside GrossWort-style words)
     Pattern.compile("(?U)\\b[A-Z][a-z]+[A-Z][a-z]*\\b") -> "weird_case",
     Pattern.compile("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]") -> "control_char"
@@ -123,8 +124,10 @@ object GarbledSignal {
 
   private val StripChars: Set[Char] = ".,;:!?()[]{}\"'-–—".toSet
 
-  // String.split(regex) recompiles the pattern per call — precompile once
-  private val Whitespace = Pattern.compile("(?U)\\s+") // Python str.split(): Unicode ws incl. NBSP
+  // String.split(regex) recompiles the pattern per call — precompile once.
+  // Python str.split() parity: Unicode ws incl. NBSP AND U+001C-U+001F
+  // (which (?U)\s alone excludes — see Hashing.isPyWhitespace)
+  private val Whitespace = Pattern.compile("(?U)[\\s\\x1c-\\x1f]+")
 
   /** First characters that can possibly begin a ValidPatterns match (all 16
     * patterns anchor on a digit, an uppercase letter, '(', '[', '§', a roman

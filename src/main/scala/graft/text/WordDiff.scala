@@ -16,7 +16,8 @@ object WordDiff {
   )
 
   private val MaxWords = 2000 // cap row cost; diffs beyond this are truncated
-  private val Whitespace = java.util.regex.Pattern.compile("(?U)\\s+")
+  // Python-parity tokenizer incl. U+001C-U+001F (see Hashing.isPyWhitespace)
+  private val Whitespace = java.util.regex.Pattern.compile("(?U)[\\s\\x1c-\\x1f]+")
 
   def diff(fastText: String, heavyText: String): Diff = {
     val a = tokenize(fastText)

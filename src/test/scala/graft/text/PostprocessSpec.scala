@@ -121,4 +121,33 @@ class PostprocessSpec extends AnyFunSuite {
     val (twice, _) = Postprocess.normalizePunctuation(once)
     assert(once == twice)
   }
+
+  // ADVICE r1 parity fixes -------------------------------------------------
+
+  // Python's $ does not match before a final \r; Java's does. The trailing
+  // strip must keep space/tab before a final carriage return.
+  test("trailing space before final CR is kept (Python $ parity)") {
+    val (t, _) = Postprocess.normalizePunctuation("word \r")
+    assert(t == "word \r")
+    val (t2, _) = Postprocess.normalizePunctuation("word \t\r\n")
+    assert(t2 == "word \t\r\n")
+    // true end-of-string trailing whitespace still stripped
+    val (t3, _) = Postprocess.normalizePunctuation("word  ")
+    assert(t3 == "word")
+  }
+
+  // Python's \s includes U+001C-U+001F (FS/GS/RS/US); (?U)\s alone does not.
+  test("file-separator chars count as whitespace before punctuation") {
+    val (t, c) = Postprocess.normalizePunctuation("word\u001c.")
+    assert(t == "word.")
+    assert(c("punctuation_fixes") >= 1)
+  }
+
+  // Python str.strip() removes NBSP; the heading-length check must too.
+  test("NBSP-padded heading line still triggers a heading break") {
+    val nbsp = "\u00a0" * 55
+    val text = s"${nbsp}Title\nNext section starts here"
+    val (t, _) = Postprocess.joinParagraphs(text)
+    assert(t == s"${nbsp}Title\nNext section starts here", s"got: ${t.replace("\u00a0", "~")}")
+  }
 }

@@ -167,4 +167,13 @@ class QualitySpec extends AnyFunSuite {
     assert(d.additions == Seq("jumps"))
     assert(d.summary("deletions") == 0)
   }
+
+  // ADVICE r1: tokenizers must treat U+001C-U+001F as whitespace (Python
+  // str.split() parity — Hashing.isPyWhitespace already does).
+  test("FS/GS separators split tokens like spaces (garbled + dictionary)") {
+    val spaceText = "language meaning truth reason world nature"
+    val fsText = spaceText.replace(" ", "\u001c")
+    assert(GarbledSignal.score(fsText).score == GarbledSignal.score(spaceText).score)
+    assert(DictionarySignal.score(fsText) == DictionarySignal.score(spaceText))
+  }
 }
