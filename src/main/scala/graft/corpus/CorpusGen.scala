@@ -123,9 +123,15 @@ $footerBlock
 
   private def pdfPayload(seed: Long, idx: Long, twoColumn: Boolean, pages: Int = 1): Array[Byte] = {
     val sb = new StringBuilder("%PDF-GRAFT 1.0\n")
+    // Two-column geometry is consistent with the fixed-pitch advance model:
+    // the longest possible line (7 words x 10 chars + separators = 77 chars
+    // = 462 px from x=50) ends before column 2's x=550 with a >24 px gutter,
+    // so both the fast start-gap split and the heavy occupancy projection
+    // find the same two columns.
+    val (width, col2x) = if (twoColumn) (1100, 550) else (612, 0)
     var page = 0
     while (page < pages) {
-      sb.append("P 612 792\n")
+      sb.append(s"P $width 792\n")
       val nLines = int(seed, idx, 600 + page, 10, 18)
       def emitCol(x: Int, s: Long): Unit = {
         var y = 50
@@ -138,11 +144,63 @@ $footerBlock
         }
       }
       emitCol(50, 700 + page * 5000)
-      if (twoColumn) emitCol(330, 800 + page * 5000)
+      if (twoColumn) emitCol(col2x, 800 + page * 5000)
       page += 1
     }
     sb.toString.getBytes(StandardCharsets.UTF_8)
   }
+
+  /** Jittered word-split PDF payload (the flagged-PDF corpus class): every
+    * line is emitted as two runs, split strictly INSIDE a word, with the
+    * continuation run offset +1 px in y and placed at the exact x-advance of
+    * its prefix (PdfExtractor.CharWidth grid). The fast sweep's exact-y line
+    * grouping fragments the words across lines, so the garbled/dictionary
+    * signals flag the row; the heavy sweep's y-tolerance clustering and
+    * advance-aware joining restore the original sentences byte-exactly.
+    */
+  def jitteredPdfPayload(seed: Long, idx: Long, pages: Int = 2): Array[Byte] = {
+    val sb = new StringBuilder("%PDF-GRAFT 1.0\n")
+    var page = 0
+    while (page < pages) {
+      sb.append("P 612 792\n")
+      val nLines = int(seed, idx, 600 + page, 10, 16)
+      var y = 50
+      var k = 0
+      while (k < nLines) {
+        val s0 = 700 + page * 5000 + k
+        val s = sentence(seed, idx, s0, int(seed, idx, s0 + 50, 4, 7))
+        // five mid-word splits (at ~k/6), each advanced to land strictly
+        // inside a word — fragments most tokens, so the dictionary signal
+        // drops well below the flag threshold
+        val cuts = (1 to 5).map(k => k * s.length / 6)
+          .map { p0 =>
+            var p = math.max(1, p0)
+            while (p < s.length &&
+              !(Character.isLetter(s.charAt(p)) && Character.isLetter(s.charAt(p - 1)))) p += 1
+            p
+          }
+          .filter(p => p > 0 && p < s.length)
+          .distinct
+          .sorted
+        val pieces = (0 +: cuts :+ s.length).sliding(2).collect {
+          case Seq(a, b) if b > a => (a, s.substring(a, b))
+        }.toVector
+        pieces.zipWithIndex.foreach { case ((off, frag), pi) =>
+          val yy = if (pi == 0) y else y + 1 // continuation runs jittered +1
+          sb.append(s"T ${50 + CharWidthPx * off} $yy $frag\n")
+        }
+        y += (if (k % 5 == 4) 30 else 12)
+        k += 1
+      }
+      page += 1
+    }
+    sb.toString.getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** Mirror of PdfExtractor.CharWidth (kept literal here so the corpus
+    * module has no dependency on the extractor).
+    */
+  private val CharWidthPx = 6
 
   // -- row assembly ------------------------------------------------------------
   private val Langs = Vector("en", "fr", "de", "el", "la")
@@ -227,11 +285,13 @@ ${linkFarm(seed, idx, 15)}
 $footerBlock
 </body></html>"""
         RawPage(u, ts, html.getBytes(StandardCharsets.UTF_8), "", lang)
-      // two-column PDF payload (class 13: multi-page)
+      // two-column PDF payload
       case 12 =>
         RawPage(u, ts, pdfPayload(seed, idx, twoColumn = true), "", lang)
+      // flagged PDF: jittered word-split runs (multi-page) — the fast sweep
+      // garbles it, the quality gate flags it, the heavy engine recovers it
       case 13 =>
-        RawPage(u, ts, pdfPayload(seed, idx, twoColumn = true, pages = 3), "", lang)
+        RawPage(u, ts, jitteredPdfPayload(seed, idx, pages = 2), "", lang)
       // single-column PDF payload
       case 14 =>
         RawPage(u, ts, pdfPayload(seed, idx, twoColumn = false), "", lang)

@@ -173,47 +173,79 @@ object Extractor {
     * is postprocessed AGAIN — the reference re-runs postprocess over already
     * postprocessed text when rewriting heavy-path files (pipeline.py:689);
     * byte-identity requires replicating that double application.
+    *
+    * Both payload kinds get a real second engine (write-back semantics
+    * batch.py:439-481: the heavy result replaces the fast one and is
+    * re-scored/re-flagged by the analyzer):
+    *   - HTML: maximum-scoring contiguous block window
+    *     ([[HtmlExtractor.heavySegment]])
+    *   - PDF: gutter-projection columns + y-tolerance line clustering +
+    *     advance-aware run joining ([[PdfExtractor.heavyExtract]])
     */
   def heavyExtract(row: RawPage, fast: DocResult, cfg: Config): DocResult = {
     try {
-      val hasHtml = row.html != null && row.html.nonEmpty && !PdfExtractor.isPdf(row.html)
-      if (!hasHtml) return fast // nothing better available; keep fast output
-      val analyzer = cfg.analyzer
-      val html = new String(row.html, StandardCharsets.UTF_8)
-      val ex = HtmlExtractor.heavySegment(html)
-      val content = ex.contentBlocks
-      if (content.isEmpty) return fast
-      val (text0, _, counts0) = assemble(content.map(b => (b.tag, b.text)))
-      // double postprocess (pipeline.py:689 quirk)
-      val (text, counts1) = Postprocess(text0)
-      val spans = Seq(Span(0, text.length, "heavy"))
-      val q = analyzer.analyzeWith(text, Some(ConfidenceSignal.scoreBlocks(confidenceData(content))))
-      val counts = mergeCounts(counts0, counts1)
-      val diag =
-        if (!cfg.diagnostics) None
-        else {
-          val struggles = QualityAnalyzer.classifyStruggle(
-            q.signalScores, q.score, cfg.threshold, Engines.Heavy, Some(q.score))
-          val d = WordDiff.diff(fast.extracted_text, text)
-          val disagreements = QualityAnalyzer.signalDisagreements(q.signalScores)
-          Some(Diagnostics(
-            q.signalScores,
-            weightsFor(q.signalScores),
-            disagreements,
-            disagreements.exists(_.magnitude > QualityAnalyzer.DisagreementThreshold),
-            counts,
-            struggles,
-            fastText = fast.extracted_text,
-            engineDiff = Some(EngineDiff(
-              d.additions, d.deletions,
-              d.substitutions.map { case (f2, t2) => Substitution(f2, t2) },
-              d.summary))
-          ))
+      if (row.html == null || row.html.isEmpty) return fast // nothing better available
+      if (PdfExtractor.isPdf(row.html)) {
+        PdfExtractor.heavyExtract(row.html) match {
+          case Left(_) => fast // unparseable: keep fast output (pipeline.py:717-722)
+          case Right(ex) =>
+            if (ex.columns.isEmpty) return fast
+            val (text0, _, counts0) = assemble(ex.columns)
+            if (text0.isEmpty) return fast
+            // the PDF path has no block-margin confidence source (parity with
+            // fastExtract's PDF branch): three-signal analyze
+            heavyResult(row, fast, cfg, text0, counts0, None)
         }
-      DocResult(row.url, text, spans, q, Engines.Heavy, success = true, error = null, diag)
+      } else {
+        val html = new String(row.html, StandardCharsets.UTF_8)
+        val ex = HtmlExtractor.heavySegment(html)
+        val content = ex.contentBlocks
+        if (content.isEmpty) return fast
+        val (text0, _, counts0) = assemble(content.map(b => (b.tag, b.text)))
+        heavyResult(row, fast, cfg, text0, counts0,
+          Some(ConfidenceSignal.scoreBlocks(confidenceData(content))))
+      }
     } catch {
       case _: Exception => fast // heavy failure keeps the fast output (pipeline.py:717-722)
     }
+  }
+
+  private def heavyResult(
+      row: RawPage,
+      fast: DocResult,
+      cfg: Config,
+      text0: String,
+      counts0: Map[String, Int],
+      confidence: Option[ConfidenceSignal.Result]
+  ): DocResult = {
+    val analyzer = cfg.analyzer
+    // double postprocess (pipeline.py:689 quirk)
+    val (text, counts1) = Postprocess(text0)
+    val spans = Seq(Span(0, text.length, "heavy"))
+    val q = analyzer.analyzeWith(text, confidence)
+    val counts = mergeCounts(counts0, counts1)
+    val diag =
+      if (!cfg.diagnostics) None
+      else {
+        val struggles = QualityAnalyzer.classifyStruggle(
+          q.signalScores, q.score, cfg.threshold, Engines.Heavy, Some(q.score))
+        val d = WordDiff.diff(fast.extracted_text, text)
+        val disagreements = QualityAnalyzer.signalDisagreements(q.signalScores)
+        Some(Diagnostics(
+          q.signalScores,
+          weightsFor(q.signalScores),
+          disagreements,
+          disagreements.exists(_.magnitude > QualityAnalyzer.DisagreementThreshold),
+          counts,
+          struggles,
+          fastText = fast.extracted_text,
+          engineDiff = Some(EngineDiff(
+            d.additions, d.deletions,
+            d.substitutions.map { case (f2, t2) => Substitution(f2, t2) },
+            d.summary))
+        ))
+      }
+    DocResult(row.url, text, spans, q, Engines.Heavy, success = true, error = null, diag)
   }
 
   private def weightsFor(scores: Map[String, Double]): Map[String, Double] =

@@ -114,6 +114,148 @@ object PdfExtractor {
     } else Vector(page.runs)
   }
 
+  // ---- heavy engine ---------------------------------------------------------
+
+  /** Fixed-pitch advance model of the synthetic container: px per character.
+    * Real PDFs carry per-run font metrics; the synthetic layout stream is
+    * fixed-pitch by construction (CorpusGen emits run x-origins on this
+    * grid), so the advance model is exact here and a drop-in for metric
+    * widths on a real container.
+    */
+  val CharWidth = 6
+
+  /** Heavy line clustering folds baselines within this many px into one
+    * visual line (the fast sweep groups on exact y and fragments jittered
+    * baselines).
+    */
+  val YTolerance = 2
+
+  /** An empty vertical band at least this wide (px) separates columns in the
+    * occupancy projection.
+    */
+  val MinGutter = 24
+
+  /** A run starting within this many px of the previous run's advance end
+    * continues the same word (no space inserted).
+    */
+  val JoinSlack = 3
+
+  /** Heavy re-segmentation — the expensive second engine for flagged PDF
+    * rows (the reference's Surya slot, surya.py:97-150; write-back semantics
+    * batch.py:439-481). Three upgrades over [[extract]]:
+    *
+    *   1. column detection by whitespace-gutter occupancy projection
+    *      (handles 3+ columns and word-split runs; the fast path splits only
+    *      at the single largest run-start gap),
+    *   2. y-tolerance line clustering (recovers jittered baselines the fast
+    *      exact-y grouping fragments across lines),
+    *   3. x-advance-aware run joining (rejoins words split across runs: a
+    *      run starting at the previous run's advance end continues the word;
+    *      a one-char-width gap is a space).
+    */
+  def heavyExtract(payload: Array[Byte]): Either[String, Extraction] =
+    parse(payload).map { pages =>
+      val cols = Vector.newBuilder[(String, String)]
+      pages.zipWithIndex.foreach { case (page, pi) =>
+        gutterColumns(page).zipWithIndex.foreach { case (colRuns, ci) =>
+          val textOut = heavySweep(colRuns)
+          if (textOut.nonEmpty) cols += ((s"pdf-p$pi-col$ci", textOut))
+        }
+      }
+      Extraction(cols.result())
+    }
+
+  /** Occupancy-projection column segmentation: mark [x, x + len*CharWidth)
+    * for every run, then split at maximal empty bands >= MinGutter px strictly
+    * inside the occupied extent.
+    */
+  private def gutterColumns(page: Page): Vector[Vector[Run]] = {
+    if (page.runs.isEmpty) return Vector.empty
+    val extent = math.max(
+      page.width,
+      page.runs.iterator.map(r => r.x + math.max(1, r.text.length) * CharWidth).max) + 1
+    val occ = new Array[Boolean](extent)
+    page.runs.foreach { r =>
+      var i = math.max(0, r.x)
+      val end = math.min(extent, r.x + math.max(1, r.text.length) * CharWidth)
+      while (i < end) { occ(i) = true; i += 1 }
+    }
+    val first = occ.indexOf(true)
+    val last = occ.lastIndexOf(true)
+    val boundaries = Vector.newBuilder[Int]
+    var i = first
+    while (i <= last) {
+      if (!occ(i)) {
+        var j = i
+        while (j <= last && !occ(j)) j += 1
+        if (j - i >= MinGutter) boundaries += i
+        i = j
+      } else i += 1
+    }
+    val bs = boundaries.result()
+    if (bs.isEmpty) Vector(page.runs)
+    else
+      page.runs
+        .groupBy(r => bs.count(_ <= r.x))
+        .toVector
+        .sortBy(_._1)
+        .map(_._2)
+  }
+
+  /** Reading-order sweep with y-tolerance line clustering and advance-aware
+    * run joining; paragraph-break logic shared with the fast sweep.
+    */
+  private def heavySweep(runs: Vector[Run]): String = {
+    if (runs.isEmpty) return ""
+    val sorted = runs.sortBy(r => (r.y, r.x))
+    // cluster into visual lines: a run within YTolerance of the line's base
+    // baseline joins it
+    val lines = Vector.newBuilder[(Int, Vector[Run])]
+    var base = Int.MinValue
+    var cur = Vector.newBuilder[Run]
+    var curHas = false
+    sorted.foreach { r =>
+      if (!curHas || r.y - base > YTolerance) {
+        if (curHas) lines += ((base, cur.result()))
+        cur = Vector.newBuilder[Run]
+        base = r.y
+        curHas = true
+      }
+      cur += r
+    }
+    if (curHas) lines += ((base, cur.result()))
+    val ls = lines.result().map { case (y, rs) =>
+      val xs = rs.sortBy(r => (r.x, r.y))
+      val sb = new StringBuilder
+      var expectedEnd = Int.MinValue
+      xs.foreach { r =>
+        if (sb.nonEmpty && math.abs(r.x - expectedEnd) > JoinSlack) sb.append(' ')
+        sb.append(r.text)
+        expectedEnd = r.x + r.text.length * CharWidth
+      }
+      (y, sb.toString)
+    }
+    assembleLines(ls)
+  }
+
+  /** Join (baselineY, lineText) pairs with \n, upgrading y-jumps > 1.5x the
+    * median line advance to paragraph breaks. Shared by both sweeps.
+    */
+  private def assembleLines(ls: Vector[(Int, String)]): String = {
+    if (ls.isEmpty) return ""
+    val advances = ls.sliding(2).collect { case Vector(a, b) => b._1 - a._1 }.filter(_ > 0).toVector
+    val median =
+      if (advances.isEmpty) 12
+      else advances.sorted.apply((advances.length - 1) / 2)
+    val sb = new StringBuilder(ls.head._2)
+    ls.sliding(2).foreach {
+      case Vector((y1, _), (y2, t2)) =>
+        sb.append(if (y2 - y1 > median * 3 / 2) "\n\n" else "\n").append(t2)
+      case _ => ()
+    }
+    sb.toString
+  }
+
   private def sweepColumn(runs: Vector[Run]): String = {
     val sorted = runs.sortBy(r => (r.y, r.x))
     // group same-y runs into lines
@@ -130,18 +272,6 @@ object PdfExtractor {
       }
     }
     if (cur.nonEmpty) lines += ((curY, cur.toString))
-    val ls = lines.result()
-    if (ls.isEmpty) return ""
-    val advances = ls.sliding(2).collect { case Vector(a, b) => b._1 - a._1 }.filter(_ > 0).toVector
-    val median =
-      if (advances.isEmpty) 12
-      else advances.sorted.apply((advances.length - 1) / 2)
-    val sb = new StringBuilder(ls.head._2)
-    ls.sliding(2).foreach {
-      case Vector((y1, _), (y2, t2)) =>
-        sb.append(if (y2 - y1 > median * 3 / 2) "\n\n" else "\n").append(t2)
-      case _ => ()
-    }
-    sb.toString
+    assembleLines(lines.result())
   }
 }

@@ -190,11 +190,11 @@ class ExtractorKernelSpec extends AnyFunSuite {
   }
 
   test("multi-page pdf emits spans for every page in order") {
-    val row = CorpusGen.genRow(42L, 13) // class 13: 3 pages, 2 columns
+    val row = CorpusGen.genRow(42L, 13) // class 13: 2 jittered pages
     val doc = Extractor.fastExtract(row, cfg)
     assert(doc.success && doc.engine == Engines.Pdf)
     val pages = doc.spans.map(_.kind.split("-")(1)).distinct
-    assert(pages == Seq("p0", "p1", "p2"))
+    assert(pages == Seq("p0", "p1"))
   }
 
   test("failure rows are contained, never thrown") {
@@ -222,10 +222,15 @@ class ExtractorKernelSpec extends AnyFunSuite {
   }
 
   test("heavy path keeps fast output when it cannot do better") {
-    val row = CorpusGen.genRow(42L, 12) // pdf: heavy has no better engine
+    // text-only row: no payload to re-extract from
+    val row = CorpusGen.genRow(42L, 6)
     val fast = Extractor.fastExtract(row, cfg)
     val heavy = Extractor.heavyExtract(row, fast, cfg)
     assert(heavy eq fast)
+    // truncated PDF container: heavy parse fails, fast output kept
+    val bad = CorpusGen.genRow(42L, 16)
+    val fastBad = Extractor.fastExtract(bad, cfg)
+    assert(Extractor.heavyExtract(bad, fastBad, cfg) eq fastBad)
   }
 
   test("coverage signal flags near-empty extraction of fragmented pages") {
@@ -253,5 +258,98 @@ class ExtractorKernelSpec extends AnyFunSuite {
     val withDiag = Extractor.fastExtract(row, Extractor.Config(diagnostics = true))
     assert(withDiag.diagnostics.nonEmpty)
     assert(withDiag.diagnostics.get.signalScores.nonEmpty)
+  }
+}
+
+class PdfHeavySpec extends AnyFunSuite {
+
+  private def payload(lines: String*): Array[Byte] =
+    ("%PDF-GRAFT 1.0\n" + lines.mkString("\n") + "\n")
+      .getBytes(StandardCharsets.UTF_8)
+
+  test("y-tolerance clustering + advance join restore word-split runs") {
+    // "Frequency analysis shows patterns" split mid-word across jittered
+    // baselines on the CharWidth=6 grid
+    val p = payload(
+      "P 612 792",
+      "T 50 100 Freque",
+      s"T ${50 + 6 * 6} 101 ncy analysis",
+      s"T ${50 + 6 * 19} 101 shows patterns",
+      "T 50 112 The reading of history continues here")
+    val fast = PdfExtractor.extract(p).toOption.get.text
+    val heavy = PdfExtractor.heavyExtract(p).toOption.get.text
+    assert(heavy == "Frequency analysis shows patterns\nThe reading of history continues here")
+    assert(fast != heavy, "fast output must differ (it fragments the jittered line)")
+    assert(fast.contains("Freque"), s"fast should contain the fragment, got: $fast")
+  }
+
+  test("a one-char-width gap between runs is a space, not a join") {
+    val p = payload(
+      "P 612 792",
+      "T 50 100 hello",
+      s"T ${50 + 6 * 6} 100 world") // starts one space-advance after "hello"
+    assert(PdfExtractor.heavyExtract(p).toOption.get.text == "hello world")
+  }
+
+  test("gutter projection splits multiple columns in reading order") {
+    // three columns with >=24px empty bands between occupied extents
+    val p = payload(
+      "P 612 792",
+      "T 50 100 left column text here",   // extent 50..182
+      "T 220 100 middle column words",    // extent 220..334
+      "T 400 100 right column tail",      // extent 400..502
+      "T 50 112 more left content lines",
+      "T 220 112 more middle content",
+      "T 400 112 more right content")
+    val ex = PdfExtractor.heavyExtract(p).toOption.get
+    assert(ex.columns.map(_._1) == Vector("pdf-p0-col0", "pdf-p0-col1", "pdf-p0-col2"))
+    assert(ex.columns(0)._2 == "left column text here\nmore left content lines")
+    assert(ex.columns(1)._2 == "middle column words\nmore middle content")
+    assert(ex.columns(2)._2 == "right column tail\nmore right content")
+  }
+
+  test("word-split runs inside a column do not create false column splits") {
+    val p = payload(
+      "P 612 792",
+      "T 50 100 Freque",
+      s"T ${50 + 6 * 6} 101 ncy analysis shows patterns here",
+      "T 50 112 second line of the same single column")
+    val ex = PdfExtractor.heavyExtract(p).toOption.get
+    assert(ex.columns.size == 1, s"expected one column, got ${ex.columns.map(_._1)}")
+  }
+
+  test("heavy engine recovers the flagged jittered corpus class byte-exactly") {
+    val cfg = Extractor.Config()
+    // idx 13, 33, 53: corpus class 13 (jittered word-split PDFs)
+    Seq(13L, 33L, 53L).foreach { idx =>
+      val row = CorpusGen.genRow(CorpusGen.DefaultSeed, idx)
+      assert(PdfExtractor.isPdf(row.html), s"idx $idx must be a PDF row")
+      val fast = Extractor.fastExtract(row, cfg)
+      assert(fast.success, s"idx $idx fast must succeed: ${fast.error}")
+      assert(fast.quality.flagged, s"idx $idx fast output must be flagged")
+      assert(fast.engine == Engines.Pdf)
+      val heavy = Extractor.heavyExtract(row, fast, cfg)
+      assert(heavy.engine == Engines.Heavy, s"idx $idx must get the heavy engine")
+      assert(!heavy.quality.flagged,
+        s"idx $idx heavy output must pass quality, score=${heavy.quality.score}")
+      assert(heavy.extracted_text != fast.extracted_text)
+      // byte-exact contract: heavy text == postprocess(postprocess(unsplit text))
+      val unsplit = PdfExtractor.heavyExtract(row.html).toOption.get
+      val (once, _) = Extractor.assemble(unsplit.columns) match {
+        case (t, _, c) => (t, c)
+      }
+      val (expected, _) = graft.text.Postprocess(once)
+      assert(heavy.extracted_text == expected)
+    }
+  }
+
+  test("forceHeavy engages the heavy engine for unflagged PDF rows too") {
+    val cfg = Extractor.Config(forceHeavy = true)
+    val row = CorpusGen.genRow(CorpusGen.DefaultSeed, 12L) // clean two-column PDF
+    val fast = Extractor.fastExtract(row, cfg)
+    assert(fast.success)
+    val heavy = Extractor.heavyExtract(row, fast, cfg)
+    assert(heavy.engine == Engines.Heavy)
+    assert(heavy.success)
   }
 }

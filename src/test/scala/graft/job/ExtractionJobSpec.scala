@@ -169,13 +169,14 @@ class ExtractionJobSpec extends AnyFunSuite {
     val pages = CorpusGen.pages(spark, 40).toDF()
     val results = ExtractionJob.extract(pages, cfg.copy(forceHeavy = true)).collect()
     val successes = results.filter(_.success)
-    // heavyExtract keeps the fast output where it cannot do better (pdf /
-    // text-only rows), but every successful html row must show the heavy engine
-    val htmlCapable = successes.filter(r =>
-      Seq(Engines.Heavy, Engines.Html).contains(r.engine))
-    assert(htmlCapable.nonEmpty)
-    assert(htmlCapable.forall(_.engine == Engines.Heavy),
-      s"html rows must be heavy under forceHeavy: ${htmlCapable.map(r => r.url -> r.engine).toSeq}")
+    // heavyExtract keeps the fast output where it cannot do better
+    // (text-only rows), but every successful html AND pdf row must show the
+    // heavy engine
+    val payloadCapable = successes.filter(r =>
+      Seq(Engines.Heavy, Engines.Html, Engines.Pdf).contains(r.engine))
+    assert(payloadCapable.nonEmpty)
+    assert(payloadCapable.forall(_.engine == Engines.Heavy),
+      s"payload rows must be heavy under forceHeavy: ${payloadCapable.map(r => r.url -> r.engine).toSeq}")
   }
 
   test("summarize produces the batch rollup") {
