@@ -127,9 +127,29 @@ object Dedup {
     * -> |A|+|B|-common denominator. Only docs sharing a shingle ever meet,
     * so cost tracks true similarity structure, not corpus size squared.
     * Shingle hashes are 8-byte longs, not strings — smaller shuffle.
+    *
+    * Shingles whose document frequency exceeds `maxShingleDf` are dropped
+    * before the self-join: a shingle shared by k docs yields k^2 join rows,
+    * and at web scale boilerplate 4-grams have k in the millions while
+    * contributing ~0 Jaccard discrimination (they inflate both intersection
+    * and union of near-identical pairs equally, and true near-dups at a 0.8
+    * threshold share plenty of low-df shingles). The cap must not bind on
+    * honest near-dup structure — default 128 is ~20x the max df of the test
+    * corpus; pairs whose ONLY shared shingles are corpus-common boilerplate
+    * are exactly the pairs this operator should not report. Denominator
+    * counts (a_n/b_n) stay the FULL shingle-set sizes, so reported Jaccard
+    * values are unchanged wherever the cap does not bind.
+    *
+    * `logDropped = true` eagerly counts and logs the dropped shingles — a
+    * diagnostic (extra job), not for the hot path.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 4, threshold: Double = 0.8)(
-      implicit spark: SparkSession): DataFrame = {
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      n: Int = 4,
+      threshold: Double = 0.8,
+      maxShingleDf: Int = 128,
+      logDropped: Boolean = false
+  )(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val shingled = docs
       .select(col("doc_id"), col("text"))
@@ -137,7 +157,25 @@ object Dedup {
       .map { case (id, text) => (id, shingleHashes(text, n)) }
       .toDF("doc_id", "shingles")
       .select(col("doc_id"), size(col("shingles")).as("n_sh"), col("shingles"))
-    val posts = shingled.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
+    val posts0 = shingled.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
+    // document frequency per shingle: one window over the same `sh` shuffle
+    // the self-join needs (no list materialization — a mega-shingle costs a
+    // count, never a collect)
+    val wSh = Window.partitionBy(col("sh"))
+    val posts = posts0
+      .withColumn("df", count(lit(1)).over(wSh))
+      .filter(col("df") <= maxShingleDf)
+      .drop("df")
+    if (logDropped) {
+      val dropped = posts0
+        .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxShingleDf)
+        .count()
+      if (dropped > 0)
+        spark.sparkContext.setJobDescription(
+          s"ngramJaccardPairs: dropped $dropped shingles with df > $maxShingleDf")
+      println(s"ngramJaccardPairs: dropped $dropped shingles with df > $maxShingleDf")
+    }
     val a = posts.select(col("sh"), col("doc_id").as("a_id"), col("n_sh").as("a_n"))
     val b = posts.select(col("sh"), col("doc_id").as("b_id"), col("n_sh").as("b_n"))
     a.join(b, Seq("sh"))
@@ -236,37 +274,100 @@ object Dedup {
       graft.expressions.GraftFunctions.simhash64(col("text")).as("simhash"))
   }
 
-  /** SimHash near-dup pairs within hamming radius via block-key indexing
-    * (Charikar/Manku-style): split the 64-bit hash into `radius+1` blocks;
-    * any pair within `radius` shares at least one exact block (pigeonhole),
-    * so bucket-join on (block_idx, block_value) finds all candidates without
-    * a cross join; verify hamming <= radius.
+  /** SimHash near-dup pairs within hamming `radius`, using the
+    * multi-table block-combination construction of Manku/Jain/Das Sarma
+    * (WWW 2007 §3): split the 64-bit hash into B = radius + 3 blocks; a pair
+    * within `radius` differs in at most `radius` blocks, so it AGREES on at
+    * least B - radius = 3 blocks — every 3-block combination is a table, and
+    * the pair collides in at least one table on that combination's
+    * concatenated ~32-bit key. Wider keys are the scale fix over the naive
+    * radius+1 pigeonhole split: 16-bit keys put ~N/65k docs in every bucket
+    * (quadratic blowup at web scale), while ~32-bit keys keep expected
+    * buckets O(N/4x10^9).
+    *
+    * Degenerate buckets (mass-duplicate clusters: many IDENTICAL simhashes)
+    * are capped at `maxBucket` docs, mirroring `minhashPairs`: pairwise
+    * output is the wrong shape for those — route them through the radius-0
+    * escape (group by the simhash itself via [[simhashes]] /
+    * [[markDuplicates]]) instead.
+    *
+    * Verification (bit_count(a XOR b) <= radius) runs on codegen'd built-ins;
+    * candidate generation is exact (no false negatives below the cap) by the
+    * pigeonhole argument above.
     */
-  def simhashPairs(docs: DataFrame, radius: Int = 3)(
+  def simhashPairs(docs: DataFrame, radius: Int = 3, maxBucket: Int = 1000)(
+      implicit spark: SparkSession): DataFrame =
+    simhashPairsFromHashes(simhashes(docs), radius, maxBucket)
+
+  /** Pair search over a precomputed (doc_id, simhash) table — the testable
+    * core of [[simhashPairs]].
+    */
+  def simhashPairsFromHashes(hashed0: DataFrame, radius: Int = 3, maxBucket: Int = 1000)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val blocks = radius + 1
-    val bits = 64 / blocks
-    val hashed = simhashes(docs).as[(Long, Long)]
+    require(radius >= 0 && radius <= 8, s"radius $radius out of range")
+    if (radius == 0) {
+      // exact-hash grouping: no pair search needed at all
+      return hashed0
+        .select(col("doc_id"), col("simhash"))
+        .groupBy(col("simhash"))
+        .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucket).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(pairsUdf(col("ids"))).as("p"))
+        .select(col("p._1").as("a_id"), col("p._2").as("b_id"), lit(0).as("hamming"))
+    }
+    val nBlocks = radius + 3
+    val keyBlocks = 3 // agreement blocks per table key (~32 bits of 64)
+    // block bit-offsets: distribute 64 bits as evenly as possible
+    val bounds = (0 to nBlocks).map(b => b * 64 / nBlocks)
+    val combos: Seq[Seq[Int]] =
+      (0 until nBlocks).combinations(keyBlocks).map(_.toSeq).toSeq
+    val nCombos = combos.size
+    val combosArr = combos.map(_.toArray).toArray
+    val boundsArr = bounds.toArray
+
+    val hashed = hashed0.select(col("doc_id"), col("simhash")).as[(Long, Long)]
     val posts = hashed.flatMap { case (id, h) =>
-      (0 until blocks).iterator.map { b =>
-        val shift = b * bits
-        val width = if (b == blocks - 1) 64 - shift else bits
-        val mask = if (width >= 64) -1L else (1L << width) - 1
-        (b, (h >>> shift) & mask, id, h)
+      (0 until nCombos).iterator.map { t =>
+        var key = 0L
+        val combo = combosArr(t)
+        var i = 0
+        while (i < combo.length) {
+          val b = combo(i)
+          val lo = boundsArr(b)
+          val width = boundsArr(b + 1) - lo
+          val mask = if (width >= 64) -1L else (1L << width) - 1
+          key = (key << width) | ((h >>> lo) & mask)
+          i += 1
+        }
+        (t, key, id, h)
       }
-    }.toDF("block", "value", "doc_id", "simhash")
-    val a = posts.select(col("block"), col("value"), col("doc_id").as("a_id"), col("simhash").as("a_h"))
-    val b = posts.select(col("block"), col("value"), col("doc_id").as("b_id"), col("simhash").as("b_h"))
-    a.join(b, Seq("block", "value"))
-      .filter(col("a_id") < col("b_id"))
-      // hamming distance as pure built-ins (bit_count(a XOR b)) — stays
-      // inside whole-stage codegen, no UDF boundary on the pair stream
+    }.toDF("table_id", "key", "doc_id", "simhash")
+
+    // bucket by (table, key); cap; in-bucket pair-gen; verify hamming
+    posts
+      .groupBy(col("table_id"), col("key"))
+      .agg(
+        slice(
+          sort_array(collect_list(struct(col("doc_id"), col("simhash")))),
+          1, maxBucket).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(structPairsUdf(col("members"))).as("p"))
+      .select(
+        col("p._1").as("a_id"), col("p._2").as("a_h"),
+        col("p._3").as("b_id"), col("p._4").as("b_h"))
+      // hamming as pure built-ins (bit_count(xor)) — stays inside codegen
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_h").bitwiseXOR(col("b_h"))).cast("int").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= radius)
+      .distinct()
   }
+
+  private val structPairsUdf =
+    udf { members: Seq[(Long, Long)] =>
+      for { i <- members.indices; j <- (i + 1) until members.size }
+        yield (members(i)._1, members(i)._2, members(j)._1, members(j)._2)
+    }
 
   /** Embedding cosine near-dup pairs, blocked by `label` (the cluster id the
     * table carries) — the blocking join keeps the pair space linear-ish; the

@@ -62,14 +62,101 @@ object Similarity {
     (h.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
   }
 
-  /** IVF (inverted-file) ANN: a deterministic coarse quantizer — the
-    * `nCentroids` lowest-id vectors stand in for k-means centroids (no
-    * iterative training in this engine; swapping in trained centroids
-    * changes only the broadcast array) — assigns every corpus vector to its
-    * nearest cell once; each query probes its `nProbe` nearest cells. At
-    * scale the corpus is written cell-partitioned so a query reads nProbe
-    * partitions instead of scanning the corpus; here the cell id is the
-    * join key.
+  /** Deterministic spherical k-means coarse quantizer for [[ivfTopK]]:
+    * trained on a hash-ordered driver-side sample (`nCentroids x
+    * sampleFactor` vectors — the sample order is xxhash64(vec_id), so the
+    * result is independent of physical partitioning), greedy farthest-point
+    * init (deterministic k-means++ analogue: well-spread seeds, ties to the
+    * lower sample index), a fixed number of Lloyd iterations with cosine
+    * assignment, empty cells keeping their previous centroid. Returns unit
+    * vectors.
+    */
+  private[ops] def trainCentroids(
+      e: DataFrame,
+      nCentroids: Int,
+      sampleFactor: Int = 50,
+      iters: Int = 8
+  ): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = e
+      .select(col("vec_id"), col("v"), col("norm"))
+      .filter(col("norm") > 0.0)
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      .limit(math.max(nCentroids, nCentroids * sampleFactor))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        val n = r.getDouble(2)
+        v.map(_ / n)
+      }
+    require(sample.nonEmpty, "ivfTopK: no non-zero vectors to train on")
+    val dim = sample(0).length
+    val k = math.min(nCentroids, sample.length)
+
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var d = 0
+      while (d < dim) { s += a(d) * b(d); d += 1 }
+      s
+    }
+    // farthest-point init: maximize the minimum angular distance to the
+    // already-chosen seeds (deterministic; ties -> lower index)
+    val seeds = new Array[Array[Double]](k)
+    seeds(0) = sample(0)
+    val minSim = sample.map(p => dot(p, seeds(0)))
+    var c = 1
+    while (c < k) {
+      var best = -1; var bestSim = Double.MaxValue
+      var i = 0
+      while (i < sample.length) {
+        if (minSim(i) < bestSim) { bestSim = minSim(i); best = i }
+        i += 1
+      }
+      seeds(c) = sample(best)
+      i = 0
+      while (i < sample.length) {
+        val s = dot(sample(i), seeds(c))
+        if (s > minSim(i)) minSim(i) = s
+        i += 1
+      }
+      c += 1
+    }
+    // Lloyd iterations (spherical: renormalized mean)
+    var centroids = seeds
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { p =>
+        var bestC = 0; var bestS = Double.MinValue
+        var j = 0
+        while (j < k) {
+          val s = dot(p, centroids(j))
+          if (s > bestS) { bestS = s; bestC = j }
+          j += 1
+        }
+        val su = sums(bestC)
+        var d = 0
+        while (d < dim) { su(d) += p(d); d += 1 }
+        counts(bestC) += 1
+      }
+      centroids = Array.tabulate(k) { j =>
+        if (counts(j) == 0) centroids(j)
+        else {
+          val m = sums(j)
+          val n = math.sqrt(dot(m, m))
+          if (n == 0.0) centroids(j) else m.map(_ / n)
+        }
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** IVF (inverted-file) ANN with a TRAINED deterministic coarse quantizer
+    * ([[trainCentroids]]: driver-side sampled spherical k-means) — assigns
+    * every corpus vector to its nearest cell once; each query probes its
+    * `nProbe` nearest cells. At scale the corpus is written cell-partitioned
+    * so a query reads nProbe partitions instead of scanning the corpus; here
+    * the cell id is the join key.
     */
   def ivfTopK(
       embeddings: DataFrame,
@@ -80,20 +167,16 @@ object Similarity {
   )(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val e = withNorm(embeddings)
-    val centroids: Array[(Int, Array[Double], Double)] = e
-      .orderBy(col("vec_id").asc)
-      .limit(nCentroids)
-      .select(col("vec_id"), col("v"), col("norm"))
-      .collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](1).toArray, r.getDouble(2)) }
+    val centroids: Array[(Int, Array[Double])] =
+      trainCentroids(e, nCentroids).zipWithIndex.map { case (v, i) => (i, v) }
     val bc = spark.sparkContext.broadcast(centroids)
 
-    def cosTo(v: Seq[Double], c: (Int, Array[Double], Double)): Double = {
+    // centroids are unit vectors: argmax dot == argmax cosine for a fixed v
+    def cosTo(v: Seq[Double], c: (Int, Array[Double])): Double = {
       var dot = 0.0
       var d = 0
       while (d < c._2.length) { dot += v(d) * c._2(d); d += 1 }
-      dot / c._3 // corpus-side norm cancels in the argmax; omit for ranking cells
+      dot
     }
     val cellUdf = udf { v: Seq[Double] =>
       bc.value.maxBy(c => (cosTo(v, c), -c._1))._1

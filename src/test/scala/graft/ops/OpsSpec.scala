@@ -84,6 +84,57 @@ class DedupSpec extends AnyFunSuite {
     assert(found == brute, s"found=$found brute=$brute (radius check: $radius unused)")
   }
 
+  test("shingle DF cap bounds the boilerplate postings blowup") {
+    val boiler = "all rights reserved worldwide"
+    val big = (0 until 60)
+      .map(i => (i.toLong, s"unique$i word$i token$i filler$i $boiler"))
+      .toDF("doc_id", "text")
+    // the only shared shingle is the boilerplate 4-gram (df=60): with the cap
+    // binding it is dropped before the self-join, so no pair survives
+    val capped = Dedup.ngramJaccardPairs(big, n = 4, threshold = 0.01, maxShingleDf = 10)
+    assert(capped.count() == 0)
+    // without the cap binding, the mega-shingle alone creates C(60,2) join pairs
+    val uncapped = Dedup.ngramJaccardPairs(big, n = 4, threshold = 0.01, maxShingleDf = 1000)
+    assert(uncapped.count() == 60L * 59 / 2)
+    // the default cap does not bind on the planted near-dup corpus
+    val defaults = Dedup.ngramJaccardPairs(docs, n = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(defaults.contains((0L, 3L)) && defaults.contains((0L, 1L)))
+  }
+
+  test("simhash mega-cluster buckets are capped; radius-0 escape covers them") {
+    val cluster = (0 until 500).map(i => (i.toLong, 0x0123456789abcdefL))
+      .toDF("doc_id", "simhash")
+    // identical hashes = one bucket per table; the cap bounds in-bucket pairs
+    val capped = Dedup.simhashPairsFromHashes(cluster, radius = 3, maxBucket = 50)
+    assert(capped.count() == 50L * 49 / 2,
+      "capped mega-bucket must yield C(cap,2) pairs, not C(500,2)")
+    // the radius-0 escape (group by the hash itself) handles the full cluster
+    val zero = Dedup.simhashPairsFromHashes(cluster, radius = 0, maxBucket = 500)
+    assert(zero.count() == 500L * 499 / 2)
+  }
+
+  test("multi-table simhash construction is exhaustive within radius (random)") {
+    // 80 deterministic pseudo-random hashes + planted neighbors at distance <= 3
+    val base = (0 until 80).map(i => Dedup.mix64(0x51ab1eL + i))
+    val planted = (0 until 40).map { i =>
+      val h = base(i % 80)
+      var x = h
+      val flips = i % 4 // 0..3 bit flips
+      (0 until flips).foreach(k => x ^= (1L << ((Dedup.mix64(i * 31 + k) >>> 1) % 64).toInt))
+      x
+    }
+    val all = (base ++ planted).zipWithIndex.map { case (h, i) => (i.toLong, h) }
+    val df2 = all.toDF("doc_id", "simhash")
+    val brute = (for {
+      (ia, ha) <- all.map(_.swap); (ib, hb) <- all.map(_.swap)
+      if ha < hb && Dedup.hamming(ia, ib) <= 3
+    } yield (ha, hb)).toSet
+    val found = Dedup.simhashPairsFromHashes(df2, radius = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == brute, s"missing=${(brute -- found).take(5)} extra=${(found -- brute).take(5)}")
+  }
+
   test("embedding dup pairs respect threshold and blocking") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 1),
@@ -146,7 +197,32 @@ class SimilaritySpec extends AnyFunSuite {
     val ivf = Similarity.ivfTopK(emb, col("vec_id") < 20, 5, nCentroids = 10, nProbe = 3)
       .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = brute.intersect(ivf).size.toDouble / brute.size
-    assert(recall >= 0.8, s"recall=$recall")
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
+  test("trained IVF cells are balanced (no degenerate coarse quantizer)") {
+    import graft.ops.Similarity
+    val e = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(Similarity.dotCol(col("v"), col("v"))))
+    val centroids = Similarity.trainCentroids(e, nCentroids = 10)
+    assert(centroids.length == 10)
+    // assign every vector locally and check no cell absorbs the corpus
+    val rows = e.collect().map(r => (r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val counts = new Array[Int](centroids.length)
+    rows.foreach { case (v, _) =>
+      var best = 0; var bestS = Double.MinValue
+      centroids.indices.foreach { j =>
+        val s = v.zip(centroids(j)).map { case (a, b) => a * b }.sum
+        if (s > bestS) { bestS = s; best = j }
+      }
+      counts(best) += 1
+    }
+    val mean = rows.length.toDouble / centroids.length
+    assert(counts.max <= 3 * mean,
+      s"cell sizes too skewed: ${counts.toSeq} (mean $mean)")
+    assert(counts.count(_ > 0) >= centroids.length / 2,
+      s"too many dead cells: ${counts.toSeq}")
   }
 
   test("cosineCol matches scalar cosine") {
