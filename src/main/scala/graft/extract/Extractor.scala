@@ -24,7 +24,13 @@ object Extractor {
       forceHeavy: Boolean = false,
       maxBytes: Int = 512 * 1024, // skip-big guard (tesseract.py:19 analogue)
       languages: Set[String] = Set("en", "fr", "de", "el", "la"),
-      words: Set[String] = null
+      words: Set[String] = null,
+      // per-row kernel work budget in ~chars-scanned units (B3: the
+      // reference's per-file 1800 s timeout, pipeline.py:396, made
+      // deterministic). ~100x headroom over a maxBytes-sized row's normal
+      // kernel work; an adversarial super-linear row trips it and becomes a
+      // timeout failure row instead of pinning the task.
+      maxKernelSteps: Long = 64L * 1024 * 1024
   ) {
     def analyzer: QualityAnalyzer = QualityAnalyzer(threshold = threshold, words = words)
   }
@@ -100,8 +106,11 @@ object Extractor {
     * pipeline.py:101-166).
     */
   def fastExtract(row: RawPage, cfg: Config): DocResult = {
-    try fastExtractUnsafe(row, cfg)
+    try graft.util.StepBudget.withBudget(cfg.maxKernelSteps)(fastExtractUnsafe(row, cfg))
     catch {
+      case _: graft.util.StepBudget.Exceeded =>
+        // row-granular B3 timeout: contained as a failure row
+        failure(row, s"timeout:step_budget:${cfg.maxKernelSteps}")
       case e: Exception =>
         failure(row, s"extract_error:${e.getClass.getSimpleName}:${String.valueOf(e.getMessage).take(200)}")
     }
@@ -183,8 +192,17 @@ object Extractor {
     *     advance-aware run joining ([[PdfExtractor.heavyExtract]])
     */
   def heavyExtract(row: RawPage, fast: DocResult, cfg: Config): DocResult = {
-    try {
-      if (row.html == null || row.html.isEmpty) return fast // nothing better available
+    try graft.util.StepBudget.withBudget(cfg.maxKernelSteps)(heavyExtractUnsafe(row, fast, cfg))
+    catch {
+      // budget exceeded or any heavy failure keeps the fast output
+      // (pipeline.py:717-722)
+      case _: Exception => fast
+    }
+  }
+
+  private def heavyExtractUnsafe(row: RawPage, fast: DocResult, cfg: Config): DocResult = {
+    if (row.html == null || row.html.isEmpty) fast // nothing better available
+    else
       if (PdfExtractor.isPdf(row.html)) {
         PdfExtractor.heavyExtract(row.html) match {
           case Left(_) => fast // unparseable: keep fast output (pipeline.py:717-722)
@@ -205,9 +223,6 @@ object Extractor {
         heavyResult(row, fast, cfg, text0, counts0,
           Some(ConfidenceSignal.scoreBlocks(confidenceData(content))))
       }
-    } catch {
-      case _: Exception => fast // heavy failure keeps the fast output (pipeline.py:717-722)
-    }
   }
 
   private def heavyResult(

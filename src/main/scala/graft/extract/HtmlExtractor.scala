@@ -71,6 +71,7 @@ object HtmlExtractor {
 
   /** Returns (title, blocks). */
   private def tokenize(html: String): (String, Vector[Block]) = {
+    graft.util.StepBudget.tick(html.length.toLong) // B3 row work budget
     val n = html.length
     var i = 0
     val text = new StringBuilder

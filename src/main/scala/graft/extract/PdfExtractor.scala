@@ -40,6 +40,7 @@ object PdfExtractor {
   }
 
   def parse(payload: Array[Byte]): Either[String, Vector[Page]] = {
+    graft.util.StepBudget.tick(payload.length.toLong) // B3 row work budget
     val s = new String(payload, StandardCharsets.UTF_8)
     if (!s.startsWith("%PDF-GRAFT")) return Left("unsupported_pdf_container")
     val pages = Vector.newBuilder[Page]

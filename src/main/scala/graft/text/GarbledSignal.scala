@@ -278,6 +278,7 @@ object GarbledSignal {
     * matching the reference's short-text rule (quality.py:138-149).
     */
   def score(text: String, maxSamples: Int = 10, collectContext: Boolean = false): Result = {
+    graft.util.StepBudget.tick(text.length.toLong) // B3 row work budget
     if (text == null || pyStrippedLength(text) < 100) return Neutral
     val words = Whitespace.split(text).filter(_.nonEmpty)
     val total = words.length

@@ -123,6 +123,7 @@ object Postprocess {
       if (text.contains("\n\n")) ParaSplit.split(text, -1) else Array(text)
     val out = blocks.map { block =>
       val lines = block.split("\n", -1)
+      graft.util.StepBudget.tick(lines.length.toLong)
       if (lines.length <= 1) block
       else {
         val merged = mutable.ArrayBuffer.empty[String]
@@ -197,6 +198,7 @@ object Postprocess {
 
   /** Full chain in reference code order (postprocess.py:150-156). */
   def apply(text: String): (String, Counts) = {
+    graft.util.StepBudget.tick(text.length.toLong) // B3 row work budget
     val (t1, c1) = normalizeUnicode(text)
     val (t2, c2) = dehyphenate(t1)
     val (t3, c3) = joinParagraphs(t2)

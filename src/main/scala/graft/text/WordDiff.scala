@@ -20,6 +20,7 @@ object WordDiff {
   private val Whitespace = java.util.regex.Pattern.compile("(?U)[\\s\\x1c-\\x1f]+")
 
   def diff(fastText: String, heavyText: String): Diff = {
+    graft.util.StepBudget.tick((fastText.length + heavyText.length).toLong) // B3
     val a = tokenize(fastText)
     val b = tokenize(heavyText)
     // LCS table (ints; capped input keeps this < 2000^2 * 4B = 16 MB worst case,

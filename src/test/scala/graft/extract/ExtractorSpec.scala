@@ -221,6 +221,25 @@ class ExtractorKernelSpec extends AnyFunSuite {
     assert(rebuilt == doc.extracted_text)
   }
 
+  test("B3: a row exceeding the kernel step budget becomes a timeout failure row") {
+    val row = CorpusGen.genRow(42L, 0) // normal html article, well over 500 work units
+    val tiny = Extractor.Config(maxKernelSteps = 500)
+    val doc = Extractor.fastExtract(row, tiny)
+    assert(!doc.success, "budget-exceeded row must be a failure row")
+    assert(doc.error.startsWith("timeout:step_budget:"), doc.error)
+    assert(doc.engine == Engines.None_)
+    // heavy stage: budget exhaustion keeps the fast output (containment)
+    val ok = Extractor.fastExtract(row, Extractor.Config())
+    assert(ok.success)
+    val heavyBudget = Extractor.heavyExtract(row, ok, tiny.copy(forceHeavy = true))
+    assert(heavyBudget eq ok)
+    // the default budget never binds on corpus rows
+    (0L until 20L).foreach { i =>
+      val d = Extractor.fastExtract(CorpusGen.genRow(42L, i), Extractor.Config())
+      assert(d.error == null || !d.error.startsWith("timeout:"), s"idx $i: ${d.error}")
+    }
+  }
+
   test("heavy path keeps fast output when it cannot do better") {
     // text-only row: no payload to re-extract from
     val row = CorpusGen.genRow(42L, 6)
