@@ -281,9 +281,14 @@ object ExtractionJob {
     * (north rule; reference analogue: per-file isolation + final/ dir
     * idempotency, pipeline.py:801-812).
     *
-    * Note: with a raw-parquet source each batch re-scans the input filtered
-    * by group; on the production Iceberg table the url-hash bucket layout
-    * turns that filter into partition pruning.
+    * The input is scanned ONCE for all remaining groups: extraction results
+    * (payload-free — unflagged rows shed payloads inside the extract stage)
+    * are persisted, and each commit batch filters the CACHE, so input scans
+    * do not grow with batch count (O(corpus), not O(batches x corpus)). A
+    * crash mid-run loses only the cache; the resumed run re-scans once for
+    * the still-uncommitted groups. On the production Iceberg table the
+    * url-hash bucket layout additionally turns the remaining-groups filter
+    * into partition pruning.
     */
   def runCheckpointed(
       pages: DataFrame,
@@ -310,17 +315,19 @@ object ExtractionJob {
     val skewed =
       if (cfg.repartitionInput) detectSkewedHosts(pages, cfg) else Set.empty[String]
 
+    // every dataset the run caches (incl. the batched-heavy mode's internal
+    // FastRow persist) is registered and released at the end via its Dataset
+    // handle — raw-RDD unpersist would leak CacheManager entries and turn
+    // same-plan re-persists into no-ops
+    val caches = scala.collection.mutable.Buffer.empty[Dataset[_]]
+    val results = extract(pages, cfg, skewed, Some(remaining), caches)
+    val persisted = results.persist(StorageLevel.MEMORY_AND_DISK_SER)
+    caches += persisted
+
     val all = Seq.newBuilder[Lineage]
-    remaining.grouped(cfg.groupsPerCommit).foreach { batch =>
-      // every dataset the batch caches (incl. the batched-heavy mode's
-      // internal FastRow persist) is registered and released afterwards via
-      // its Dataset handle — raw-RDD unpersist would leak CacheManager
-      // entries and turn same-plan re-persists into no-ops
-      val caches = scala.collection.mutable.Buffer.empty[Dataset[_]]
-      val results = extract(pages, cfg, skewed, Some(batch), caches)
-      val persisted = results.persist(StorageLevel.MEMORY_AND_DISK_SER)
-      caches += persisted
-      try {
+    try {
+      remaining.grouped(cfg.groupsPerCommit).foreach { batch =>
+        val subset = persisted.filter(col("commit_group").isInCollection(batch))
         // One shuffle of the (payload-free) results into commit groups:
         // bounds output file count to ~1 per group instead of
         // numPartitions x groups. DYNAMIC partition overwrite (not append)
@@ -328,22 +335,22 @@ object ExtractionJob {
         // before the lineage append leaves orphan partition dirs, and the
         // resumed batch replaces them instead of duplicating rows — the
         // parquet stand-in for Iceberg's single-transaction commit.
-        persisted
+        subset
           .repartition(math.max(batch.size, 1), col("commit_group"))
           .write
           .option("partitionOverwriteMode", "dynamic")
           .mode("overwrite")
           .partitionBy("commit_group")
           .parquet(resultsPath)
-        val computed = lineage(persisted).collect().toSeq
+        val computed = lineage(subset).collect().toSeq
         // groups with zero rows still need a commit record, else every
         // resume re-scans them forever (found by CLI resume verification)
         val empties = batch.toSet -- computed.map(_.commit_group)
         val lin = computed ++ empties.toSeq.sorted.map(Lineage(_, -1, 0L, 0L, 0L))
         lin.toDS().coalesce(1).write.mode("append").parquet(lineagePath)
         all ++= lin
-      } finally caches.foreach(_.unpersist())
-    }
+      }
+    } finally caches.foreach(_.unpersist())
     all.result()
   }
 

@@ -165,6 +165,21 @@ class ExtractionJobSpec extends AnyFunSuite {
     assert(nodiag.filter(col("diagnostics").isNotNull).count() == 0)
   }
 
+  test("input is scanned once across commit batches, not once per batch") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("input-rows-read")
+    val n = 200L
+    val counted = CorpusGen.pages(spark, n).map { p => acc.add(1); p }.toDF()
+    val out = Files.createTempDirectory("graft-onescan").toString
+    // 8 groups, 2 per commit -> 4 commit batches over the same input
+    ExtractionJob.runCheckpointed(counted, cfg.copy(groupsPerCommit = 2), out)
+    // one pass (plus slack for speculative/retried tasks) — the old
+    // per-batch rescan would read ~4n rows here
+    assert(acc.value <= 2 * n,
+      s"input rows read ${acc.value} must not scale with the 4 commit batches")
+    assert(spark.read.parquet(s"$out/results").count() == n)
+  }
+
   test("forceHeavy routes every successful row through the heavy engine") {
     val pages = CorpusGen.pages(spark, 40).toDF()
     val results = ExtractionJob.extract(pages, cfg.copy(forceHeavy = true)).collect()
