@@ -479,6 +479,23 @@ object SparkEntry {
               WHEN octet_length(encode(text)) % 2 = 0 THEN 'png'
               ELSE 'jpeg' END AS format,
          md5(text) AS content_hash
-         FROM documents"""
+         FROM documents""",
+    // frame sampling: byte-slice checksums recomputed from the UTF-8 bytes
+    // via hex() + per-pair char lookup (one hex pair = one byte)
+    "q_frame_sample" ->
+      """WITH base AS (
+           SELECT doc_id AS content_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+         frames AS (
+           SELECT content_id, hx, n, unnest(range(0, n, 64)) AS boff FROM base)
+         SELECT content_id,
+           (boff // 64)::INT AS frame_idx,
+           boff::INT AS byte_offset,
+           list_sum(list_transform(range(1, 2*least(16, n - boff)+1, 2),
+             i -> 16*(instr('0123456789ABCDEF', hx[(boff*2 + i)::INT]) - 1)
+                  + (instr('0123456789ABCDEF', hx[(boff*2 + i + 1)::INT]) - 1)))::BIGINT
+             AS frame_checksum
+         FROM frames"""
   )
 }
