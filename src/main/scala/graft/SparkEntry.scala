@@ -218,6 +218,16 @@ object SparkEntry {
       Dedup.simhashPairs(s.read.parquet(t(dir, "documents")), radius = 3)(s)),
     "q_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingDupPairs(s.read.parquet(t(dir, "embeddings")), threshold = 0.4)),
+    // label-free variant: multi-table sign-LSH blocking + exact verification.
+    // The synthetic embeddings are diffuse (max pairwise cosine ~0.6), so
+    // dup-grade pairs are PLANTED: copies of vec_id<5 re-keyed +100000 — the
+    // operator must find exactly those five cos=1.0 pairs with no label help.
+    "q_dedup_embedding_lsh" -> ((s, dir) => {
+      val base = s.read.parquet(t(dir, "embeddings"))
+      val planted = base.filter(col("vec_id") < 5)
+        .withColumn("vec_id", col("vec_id") + lit(100000L))
+      Dedup.embeddingDupPairsLsh(base.unionByName(planted), threshold = 0.95)
+    }),
 
     // ---- similarity search --------------------------------------------------
     "q_ann_brute" -> ((s, dir) =>
@@ -454,6 +464,22 @@ object SparkEntry {
          WHERE list_cosine_similarity(
            list_transform(a.embedding, x -> x::DOUBLE),
            list_transform(b.embedding, x -> x::DOUBLE)) >= 0.4""",
+    // exhaustive-pair oracle over the same planted table: identical vectors
+    // collide in every LSH table (no plane separates a zero angle), so the
+    // bucketed result provably equals the exact all-pairs answer at 0.95
+    "q_dedup_embedding_lsh" ->
+      """WITH aug AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 5)
+         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         round(list_cosine_similarity(
+           list_transform(a.embedding, x -> x::DOUBLE),
+           list_transform(b.embedding, x -> x::DOUBLE)), 6) AS cosine
+         FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(
+           list_transform(a.embedding, x -> x::DOUBLE),
+           list_transform(b.embedding, x -> x::DOUBLE)) >= 0.95""",
     "q_ann_brute" ->
       """WITH q AS (SELECT vec_id AS q_id,
              list_transform(embedding, x -> x::DOUBLE) AS q_v

@@ -394,4 +394,47 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("label"), col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
   }
+
+  /** Embedding cosine near-dup pairs WITHOUT a blocking label — for corpora
+    * that carry no cluster column. Multi-table sign-LSH blocking (reusing
+    * [[Similarity.lshBucket]] with a per-table seed): a near-identical pair
+    * is separated by any given hyperplane with probability angle/pi, so it
+    * collides in at least one of the `tables` independent bucketings with
+    * probability 1 - (1 - (1-p)^planes)^tables — at dup-grade thresholds
+    * (cos >= 0.9, p under 0.1) that is effectively 1. Candidates are
+    * verified by exact cosine, so the output has no false positives.
+    *
+    * Scale tuning: expected bucket size is N / 2^planes per table — raise
+    * `planes` with corpus size (e.g. 30 planes for 10^9 buckets at 10^12
+    * rows) and `tables` to recover the recall the harder partition loses;
+    * postings stay `tables` rows per vector.
+    */
+  def embeddingDupPairsLsh(
+      embeddings: DataFrame,
+      threshold: Double = 0.4,
+      tables: Int = 6,
+      planes: Int = 8,
+      seed: Long = 7L
+  ): DataFrame = {
+    val bucketUdf = udf { (v: Seq[Double], table: Int) =>
+      Similarity.lshBucket(v.toArray, seed ^ (table.toLong * 0x9e3779b97f4a7c15L), planes)
+    }
+    val e = embeddings.select(
+      col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(Similarity.dotCol(col("v"), col("v"))))
+      .withColumn("table_id", explode(lit((0 until tables).toArray)))
+      .withColumn("bucket", bucketUdf(col("v"), col("table_id")))
+    val a = e.select(col("table_id"), col("bucket"), col("vec_id").as("a_id"),
+      col("v").as("a_v"), col("norm").as("a_norm"))
+    val b = e.select(col("table_id"), col("bucket"), col("vec_id").as("b_id"),
+      col("v").as("b_v"), col("norm").as("b_norm"))
+    a.join(b, Seq("table_id", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (Similarity.dotCol(col("a_v"), col("b_v")) / (col("a_norm") * col("b_norm"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(round(max(col("cos")), 6).as("cosine"))
+  }
 }

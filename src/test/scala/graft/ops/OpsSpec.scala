@@ -135,6 +135,27 @@ class DedupSpec extends AnyFunSuite {
     assert(found == brute, s"missing=${(brute -- found).take(5)} extra=${(found -- brute).take(5)}")
   }
 
+  test("label-free LSH embedding dedup covers the label-blocked pairs") {
+    // 6 tight clusters, no reliance on the label column at query time
+    val emb2 = (0L until 60L).map { i =>
+      val label = (i % 6).toInt
+      val v = Array.tabulate(16) { d =>
+        val center = Dedup.mix64(label * 104729L + d).toDouble / Long.MaxValue
+        val noise = Dedup.mix64(i * 131 + d).toDouble / Long.MaxValue * 0.02
+        (center + noise).toFloat
+      }
+      (i, v, label)
+    }.toDF("vec_id", "embedding", "label")
+    val blocked = Dedup.embeddingDupPairs(emb2, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val lsh = Dedup.embeddingDupPairsLsh(emb2, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(blocked.nonEmpty)
+    // bucketed pairs must be a superset: everything the label blocking finds,
+    // plus any cross-label high-cosine pairs the label cannot see
+    assert(blocked.subsetOf(lsh), s"missing: ${(blocked -- lsh).take(5)}")
+  }
+
   test("embedding dup pairs respect threshold and blocking") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 1),
