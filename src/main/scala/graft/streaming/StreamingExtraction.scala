@@ -56,28 +56,73 @@ object StreamingExtraction {
     * micro-batch — is dropped and counted in state. This is the streaming
     * form of `Dedup.markDuplicates`, with the canonical-survivor decision
     * made incrementally instead of by a window over the full corpus.
-    * State is unbounded by design here (content hashes accrete); a
-    * production deployment bounds it with `GroupStateTimeout` eviction.
+    *
+    * State is bounded with event-time eviction when `stateTtlMs > 0`: the
+    * stream is watermarked on `warc_ts` by the TTL, each hash's eviction
+    * deadline is (last sighting's event time + TTL), and once the watermark
+    * passes it the state is removed — so on an unbounded crawl the state
+    * holds only the hashes seen within the TTL horizon, and a duplicate
+    * arriving after the horizon is (by declared semantics) re-emitted.
+    * `stateTtlMs = 0` keeps the unbounded exact semantics.
     */
-  def dedupedExtract(pages: DataFrame, cfg: ExtractionJob.JobConfig)(
-      implicit spark: SparkSession): Dataset[DedupedDoc] = {
+  def dedupedExtract(
+      pages: DataFrame,
+      cfg: ExtractionJob.JobConfig,
+      stateTtlMs: Long = 0L
+  )(implicit spark: SparkSession): Dataset[DedupedDoc] = {
     import spark.implicits._
-    extract(pages, cfg)
-      .filter(_.success)
-      .map(d => (md5Hex(d.extracted_text), d.url, d.extracted_text))
+    val exCfg = cfg.extractorConfig
+    val rows = pages
+      .select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang"))
+      .as[RawPage]
+      .mapPartitions { it =>
+        it.map { raw =>
+          val fast = Extractor.fastExtract(raw, exCfg)
+          val d =
+            if (fast.success && (fast.quality.flagged || exCfg.forceHeavy))
+              Extractor.heavyExtract(raw, fast, exCfg)
+            else fast
+          (md5Hex(d.extracted_text), d.url, d.extracted_text, raw.warc_ts, d.success)
+        }
+      }
+      .filter(_._5)
+      .toDF("hash", "url", "text", "warc_ts", "success")
+    val withTtl = stateTtlMs > 0
+    val watermarked =
+      if (withTtl) rows.withWatermark("warc_ts", s"$stateTtlMs milliseconds") else rows
+    val timeoutConf =
+      if (withTtl) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
+    watermarked
+      .select(col("hash"), col("url"), col("text"), col("warc_ts"))
+      .as[(String, String, String, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        (hash: String, rows: Iterator[(String, String, String)],
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (hash: String, rows: Iterator[(String, String, String, java.sql.Timestamp)],
          state: GroupState[DedupState]) => {
-          val batch = rows.toSeq.sortBy(_._2) // deterministic within-batch order
-          state.getOption match {
-            case Some(s) =>
-              state.update(s.copy(dropped = s.dropped + batch.size))
-              Iterator.empty
-            case None =>
-              val first = batch.head
-              state.update(DedupState(first._2, batch.size - 1L))
-              Iterator.single(DedupedDoc(first._2, hash, first._3))
+          if (state.hasTimedOut) {
+            // watermark passed the hash's deadline: evict (bounded state)
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toSeq.sortBy(_._2) // deterministic within-batch order
+            val out = state.getOption match {
+              case Some(s) =>
+                state.update(s.copy(dropped = s.dropped + batch.size))
+                Iterator.empty[DedupedDoc]
+              case None =>
+                val first = batch.head
+                state.update(DedupState(first._2, batch.size - 1L))
+                Iterator.single(DedupedDoc(first._2, hash, first._3))
+            }
+            if (withTtl) {
+              // deadline = last sighting + TTL, clamped above the watermark
+              // (Spark rejects timeout timestamps at or below it)
+              val maxTs = batch.iterator.map(_._4.getTime).max
+              val deadline =
+                math.max(maxTs + stateTtlMs, state.getCurrentWatermarkMs() + 1)
+              state.setTimeoutTimestamp(deadline)
+            }
+            out
           }
         })
   }

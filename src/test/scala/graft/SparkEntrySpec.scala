@@ -34,8 +34,7 @@ class SparkEntrySpec extends AnyFunSuite {
       "q_garbled_signal", "q_postprocess_chain", // kernel dumps: unit suites gate them
       "q_dedup_simhash", "q_dedup_simhash_pairs", // hash values not SQL-expressible
       "q_ann_lsh", "q_ann_ivf", // approximate search
-      "q_approx_distinct", // sketch estimates engine-specific
-      "q_frame_sample" // byte-slice stub
+      "q_approx_distinct" // sketch estimates engine-specific
     )
     assert(rowsOnly == expected, s"unexpected rows-only set: ${rowsOnly -- expected} / missing: ${expected -- rowsOnly}")
   }

@@ -72,6 +72,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup state is evicted after the event-time TTL") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val ttlMs = 60000L // 1 minute
+    val t0 = CorpusGen.Epoch
+    def at(row: RawPage, ms: Long) = row.copy(warc_ts = new java.sql.Timestamp(ms))
+    val a = at(CorpusGen.genRow(42L, 3), t0)
+    val b = at(CorpusGen.genRow(42L, 23), t0 + 600000L) // +10 min
+    val c = at(CorpusGen.genRow(42L, 43), t0 + 720000L) // +12 min
+    // same content as `a` (hash collides), later than the TTL horizon
+    val aDup = at(CorpusGen.genRow(42L, 3), t0 + 780000L)
+      .copy(url = "https://dup.example/doc/3")
+
+    val stream = MemoryStream[RawPage]
+    val q = StreamingExtraction.dedupedExtract(stream.toDF(), cfg, stateTtlMs = ttlMs)
+      .writeStream
+      .format("memory")
+      .queryName("stream_dedup_ttl")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      stream.addData(Seq(a)); q.processAllAvailable()       // emit a; deadline t0+1m
+      stream.addData(Seq(b)); q.processAllAvailable()       // watermark -> t0+9m
+      stream.addData(Seq(c)); q.processAllAvailable()       // a's state evicted here
+      stream.addData(Seq(aDup)); q.processAllAvailable()    // re-emitted: state gone
+      val rows = spark.sql("SELECT url, content_hash FROM stream_dedup_ttl")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(rows.length == 4, s"expected a,b,c,aDup all emitted, got: ${rows.toSeq}")
+      val hashCounts = rows.groupBy(_._2).view.mapValues(_.length).toMap
+      assert(hashCounts.values.max == 2, "the evicted hash must re-emit after TTL")
+      assert(rows.map(_._1).contains("https://dup.example/doc/3"))
+    } finally q.stop()
+
+    // and WITHOUT a TTL the same sequence keeps the duplicate suppressed
+    val stream2 = MemoryStream[RawPage]
+    val q2 = StreamingExtraction.dedupedExtract(stream2.toDF(), cfg)
+      .writeStream.format("memory").queryName("stream_dedup_nottl")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(Seq(a), Seq(b), Seq(c), Seq(aDup)).foreach { batch =>
+        stream2.addData(batch); q2.processAllAvailable()
+      }
+      assert(spark.sql("SELECT count(*) FROM stream_dedup_nottl").head.getLong(0) == 3)
+    } finally q2.stop()
+  }
+
   test("watermarked windowed quality rollup aggregates per window") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
