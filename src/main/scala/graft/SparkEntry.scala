@@ -272,7 +272,73 @@ object SparkEntry {
     })
   )
 
+  /** DuckDB re-implementation of the simhash64 kernel (FNV-1a over UTF-8
+    * bytes + splitmix64 finalizer + per-bit majority vote), shared by the
+    * q_dedup_simhash / q_dedup_simhash_pairs oracles. 64-bit wraparound
+    * multiplication runs in UHUGEINT mod 2^64; unsigned-shift-right and the
+    * signed/unsigned conversions are spelled out because BIGINT is signed.
+    */
+  private val SimhashCte: String = {
+    val uns = "18446744073709551616" // 2^64
+    val half = "9223372036854775808" // 2^63
+    def toU(z: String) =
+      s"(CASE WHEN $z < 0 THEN ($z::HUGEINT + $uns::HUGEINT)::UHUGEINT ELSE $z::UHUGEINT END)"
+    def toS(u: String) =
+      s"(CASE WHEN $u >= $half::UHUGEINT THEN ($u::HUGEINT - $uns::HUGEINT)::BIGINT ELSE $u::BIGINT END)"
+    def mulmod(z: String, c: String) = toS(s"((${toU(z)} * $c::UHUGEINT) % $uns::UHUGEINT)")
+    def xorshift(z: String) = s"xor($z, (${toU(z)} >> 33)::BIGINT)"
+    val fnvInit = "-3750763034362895579" // 0xcbf29ce484222325 as signed
+    val c0 = "1099511628211" // FNV-1a prime
+    val c1 = "18397679294719823053" // mix64 multiplier 1 (0xff51afd7ed558ccd)
+    val c2 = "14181476777654086739" // mix64 multiplier 2 (0xc4ceb9fe1a85ec53)
+    s"""toks AS (
+         SELECT doc_id, hex(encode(t)) AS hx, octet_length(encode(t)) AS nb
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+         WHERE t <> ''),
+       fnv AS (
+         SELECT doc_id,
+           list_reduce(
+             list_prepend($fnvInit::BIGINT,
+               list_transform(range(1, 2*nb+1, 2),
+                 i -> (16*(instr('0123456789ABCDEF', hx[i::INT])-1)
+                      + (instr('0123456789ABCDEF', hx[(i+1)::INT])-1))::BIGINT)),
+             (h, b) -> ${mulmod("xor(h, b)", c0)}) AS z0
+         FROM toks),
+       hashed AS (
+         SELECT doc_id,
+           list_reduce(
+             list_prepend(z0, [0,1,0,2,0]::BIGINT[]),
+             (z, op) -> CASE WHEN op = 0 THEN ${xorshift("z")}
+                             WHEN op = 1 THEN ${mulmod("z", c1)}
+                             ELSE ${mulmod("z", c2)} END) AS h
+         FROM fnv),
+       bits AS (
+         SELECT doc_id, b,
+           sum(CASE WHEN ((h >> b::INT) & 1) = 1 THEN 1 ELSE -1 END) AS cnt
+         FROM hashed CROSS JOIN (SELECT unnest(range(0, 64)) AS b)
+         GROUP BY doc_id, b),
+       sim AS (
+         SELECT d.doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
+         FROM documents d LEFT JOIN (
+           SELECT doc_id,
+             sum(CASE WHEN cnt > 0 THEN
+               CASE WHEN b = 63 THEN -$half ELSE (1::BIGINT << b::INT) END
+               ELSE 0 END)::BIGINT AS simhash
+           FROM bits GROUP BY doc_id) s ON d.doc_id = s.doc_id)"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_simhash" ->
+      s"WITH $SimhashCte SELECT doc_id, simhash FROM sim",
+    // the multi-table Manku construction is exact within the radius (and the
+    // bucket cap does not bind at oracle scale), so the result equals the
+    // brute-force pair set
+    "q_dedup_simhash_pairs" ->
+      s"""WITH $SimhashCte
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+         FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
     "q_agg_filter" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

@@ -32,7 +32,6 @@ class SparkEntrySpec extends AnyFunSuite {
     val expected = Set(
       "q_extract_pipeline", "q_extract_summary", // pipeline itself: golden fixtures gate it
       "q_garbled_signal", "q_postprocess_chain", // kernel dumps: unit suites gate them
-      "q_dedup_simhash", "q_dedup_simhash_pairs", // hash values not SQL-expressible
       "q_ann_lsh", "q_ann_ivf", // approximate search
       "q_approx_distinct" // sketch estimates engine-specific
     )
