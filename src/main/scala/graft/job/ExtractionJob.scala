@@ -44,6 +44,11 @@ object ExtractionJob {
       numPartitions: Int = 0, // 0 -> spark default parallelism
       repartitionInput: Boolean = false, // host-salted input shuffle (skewed scans only)
       batchedHeavy: Boolean = false, // separate rebatched heavy stage (model-served engines)
+      // B6 memory-aware sub-batching (reference: batch.py split_into_batches):
+      // the batched heavy stage feeds the engine sub-batches whose summed
+      // payload bytes stay under this budget, so one partition of oversized
+      // flagged payloads can never be materialized as a single engine call
+      maxHeavyBatchBytes: Long = 64L * 1024 * 1024,
       skewSalts: Int = 16, // salt fan-out for skewed hosts
       skewSampleFraction: Double = 0.01, // host-frequency detection sample
       skewHostShare: Double = 0.05 // host is "skewed" above this row share
@@ -244,14 +249,53 @@ object ExtractionJob {
       .repartition(partitions(cfg), xxhash64(col("doc.url")))
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
-        it.map { r =>
-          val raw = RawPage(r.doc.url, r.warc_ts, r.html, r.text, r.lang)
-          val doc = Extractor.heavyExtract(raw, r.doc, exCfg)
-          toResult(doc, r.commit_group, pid)
+        // B6: byte-budgeted sub-batches — the unit a batch-served engine
+        // (the reference's GPU model, batch.py:299-395) receives per call.
+        // The CPU kernel applies per row within the chunk; chunk boundaries
+        // never affect results (mode-equivalence tested).
+        byteBatches[FastRow](
+          it,
+          r => (if (r.html == null) 0L else r.html.length.toLong) +
+            (if (r.text == null) 0L else 2L * r.text.length),
+          cfg.maxHeavyBatchBytes
+        ).flatMap { chunk =>
+          chunk.iterator.map { r =>
+            val raw = RawPage(r.doc.url, r.warc_ts, r.html, r.text, r.lang)
+            val doc = Extractor.heavyExtract(raw, r.doc, exCfg)
+            toResult(doc, r.commit_group, pid)
+          }
         }
       }
 
     good.union(heavy)
+  }
+
+  /** Greedy byte-budgeted chunking of a row iterator: each chunk holds at
+    * least one row and otherwise stops before its summed `bytesOf` exceeds
+    * `maxBytes`. Order-preserving; never buffers more than one chunk.
+    */
+  private[job] def byteBatches[T](
+      it: Iterator[T],
+      bytesOf: T => Long,
+      maxBytes: Long
+  ): Iterator[Seq[T]] = new Iterator[Seq[T]] {
+    private val in = it.buffered
+    override def hasNext: Boolean = in.hasNext
+    override def next(): Seq[T] = {
+      val chunk = Seq.newBuilder[T]
+      var used = 0L
+      var n = 0
+      var done = false
+      while (!done && in.hasNext) {
+        val size = bytesOf(in.head)
+        if (n == 0 || used + size <= maxBytes) {
+          chunk += in.next()
+          used += size
+          n += 1
+        } else done = true
+      }
+      chunk.result()
+    }
   }
 
   private def toResult(doc: DocResult, group: Int, pid: Int): ResultRow =

@@ -232,12 +232,19 @@ object Dedup {
       }
       .toDF("band", "bucket", "doc_id")
 
-    val candidates = bandRows
-      .groupBy("band", "bucket")
-      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucket).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(pairsUdf(col("ids"))).as("p"))
-      .select(col("p._1").as("a_id"), col("p._2").as("b_id"))
+    // bucket cap via a streaming row_number window (no per-bucket array
+    // materialization — a collect_list would buffer a mass-duplicate
+    // mega-bucket whole before the slice); pairs from the capped self-join
+    val wBucket = Window.partitionBy(col("band"), col("bucket")).orderBy(col("doc_id").asc)
+    val capped = bandRows
+      .withColumn("rn", row_number().over(wBucket))
+      .filter(col("rn") <= maxBucket)
+      .drop("rn")
+    val candidates = capped.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+      .join(capped.select(col("band"), col("bucket"), col("doc_id").as("b_id")),
+        Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
       .distinct()
 
     // exact verification against the shingle sets
@@ -255,11 +262,6 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
     verified
   }
-
-  private val pairsUdf =
-    udf { ids: Seq[Long] =>
-      for { i <- ids.indices; j <- (i + 1) until ids.size } yield (ids(i), ids(j))
-    }
 
   /** Per-doc 64-bit SimHash (near-dup = small hamming distance; identical
     * simhash groups are exact-bucket near-dups). Computed by the native
@@ -307,14 +309,18 @@ object Dedup {
     import spark.implicits._
     require(radius >= 0 && radius <= 8, s"radius $radius out of range")
     if (radius == 0) {
-      // exact-hash grouping: no pair search needed at all
-      return hashed0
+      // exact-hash grouping: no pair search needed at all (window cap, same
+      // no-materialization discipline as below)
+      val w0 = Window.partitionBy(col("simhash")).orderBy(col("doc_id").asc)
+      val capped0 = hashed0
         .select(col("doc_id"), col("simhash"))
-        .groupBy(col("simhash"))
-        .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucket).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(pairsUdf(col("ids"))).as("p"))
-        .select(col("p._1").as("a_id"), col("p._2").as("b_id"), lit(0).as("hamming"))
+        .withColumn("rn", row_number().over(w0))
+        .filter(col("rn") <= maxBucket)
+        .drop("rn")
+      return capped0.select(col("simhash"), col("doc_id").as("a_id"))
+        .join(capped0.select(col("simhash"), col("doc_id").as("b_id")), Seq("simhash"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), lit(0).as("hamming"))
     }
     val nBlocks = radius + 3
     val keyBlocks = 3 // agreement blocks per table key (~32 bits of 64)
@@ -344,30 +350,28 @@ object Dedup {
       }
     }.toDF("table_id", "key", "doc_id", "simhash")
 
-    // bucket by (table, key); cap; in-bucket pair-gen; verify hamming
-    posts
-      .groupBy(col("table_id"), col("key"))
-      .agg(
-        slice(
-          sort_array(collect_list(struct(col("doc_id"), col("simhash")))),
-          1, maxBucket).as("members"))
-      .filter(size(col("members")) > 1)
-      .select(explode(structPairsUdf(col("members"))).as("p"))
-      .select(
-        col("p._1").as("a_id"), col("p._2").as("a_h"),
-        col("p._3").as("b_id"), col("p._4").as("b_h"))
+    // Bucket cap WITHOUT materializing buckets: a row_number window keeps
+    // the maxBucket lowest doc_ids per (table,key) — rows stream through the
+    // spill-capable window sort; a collect_list cap would materialize a
+    // mega-bucket (10^7 identical hashes) in ONE aggregation buffer before
+    // slicing. Pairs come from the capped self-join, hamming-verified.
+    val wBucket = Window.partitionBy(col("table_id"), col("key")).orderBy(col("doc_id").asc)
+    val capped = posts
+      .withColumn("rn", row_number().over(wBucket))
+      .filter(col("rn") <= maxBucket)
+      .drop("rn")
+    val a = capped.select(col("table_id"), col("key"),
+      col("doc_id").as("a_id"), col("simhash").as("a_h"))
+    val b = capped.select(col("table_id"), col("key"),
+      col("doc_id").as("b_id"), col("simhash").as("b_h"))
+    a.join(b, Seq("table_id", "key"))
+      .filter(col("a_id") < col("b_id"))
       // hamming as pure built-ins (bit_count(xor)) — stays inside codegen
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_h").bitwiseXOR(col("b_h"))).cast("int").as("hamming"))
       .filter(col("hamming") <= radius)
       .distinct()
   }
-
-  private val structPairsUdf =
-    udf { members: Seq[(Long, Long)] =>
-      for { i <- members.indices; j <- (i + 1) until members.size }
-        yield (members(i)._1, members(i)._2, members(j)._1, members(j)._2)
-    }
 
   /** Embedding cosine near-dup pairs, blocked by `label` (the cluster id the
     * table carries) — the blocking join keeps the pair space linear-ish; the

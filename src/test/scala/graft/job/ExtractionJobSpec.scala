@@ -165,6 +165,31 @@ class ExtractionJobSpec extends AnyFunSuite {
     assert(nodiag.filter(col("diagnostics").isNotNull).count() == 0)
   }
 
+  test("B6: byte-budgeted sub-batching bounds chunks and never changes results") {
+    // chunker unit behavior: order kept, >=1 row per chunk, budget respected
+    val rows = Seq(10L, 20L, 5L, 100L, 1L, 1L, 50L)
+    val chunks = ExtractionJob.byteBatches[Long](rows.iterator, identity, 30L).toSeq
+    assert(chunks.flatten == rows, "order must be preserved")
+    assert(chunks.forall(_.nonEmpty))
+    chunks.foreach { c =>
+      assert(c.map(identity[Long]).sum <= 30L || c.size == 1,
+        s"chunk over budget with >1 row: $c")
+    }
+    assert(chunks.exists(_.size > 1), "budget should coalesce small rows")
+    // an oversized single row still travels (alone)
+    assert(chunks.exists(c => c == Seq(100L)))
+
+    // end-to-end: a 1-byte budget (every chunk = one row) and the default
+    // budget produce identical batched-heavy results
+    val pages = CorpusGen.pages(spark, 100).toDF()
+    def run(c: ExtractionJob.JobConfig) =
+      ExtractionJob.extract(pages, c).collect()
+        .map(r => (r.url, r.extracted_text, r.engine)).sortBy(_._1).toSeq
+    val tiny = run(cfg.copy(batchedHeavy = true, maxHeavyBatchBytes = 1L))
+    val big = run(cfg.copy(batchedHeavy = true))
+    assert(tiny == big)
+  }
+
   test("input is scanned once across commit batches, not once per batch") {
     import spark.implicits._
     val acc = spark.sparkContext.longAccumulator("input-rows-read")
