@@ -362,6 +362,23 @@ class PdfHeavySpec extends AnyFunSuite {
     }
   }
 
+  test("heavy and fast sweeps agree on clean (unjittered) PDF payloads") {
+    // The heavy engine is an upgrade for pathological layouts; on clean
+    // single- and two-column payloads (corpus classes 12/14) it must produce
+    // the SAME text the fast sweep does — gutter projection finds the same
+    // columns and exact-advance runs never trigger joins.
+    (0L until 200L).foreach { idx =>
+      val cls = CorpusGen.rowClass(idx)
+      if (cls == 12 || cls == 14) {
+        val row = CorpusGen.genRow(CorpusGen.DefaultSeed, idx)
+        val fast = PdfExtractor.extract(row.html).toOption.get
+        val heavy = PdfExtractor.heavyExtract(row.html).toOption.get
+        assert(heavy.text == fast.text, s"idx $idx (class $cls) diverged")
+        assert(heavy.columns.map(_._1) == fast.columns.map(_._1))
+      }
+    }
+  }
+
   test("forceHeavy engages the heavy engine for unflagged PDF rows too") {
     val cfg = Extractor.Config(forceHeavy = true)
     val row = CorpusGen.genRow(CorpusGen.DefaultSeed, 12L) // clean two-column PDF
