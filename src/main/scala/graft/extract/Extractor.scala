@@ -101,6 +101,23 @@ object Extractor {
     DocResult(row.url, "", Nil, Quality(0.0, flagged = false, 0, 0, Nil, Map.empty),
       Engines.None_, success = false, error = error, diagnostics = None)
 
+  /** Whether a fast result must fall through to the heavy engine — THE
+    * heavy-gating predicate, shared by every surface (inline job, batched
+    * job stage split, streaming) so the condition can never diverge.
+    */
+  def needsHeavy(doc: DocResult, cfg: Config): Boolean =
+    doc.success && (doc.quality.flagged || cfg.forceHeavy)
+
+  /** The full per-row flow: fast extraction with inline heavy fallback.
+    * Single definition used by the inline job mode and all streaming
+    * surfaces (the batched job mode splits the same two calls across its
+    * stage barrier via [[needsHeavy]]).
+    */
+  def extractWithFallback(row: RawPage, cfg: Config): DocResult = {
+    val fast = fastExtract(row, cfg)
+    if (needsHeavy(fast, cfg)) heavyExtract(row, fast, cfg) else fast
+  }
+
   /** Fast path: passthrough if the existing `text` passes quality, else
     * cheap HTML/PDF extraction (reference work-pruning branch,
     * pipeline.py:101-166).

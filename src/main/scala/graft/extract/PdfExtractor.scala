@@ -141,6 +141,15 @@ object PdfExtractor {
     */
   val JoinSlack = 3
 
+  /** Hard ceiling on the occupancy-projection extent (px). Run coordinates
+    * are attacker-controlled input: without a clamp, a single
+    * `T 2000000000 50 a` record would size a ~2 GB array (OutOfMemoryError
+    * escapes the Exception containment) and scan it un-ticked. Real page
+    * widths are a few thousand px; runs beyond the ceiling clamp into the
+    * last band.
+    */
+  val MaxProjectionExtent = 1 << 16
+
   /** Heavy re-segmentation — the expensive second engine for flagged PDF
     * rows (the reference's Surya slot, surya.py:97-150; write-back semantics
     * batch.py:439-481). Three upgrades over [[extract]]:
@@ -172,13 +181,21 @@ object PdfExtractor {
     */
   private def gutterColumns(page: Page): Vector[Vector[Run]] = {
     if (page.runs.isEmpty) return Vector.empty
-    val extent = math.max(
-      page.width,
-      page.runs.iterator.map(r => r.x + math.max(1, r.text.length) * CharWidth).max) + 1
+    val wanted = math.max(
+      page.width.toLong,
+      page.runs.iterator
+        .map(r => r.x.toLong + math.max(1, r.text.length).toLong * CharWidth)
+        .max) + 1
+    val extent = math.max(1L, math.min(MaxProjectionExtent.toLong, wanted)).toInt
+    graft.util.StepBudget.tick(extent.toLong) // B3: projection scan is O(extent)
     val occ = new Array[Boolean](extent)
     page.runs.foreach { r =>
-      var i = math.max(0, r.x)
-      val end = math.min(extent, r.x + math.max(1, r.text.length) * CharWidth)
+      // clamp attacker-controlled coordinates into the projection
+      var i = math.min(extent - 1, math.max(0, r.x))
+      val end = math.min(
+        extent.toLong,
+        math.max(0, r.x).toLong + math.max(1, r.text.length).toLong * CharWidth).toInt
+      occ(i) = true
       while (i < end) { occ(i) = true; i += 1 }
     }
     val first = occ.indexOf(true)

@@ -51,13 +51,15 @@ object ExtractionJob {
       maxHeavyBatchBytes: Long = 64L * 1024 * 1024,
       skewSalts: Int = 16, // salt fan-out for skewed hosts
       skewSampleFraction: Double = 0.01, // host-frequency detection sample
-      skewHostShare: Double = 0.05 // host is "skewed" above this row share
+      skewHostShare: Double = 0.05, // host is "skewed" above this row share
+      maxKernelSteps: Long = 64L * 1024 * 1024 // B3 per-row work budget
   ) {
     def extractorConfig: Extractor.Config = Extractor.Config(
       threshold = threshold,
       diagnostics = diagnostics,
       forceHeavy = forceHeavy,
-      maxBytes = maxBytes
+      maxBytes = maxBytes,
+      maxKernelSteps = maxKernelSteps
     )
   }
 
@@ -197,12 +199,7 @@ object ExtractionJob {
         val pid = TaskContext.getPartitionId()
         it.map { p =>
           val raw = RawPage(p.url, p.warc_ts, p.html, p.text, p.lang)
-          val fastDoc = Extractor.fastExtract(raw, exCfg)
-          val doc =
-            if (fastDoc.success && (fastDoc.quality.flagged || exCfg.forceHeavy))
-              Extractor.heavyExtract(raw, fastDoc, exCfg)
-            else fastDoc
-          toResult(doc, p.commit_group, pid)
+          toResult(Extractor.extractWithFallback(raw, exCfg), p.commit_group, pid)
         }
       }
     }
@@ -217,7 +214,7 @@ object ExtractionJob {
       it.map { p =>
         val raw = RawPage(p.url, p.warc_ts, p.html, p.text, p.lang)
         val doc = Extractor.fastExtract(raw, exCfg)
-        val needsHeavy = doc.success && (doc.quality.flagged || exCfg.forceHeavy)
+        val needsHeavy = Extractor.needsHeavy(doc, exCfg)
         FastRow(
           doc, p.commit_group, pid, needsHeavy,
           if (needsHeavy) p.html else null,

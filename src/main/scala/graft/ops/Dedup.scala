@@ -131,14 +131,13 @@ object Dedup {
     * Shingles whose document frequency exceeds `maxShingleDf` are dropped
     * before the self-join: a shingle shared by k docs yields k^2 join rows,
     * and at web scale boilerplate 4-grams have k in the millions while
-    * contributing ~0 Jaccard discrimination (they inflate both intersection
-    * and union of near-identical pairs equally, and true near-dups at a 0.8
-    * threshold share plenty of low-df shingles). The cap must not bind on
-    * honest near-dup structure — default 128 is ~20x the max df of the test
-    * corpus; pairs whose ONLY shared shingles are corpus-common boilerplate
-    * are exactly the pairs this operator should not report. Denominator
-    * counts (a_n/b_n) stay the FULL shingle-set sizes, so reported Jaccard
-    * values are unchanged wherever the cap does not bind.
+    * contributing ~0 Jaccard discrimination. The cap must not bind on honest
+    * near-dup structure — default 128 is ~20x the max df of the test corpus.
+    * When the cap binds, the computed value is the Jaccard of the
+    * LOW-DF shingle sets: numerator AND denominator both count only kept
+    * shingles (the same universe), so an identical pair stays at 1.0 no
+    * matter how much shared boilerplate was dropped; with the cap not
+    * binding the result is exactly the full-set Jaccard.
     *
     * `logDropped = true` eagerly counts and logs the dropped shingles — a
     * diagnostic (extra job), not for the hot path.
@@ -156,13 +155,12 @@ object Dedup {
       .as[(Long, String)]
       .map { case (id, text) => (id, shingleHashes(text, n)) }
       .toDF("doc_id", "shingles")
-      .select(col("doc_id"), size(col("shingles")).as("n_sh"), col("shingles"))
-    val posts0 = shingled.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
+    val posts0 = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
     // document frequency per shingle: one window over the same `sh` shuffle
     // the self-join needs (no list materialization — a mega-shingle costs a
     // count, never a collect)
     val wSh = Window.partitionBy(col("sh"))
-    val posts = posts0
+    val kept = posts0
       .withColumn("df", count(lit(1)).over(wSh))
       .filter(col("df") <= maxShingleDf)
       .drop("df")
@@ -171,11 +169,13 @@ object Dedup {
         .groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .filter(col("df") > maxShingleDf)
         .count()
-      if (dropped > 0)
-        spark.sparkContext.setJobDescription(
-          s"ngramJaccardPairs: dropped $dropped shingles with df > $maxShingleDf")
       println(s"ngramJaccardPairs: dropped $dropped shingles with df > $maxShingleDf")
     }
+    // per-doc set size over the SAME kept universe as the intersection —
+    // numerator and denominator must agree or dropped boilerplate would
+    // depress the Jaccard of genuinely identical pairs
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val posts = kept.withColumn("n_sh", count(lit(1)).over(wDoc))
     val a = posts.select(col("sh"), col("doc_id").as("a_id"), col("n_sh").as("a_n"))
     val b = posts.select(col("sh"), col("doc_id").as("b_id"), col("n_sh").as("b_n"))
     a.join(b, Seq("sh"))
@@ -404,9 +404,14 @@ object Dedup {
     * [[Similarity.lshBucket]] with a per-table seed): a near-identical pair
     * is separated by any given hyperplane with probability angle/pi, so it
     * collides in at least one of the `tables` independent bucketings with
-    * probability 1 - (1 - (1-p)^planes)^tables — at dup-grade thresholds
-    * (cos >= 0.9, p under 0.1) that is effectively 1. Candidates are
-    * verified by exact cosine, so the output has no false positives.
+    * probability 1 - (1 - (1-p)^planes)^tables. This is a NEAR-DUP
+    * operator: the default threshold is dup-grade (0.95 -> p=0.10, pair
+    * recall ~0.93 at the defaults; identical vectors are found with
+    * probability 1) — at looser thresholds the collision bound collapses
+    * (cos 0.4 -> ~0.14 recall) and the right tool is the exact
+    * label-blocked [[embeddingDupPairs]] or a higher `tables` count.
+    * Candidates are verified by exact cosine, so the output has no false
+    * positives at any setting.
     *
     * Scale tuning: expected bucket size is N / 2^planes per table — raise
     * `planes` with corpus size (e.g. 30 planes for 10^9 buckets at 10^12
@@ -415,7 +420,7 @@ object Dedup {
     */
   def embeddingDupPairsLsh(
       embeddings: DataFrame,
-      threshold: Double = 0.4,
+      threshold: Double = 0.95,
       tables: Int = 6,
       planes: Int = 8,
       seed: Long = 7L

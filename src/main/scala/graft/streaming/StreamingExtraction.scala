@@ -32,14 +32,7 @@ object StreamingExtraction {
     pages
       .select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang"))
       .as[RawPage]
-      .mapPartitions { it =>
-        it.map { raw =>
-          val fastDoc = Extractor.fastExtract(raw, exCfg)
-          if (fastDoc.success && (fastDoc.quality.flagged || exCfg.forceHeavy))
-            Extractor.heavyExtract(raw, fastDoc, exCfg)
-          else fastDoc
-        }
-      }
+      .mapPartitions(_.map(Extractor.extractWithFallback(_, exCfg)))
   }
 
   /** Per-content-hash dedup state: id of the first-seen doc + how many
@@ -77,11 +70,7 @@ object StreamingExtraction {
       .as[RawPage]
       .mapPartitions { it =>
         it.map { raw =>
-          val fast = Extractor.fastExtract(raw, exCfg)
-          val d =
-            if (fast.success && (fast.quality.flagged || exCfg.forceHeavy))
-              Extractor.heavyExtract(raw, fast, exCfg)
-            else fast
+          val d = Extractor.extractWithFallback(raw, exCfg)
           (md5Hex(d.extracted_text), d.url, d.extracted_text, raw.warc_ts, d.success)
         }
       }
@@ -152,11 +141,7 @@ object StreamingExtraction {
         it.map { raw =>
           // same inline heavy fallback as extract(): the rollup must agree
           // with what actually lands in the sink
-          val fast = Extractor.fastExtract(raw, exCfg)
-          val d =
-            if (fast.success && (fast.quality.flagged || exCfg.forceHeavy))
-              Extractor.heavyExtract(raw, fast, exCfg)
-            else fast
+          val d = Extractor.extractWithFallback(raw, exCfg)
           (raw.warc_ts, d.success, d.quality.flagged, d.quality.score)
         }
       }

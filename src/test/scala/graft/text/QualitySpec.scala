@@ -171,9 +171,19 @@ class QualitySpec extends AnyFunSuite {
   // ADVICE r1: tokenizers must treat U+001C-U+001F as whitespace (Python
   // str.split() parity — Hashing.isPyWhitespace already does).
   test("FS/GS separators split tokens like spaces (garbled + dictionary)") {
-    val spaceText = "language meaning truth reason world nature"
+    // >= 100 chars so GarbledSignal's short-text neutral rule does NOT make
+    // the garbled half vacuous, and a planted garbled token so the score is
+    // not trivially 1.0 — a reverted tokenizer fix must fail this test
+    val spaceText = "language meaning truth reason world nature history " +
+      "culture science method theory practice xkqzwvbn concept form matter"
+    assert(spaceText.length >= 100)
     val fsText = spaceText.replace(" ", "\u001c")
-    assert(GarbledSignal.score(fsText).score == GarbledSignal.score(spaceText).score)
+    val g = GarbledSignal.score(spaceText)
+    assert(g.score < 1.0, "the planted garbled token must register")
+    assert(g.totalWords > 1, "tokenizer must split the text")
+    val gFs = GarbledSignal.score(fsText)
+    assert(gFs.score == g.score)
+    assert(gFs.totalWords == g.totalWords)
     assert(DictionarySignal.score(fsText) == DictionarySignal.score(spaceText))
   }
 }
