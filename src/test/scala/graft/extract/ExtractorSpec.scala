@@ -362,6 +362,27 @@ class PdfHeavySpec extends AnyFunSuite {
     }
   }
 
+  test("adversarial run coordinates cannot blow up the occupancy projection") {
+    // a single run at x=2e9 would, unclamped, allocate a ~2 GB projection
+    // array (OOM escapes Exception containment) — must complete promptly
+    val evil = ("%PDF-GRAFT 1.0\nP 612 792\n" +
+      "T 2000000000 50 attacker controlled coordinates here\n" +
+      "T 50 62 normal text line for the page\n" +
+      "T -500 74 negative coordinates too\n").getBytes(StandardCharsets.UTF_8)
+    val t0 = System.nanoTime()
+    val ex = PdfExtractor.heavyExtract(evil)
+    assert((System.nanoTime() - t0) < 5e9, "must not scan a 2e9-wide projection")
+    assert(ex.isRight)
+    val text = ex.toOption.get.text
+    assert(text.contains("normal text line"))
+    assert(text.contains("attacker controlled"))
+    // and the full kernel path stays contained under a budget
+    val row = RawPage("https://x.example/evil", new java.sql.Timestamp(0), evil, "", "en")
+    val doc = Extractor.heavyExtract(row, Extractor.fastExtract(row, Extractor.Config()),
+      Extractor.Config(forceHeavy = true))
+    assert(doc != null)
+  }
+
   test("heavy and fast sweeps agree on clean (unjittered) PDF payloads") {
     // The heavy engine is an upgrade for pathological layouts; on clean
     // single- and two-column payloads (corpus classes 12/14) it must produce
