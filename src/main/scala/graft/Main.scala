@@ -71,14 +71,18 @@ object Main {
 
     if (args.status) {
       // status probe: committed groups + counters from the lineage table.
-      // ONLY a missing table reads as "fresh run" — a corrupted/unreadable
-      // lineage table must surface, matching runCheckpointed's strict-read
-      // policy (ExtractionJob.scala)
+      // Same read policy as runCheckpointed (ExtractionJob.readCommittedGroups):
+      // missing table or data-file-less directory (first-write crash) reads
+      // as fresh; a corrupted table with real data files still surfaces
       val lin =
         try spark.read.parquet(s"${args.output}/lineage")
         catch {
           case e: org.apache.spark.sql.AnalysisException
               if e.getErrorClass == "PATH_NOT_FOUND" =>
+            spark.emptyDataFrame
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getErrorClass == "UNABLE_TO_INFER_SCHEMA" &&
+                !graft.job.ExtractionJob.hasDataFiles(s"${args.output}/lineage") =>
             spark.emptyDataFrame
         }
       if (lin.isEmpty) println(s"""{"committed_groups":0,"docs":0,"failures":0}""")

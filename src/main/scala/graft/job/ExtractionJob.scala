@@ -101,6 +101,49 @@ object ExtractionJob {
       partition_id: Int
   )
 
+  /** Committed commit groups from the lineage table. ONLY two states read
+    * as "fresh run": the table is missing (PATH_NOT_FOUND), or the
+    * directory exists with NO data files — a crash during the very first
+    * lineage write leaves `_temporary`/marker entries only, and treating
+    * the resulting UNABLE_TO_INFER_SCHEMA as fatal would make that crash
+    * permanently unrecoverable (the results write is idempotent, so redoing
+    * is safe). Any OTHER read failure — a corrupted table with real data
+    * files — still surfaces: silently redoing committed work would append
+    * duplicate lineage rows.
+    */
+  def readCommittedGroups(lineagePath: String)(implicit spark: SparkSession): Set[Int] =
+    try spark.read.parquet(lineagePath).select("commit_group").distinct()
+      .collect().map(_.getInt(0)).toSet
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getErrorClass == "PATH_NOT_FOUND" =>
+        Set.empty
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getErrorClass == "UNABLE_TO_INFER_SCHEMA" && !hasDataFiles(lineagePath) =>
+        Set.empty
+    }
+
+  /** True if the directory holds at least one non-hidden data file
+    * (Hadoop FS — works for local and distributed paths alike).
+    */
+  private[graft] def hasDataFiles(path: String)(implicit spark: SparkSession): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+    fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val f = it.next()
+        // listFiles recurses into _temporary; require every path segment
+        // visible, not just the leaf
+        val rel = f.getPath.toUri.getPath.stripPrefix(p.toUri.getPath)
+        found = rel.split("/").filter(_.nonEmpty).forall(visible)
+      }
+      found
+    }
+  }
+
   /** Detect skewed hosts from a sample: any host holding more than
     * `skewHostShare` of sampled rows (SURVEY.md §4.1). Sampled, not exact —
     * salting is a physical-plan decision, results never depend on it.
@@ -339,17 +382,7 @@ object ExtractionJob {
     import spark.implicits._
     val lineagePath = s"$outputDir/lineage"
     val resultsPath = s"$outputDir/results"
-    val committed: Set[Int] =
-      try spark.read.parquet(lineagePath).select("commit_group").distinct()
-        .collect().map(_.getInt(0)).toSet
-      catch {
-        // ONLY a missing lineage table means "fresh run"; any other read
-        // failure must surface — treating it as empty would silently redo
-        // all work and append duplicate lineage rows
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getErrorClass == "PATH_NOT_FOUND" =>
-          Set.empty
-      }
+    val committed: Set[Int] = readCommittedGroups(lineagePath)
 
     val remaining = (0 until cfg.numGroups).filterNot(committed)
     if (remaining.isEmpty) return Seq.empty

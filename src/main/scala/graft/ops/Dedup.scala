@@ -135,9 +135,15 @@ object Dedup {
     * near-dup structure — default 128 is ~20x the max df of the test corpus.
     * When the cap binds, the computed value is the Jaccard of the
     * LOW-DF shingle sets: numerator AND denominator both count only kept
-    * shingles (the same universe), so an identical pair stays at 1.0 no
-    * matter how much shared boilerplate was dropped; with the cap not
-    * binding the result is exactly the full-set Jaccard.
+    * shingles (the same universe), so a pair that shares ANY low-df content
+    * keeps its full score (an identical pair with some unique shingles stays
+    * at 1.0 however much boilerplate was dropped). The one regime the cap
+    * excludes ON PURPOSE is a duplicate cluster larger than `maxShingleDf`
+    * itself — there EVERY shingle is corpus-common, all postings drop, and
+    * no pairs are emitted. That is the mass-duplication regime where k^2
+    * pairwise rows are the wrong output shape anyway: route it through
+    * [[exact]]/[[markDuplicates]] (one hash aggregation), the same escape
+    * [[simhashPairs]] documents for its bucket cap.
     *
     * `logDropped = true` eagerly counts and logs the dropped shingles — a
     * diagnostic (extra job), not for the hot path.

@@ -35,10 +35,13 @@ object StreamingExtraction {
       .mapPartitions(_.map(Extractor.extractWithFallback(_, exCfg)))
   }
 
-  /** Per-content-hash dedup state: id of the first-seen doc + how many
-    * later occurrences were dropped.
+  /** Per-content-hash dedup state: id of the first-seen doc, how many later
+    * occurrences were dropped, and (TTL mode) the monotonic eviction
+    * deadline in event-time ms — tracked in state because GroupState cannot
+    * read back its own timeout, and an out-of-order OLDER duplicate must
+    * never shrink the deadline.
     */
-  final case class DedupState(first_url: String, dropped: Long)
+  final case class DedupState(first_url: String, dropped: Long, deadlineMs: Long = 0L)
 
   /** Kept output row of the streaming dedup. */
   final case class DedupedDoc(url: String, content_hash: String, extracted_text: String)
@@ -94,22 +97,27 @@ object StreamingExtraction {
             Iterator.empty
           } else {
             val batch = rows.toSeq.sortBy(_._2) // deterministic within-batch order
+            // MONOTONIC deadline: max over every sighting's (event time + TTL)
+            // — an out-of-order older duplicate must not shrink it and evict
+            // state early (clamped above the watermark; Spark rejects timeout
+            // timestamps at or below it)
+            val batchDeadline =
+              if (withTtl) batch.iterator.map(_._4.getTime).max + stateTtlMs else 0L
             val out = state.getOption match {
               case Some(s) =>
-                state.update(s.copy(dropped = s.dropped + batch.size))
+                val deadline = math.max(s.deadlineMs, batchDeadline)
+                state.update(s.copy(dropped = s.dropped + batch.size, deadlineMs = deadline))
+                if (withTtl)
+                  state.setTimeoutTimestamp(
+                    math.max(deadline, state.getCurrentWatermarkMs() + 1))
                 Iterator.empty[DedupedDoc]
               case None =>
                 val first = batch.head
-                state.update(DedupState(first._2, batch.size - 1L))
+                state.update(DedupState(first._2, batch.size - 1L, batchDeadline))
+                if (withTtl)
+                  state.setTimeoutTimestamp(
+                    math.max(batchDeadline, state.getCurrentWatermarkMs() + 1))
                 Iterator.single(DedupedDoc(first._2, hash, first._3))
-            }
-            if (withTtl) {
-              // deadline = last sighting + TTL, clamped above the watermark
-              // (Spark rejects timeout timestamps at or below it)
-              val maxTs = batch.iterator.map(_._4.getTime).max
-              val deadline =
-                math.max(maxTs + stateTtlMs, state.getCurrentWatermarkMs() + 1)
-              state.setTimeoutTimestamp(deadline)
             }
             out
           }

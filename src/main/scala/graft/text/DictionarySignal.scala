@@ -91,8 +91,9 @@ object DictionarySignal {
 
   /** Score with an explicit word set (the broadcastable entry point). */
   def score(text: String, words: Set[String]): Result = {
+    if (text == null) return Neutral
     graft.util.StepBudget.tick(text.length.toLong) // B3 row work budget
-    if (text == null || text.strip().isEmpty) return Neutral
+    if (text.strip().isEmpty) return Neutral
     var known = 0
     var structured = 0
     var garbled = 0

@@ -278,8 +278,9 @@ object GarbledSignal {
     * matching the reference's short-text rule (quality.py:138-149).
     */
   def score(text: String, maxSamples: Int = 10, collectContext: Boolean = false): Result = {
+    if (text == null) return Neutral
     graft.util.StepBudget.tick(text.length.toLong) // B3 row work budget
-    if (text == null || pyStrippedLength(text) < 100) return Neutral
+    if (pyStrippedLength(text) < 100) return Neutral
     val words = Whitespace.split(text).filter(_.nonEmpty)
     val total = words.length
     if (total == 0) return Neutral

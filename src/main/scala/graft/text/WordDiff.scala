@@ -20,7 +20,10 @@ object WordDiff {
   private val Whitespace = java.util.regex.Pattern.compile("(?U)[\\s\\x1c-\\x1f]+")
 
   def diff(fastText: String, heavyText: String): Diff = {
-    graft.util.StepBudget.tick((fastText.length + heavyText.length).toLong) // B3
+    // NO StepBudget tick here: WordDiff only runs for diagnostics, and a
+    // diagnostics-gated tick could flip a near-budget heavy row back to its
+    // fast output — observability must never change extraction results. The
+    // MaxWords cap already bounds this kernel's work.
     val a = tokenize(fastText)
     val b = tokenize(heavyText)
     // LCS table (ints; capped input keeps this < 2000^2 * 4B = 16 MB worst case,

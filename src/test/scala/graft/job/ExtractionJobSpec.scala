@@ -165,6 +165,26 @@ class ExtractionJobSpec extends AnyFunSuite {
     assert(nodiag.filter(col("diagnostics").isNotNull).count() == 0)
   }
 
+  test("a lineage dir with no data files (first-write crash) reads as fresh") {
+    val out = Files.createTempDirectory("graft-emptylineage")
+    // simulate a crash during the FIRST lineage write: directory exists,
+    // only hidden/marker entries inside (no data files)
+    Files.createDirectories(out.resolve("lineage"))
+    Files.write(out.resolve("lineage/_started"), Array[Byte](1))
+    val pages = CorpusGen.pages(spark, 60).toDF()
+    val c = cfg.copy(numGroups = 4, groupsPerCommit = 4)
+    val lin = ExtractionJob.runCheckpointed(pages, c, out.toString)
+    assert(lin.nonEmpty, "recovery from an empty lineage dir must reprocess")
+    assert(spark.read.parquet(s"${out}/results").count() == 60)
+    // and a CORRUPTED table with a real (non-parquet) data file still surfaces
+    val out2 = Files.createTempDirectory("graft-corruptlineage")
+    Files.createDirectories(out2.resolve("lineage"))
+    Files.write(out2.resolve("lineage/part-00000.parquet"), "not parquet".getBytes)
+    intercept[Exception] {
+      ExtractionJob.runCheckpointed(pages, c, out2.toString)
+    }
+  }
+
   test("B6: byte-budgeted sub-batching bounds chunks and never changes results") {
     // chunker unit behavior: order kept, >=1 row per chunk, budget respected
     val rows = Seq(10L, 20L, 5L, 100L, 1L, 1L, 50L)

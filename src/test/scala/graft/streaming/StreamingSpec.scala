@@ -119,6 +119,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("out-of-order older duplicate does not shrink the eviction deadline") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val ttlMs = 60000L
+    val t0 = CorpusGen.Epoch
+    def at(row: RawPage, ms: Long) = row.copy(warc_ts = new java.sql.Timestamp(ms))
+    val a = at(CorpusGen.genRow(42L, 3), t0 + 100000L) // deadline t0+160s
+    // older sighting of the SAME content (not late: watermark is t0+40s);
+    // a non-monotonic deadline would shrink to t0+105s
+    val aOld = at(CorpusGen.genRow(42L, 3), t0 + 45000L)
+      .copy(url = "https://old.example/doc/3")
+    val c = at(CorpusGen.genRow(42L, 43), t0 + 170000L) // wm -> t0+110s
+    val d = at(CorpusGen.genRow(42L, 63), t0 + 171000L) // processed at wm t0+110s
+    // within the true horizon (t0+160s): must STILL be suppressed
+    val aAgain = at(CorpusGen.genRow(42L, 3), t0 + 115000L)
+      .copy(url = "https://again.example/doc/3")
+
+    val stream = MemoryStream[RawPage]
+    val q = StreamingExtraction.dedupedExtract(stream.toDF(), cfg, stateTtlMs = ttlMs)
+      .writeStream.format("memory").queryName("stream_dedup_mono")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(Seq(a), Seq(aOld), Seq(c), Seq(d), Seq(aAgain)).foreach { b =>
+        stream.addData(b); q.processAllAvailable()
+      }
+      val rows = spark.sql("SELECT url, content_hash FROM stream_dedup_mono")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      val hashCounts = rows.groupBy(_._2).view.mapValues(_.length).toMap
+      assert(hashCounts.values.max == 1,
+        s"duplicate re-emitted inside the TTL horizon: ${rows.toSeq}")
+      assert(rows.length == 3) // a, c, d
+    } finally q.stop()
+  }
+
   test("watermarked windowed quality rollup aggregates per window") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -170,6 +170,11 @@ class QualitySpec extends AnyFunSuite {
 
   // ADVICE r1: tokenizers must treat U+001C-U+001F as whitespace (Python
   // str.split() parity — Hashing.isPyWhitespace already does).
+  test("null text scores Neutral, never NPE (budget tick after the guard)") {
+    assert(GarbledSignal.score(null).score == 1.0)
+    assert(DictionarySignal.score(null).score == 1.0)
+  }
+
   test("FS/GS separators split tokens like spaces (garbled + dictionary)") {
     // >= 100 chars so GarbledSignal's short-text neutral rule does NOT make
     // the garbled half vacuous, and a planted garbled token so the score is
