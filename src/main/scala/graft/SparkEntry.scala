@@ -191,6 +191,26 @@ object SparkEntry {
       TextAnalysis.tokenCounts(s.read.parquet(t(dir, "documents")))),
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(s.read.parquet(t(dir, "documents")))),
+    // url canonicalization over deterministically synthesized crawl-url
+    // variants (uppercase authority, default ports, tracking params,
+    // fragments, trailing slashes) — the pre-content-dedup key
+    "q_url_canonicalize" -> ((s, dir) => {
+      val id = col("doc_id")
+      val url = concat(
+        lit("HTTPS://WWW.Example"), pmod(id, lit(7)), lit(".COM"),
+        when(pmod(id, lit(3)) === 0, lit(":443")).otherwise(lit("")),
+        lit("/Path/"), id,
+        when(pmod(id, lit(2)) === 0, lit("/")).otherwise(lit("")),
+        when(pmod(id, lit(4)) === 0, concat(lit("?utm_source=a&utm_medium=b&id="), id))
+          .when(pmod(id, lit(4)) === 1, concat(lit("?id="), id, lit("&fbclid=XYZ")))
+          .when(pmod(id, lit(4)) === 2, lit("?utm_only=1"))
+          .otherwise(lit("")),
+        when(pmod(id, lit(5)) === 0, lit("#Frag")).otherwise(lit("")))
+      s.read.parquet(t(dir, "documents"))
+        .select(id, url.as("raw_url"))
+        .select(id, col("raw_url"),
+          TextAnalysis.canonicalizeUrl(col("raw_url")).as("canonical_url"))
+    }),
     "q_topk_tokens" -> ((s, dir) => {
       // corpus top-k token frequency via a typed Aggregator (one-pass,
       // vocab-sized partial buffers)
@@ -470,6 +490,38 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
          length(text)::BIGINT AS n_chars FROM documents""",
+    // same rule chain as TextAnalysis.canonicalizeUrl; every pattern is
+    // RE2-compatible and DuckDB replacement groups are backslash-numbered
+    "q_url_canonicalize" ->
+      """WITH raw AS (
+           SELECT doc_id,
+             'HTTPS://WWW.Example' || (doc_id % 7) || '.COM' ||
+             CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||
+             '/Path/' || doc_id ||
+             CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+             CASE WHEN doc_id % 4 = 0 THEN '?utm_source=a&utm_medium=b&id=' || doc_id
+                  WHEN doc_id % 4 = 1 THEN '?id=' || doc_id || '&fbclid=XYZ'
+                  WHEN doc_id % 4 = 2 THEN '?utm_only=1'
+                  ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0 THEN '#Frag' ELSE '' END AS raw_url
+           FROM documents),
+         c1 AS (SELECT doc_id, raw_url,
+           lower(regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', 0)) ||
+           substr(raw_url,
+             length(regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', 0)) + 1)
+           AS u FROM raw),
+         c2 AS (SELECT doc_id, raw_url, regexp_replace(u, '#.*', '', 'g') AS u FROM c1),
+         c3 AS (SELECT doc_id, raw_url,
+           regexp_replace(u, '^(http://[^/:?#]+):80([/?#].*)?$', '\1\2') AS u FROM c2),
+         c4 AS (SELECT doc_id, raw_url,
+           regexp_replace(u, '^(https://[^/:?#]+):443([/?#].*)?$', '\1\2') AS u FROM c3),
+         c5 AS (SELECT doc_id, raw_url,
+           regexp_replace(u, '[?&](utm_[^=&#]*|fbclid|gclid)=[^&#]*', '', 'g') AS u FROM c4),
+         c6 AS (SELECT doc_id, raw_url,
+           regexp_replace(u, '^([^?#]+)&', '\1?') AS u FROM c5),
+         c7 AS (SELECT doc_id, raw_url, regexp_replace(u, '[?&]+$', '') AS u FROM c6)
+         SELECT doc_id, raw_url,
+           regexp_replace(u, '([^/:])/$', '\1') AS canonical_url FROM c7""",
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS dup_count,
          min(doc_id) AS keep_id FROM documents GROUP BY md5(text)""",

@@ -124,4 +124,32 @@ object TextAnalysis {
       col("doc_id"),
       md5(lower(trim(col("text")))).as("fingerprint"),
       length(col("text")).cast("long").as("n_chars"))
+
+  /** URL canonicalization — the key a crawl pipeline dedups on BEFORE
+    * content dedup (the same page is crawled under thousands of url
+    * variants). Rules, applied in order:
+    *
+    *   1. lowercase the scheme and authority (path/query stay case-exact),
+    *   2. strip the fragment,
+    *   3. strip default ports (http:80 / https:443),
+    *   4. strip tracking parameters (utm_*, fbclid, gclid),
+    *   5. re-anchor the first kept parameter to '?' if the original '?'
+    *      was removed with a tracking parameter,
+    *   6. strip a trailing '?'/'&' and a trailing slash.
+    *
+    * Pure `regexp_replace`/`regexp_extract` Column chain: whole-stage
+    * codegen, no UDF, and every pattern is RE2-compatible so an ANSI SQL
+    * oracle (DuckDB) reproduces it exactly.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val prefix = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*", 0)
+    val lowered = concat(lower(prefix), url.substr(length(prefix) + lit(1), length(url)))
+    val noFrag = regexp_replace(lowered, "#.*", "")
+    val noP80 = regexp_replace(noFrag, "^(http://[^/:?#]+):80([/?#].*)?$", "$1$2")
+    val noP443 = regexp_replace(noP80, "^(https://[^/:?#]+):443([/?#].*)?$", "$1$2")
+    val noTrack = regexp_replace(noP443, "[?&](utm_[^=&#]*|fbclid|gclid)=[^&#]*", "")
+    val fixedQ = regexp_replace(noTrack, "^([^?#]+)&", "$1?")
+    val noTail = regexp_replace(fixedQ, "[?&]+$", "")
+    regexp_replace(noTail, "([^/:])/$", "$1")
+  }
 }

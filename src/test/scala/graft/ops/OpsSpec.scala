@@ -289,6 +289,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(1L).getAs[Long]("n_tokens") == 150)
   }
 
+  test("url canonicalization rules") {
+    import graft.ops.TextAnalysis.canonicalizeUrl
+    val cases = Seq(
+      // lowercase scheme+authority only; default port; tracking param; fragment
+      "HTTP://Host.COM:80/A/B/?utm_source=x&Id=2#frag" -> "http://host.com/A/B/?Id=2",
+      // https default port + root-ish trailing slash
+      "https://X.org:443/" -> "https://x.org",
+      // tracking-only query collapses entirely; then trailing slash strips
+      "https://a.b/p/?utm_only=1" -> "https://a.b/p",
+      // mid-query tracking param removal keeps the separator shape
+      "http://h/p?id=1&gclid=g&x=2" -> "http://h/p?id=1&x=2",
+      // non-default port is kept; path case is preserved
+      "https://Host.net:8443/Mixed/Case" -> "https://host.net:8443/Mixed/Case",
+      // fbclid-prefixed OTHER params are kept (exact name match only)
+      "http://h/p?fbclidX=1" -> "http://h/p?fbclidX=1"
+    )
+    val df3 = cases.map(_._1).zipWithIndex.map { case (u, i) => (i, u) }.toDF("i", "u")
+    val got = df3.select(col("i"), canonicalizeUrl(col("u")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i) == want, s"$in -> ${got(i)} (want $want)")
+    }
+  }
+
   test("fingerprint is case/whitespace normalized") {
     val df = Seq((1L, "  Hello World "), (2L, "hello world")).toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprint(df).collect().map(_.getAs[String]("fingerprint"))
