@@ -238,6 +238,26 @@ object SparkEntry {
       Dedup.simhashPairs(s.read.parquet(t(dir, "documents")), radius = 3)(s)),
     "q_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingDupPairs(s.read.parquet(t(dir, "embeddings")), threshold = 0.4)),
+    // sub-document dedup signal: duplicated sliding-window fraction per doc
+    "q_passage_dedup" -> ((s, dir) =>
+      Dedup.passageDupStats(s.read.parquet(t(dir, "documents")), n = 10)),
+    // deterministic md5-bucket corpus split (train/val/test) — physical-
+    // partitioning-independent, reproducible anywhere md5 exists. The first
+    // FOUR hex digits parse to a uniform 0..65535 value (two raw ascii codes
+    // would be lumpy mod 100)
+    "q_hash_split" -> ((s, dir) => {
+      val h = md5(col("doc_id").cast("string"))
+      def hexVal(i: Int) = {
+        val a = ascii(substring(h, i, 1))
+        a - lit(48) - lit(39) * (a >= 97).cast("int")
+      }
+      val bucket =
+        (hexVal(1) * lit(4096) + hexVal(2) * lit(256) + hexVal(3) * lit(16) + hexVal(4)) % lit(100)
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), bucket.cast("int").as("bucket"),
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+            .as("split"))
+    }),
     // label-free variant: multi-table sign-LSH blocking + exact verification.
     // The synthetic embeddings are diffuse (max pairwise cosine ~0.6), so
     // dup-grade pairs are PLANTED: copies of vec_id<5 re-keyed +100000 — the
@@ -582,6 +602,40 @@ object SparkEntry {
          WHERE list_cosine_similarity(
            list_transform(a.embedding, x -> x::DOUBLE),
            list_transform(b.embedding, x -> x::DOUBLE)) >= 0.4""",
+    "q_passage_dedup" ->
+      """WITH wins AS (
+           SELECT doc_id,
+             md5(unnest(list_transform(range(1, greatest(len(t)-9, 0)+1),
+               i -> array_to_string(t[i:i+9], ' ')))) AS h
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+         dfh AS (
+           SELECT h, count(*) AS docs_with
+           FROM (SELECT DISTINCT h, doc_id FROM wins) GROUP BY h)
+         SELECT w.doc_id,
+           count(*) AS windows,
+           sum(CASE WHEN d.docs_with >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_windows,
+           round(sum(CASE WHEN d.docs_with >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+             AS dup_fraction
+         FROM wins w JOIN dfh d ON w.h = d.h
+         GROUP BY w.doc_id""",
+    "q_hash_split" ->
+      """WITH b AS (
+           SELECT doc_id,
+             ((ascii(substr(md5(doc_id::VARCHAR), 1, 1)) - 48
+                 - 39 * CASE WHEN ascii(substr(md5(doc_id::VARCHAR), 1, 1)) >= 97 THEN 1 ELSE 0 END) * 4096
+              + (ascii(substr(md5(doc_id::VARCHAR), 2, 1)) - 48
+                 - 39 * CASE WHEN ascii(substr(md5(doc_id::VARCHAR), 2, 1)) >= 97 THEN 1 ELSE 0 END) * 256
+              + (ascii(substr(md5(doc_id::VARCHAR), 3, 1)) - 48
+                 - 39 * CASE WHEN ascii(substr(md5(doc_id::VARCHAR), 3, 1)) >= 97 THEN 1 ELSE 0 END) * 16
+              + (ascii(substr(md5(doc_id::VARCHAR), 4, 1)) - 48
+                 - 39 * CASE WHEN ascii(substr(md5(doc_id::VARCHAR), 4, 1)) >= 97 THEN 1 ELSE 0 END)
+             ) % 100 AS bucket
+           FROM documents)
+         SELECT doc_id, bucket::INT AS bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+         FROM b""",
     // exhaustive-pair oracle over the same planted table: identical vectors
     // collide in every LSH table (no plane separates a zero angle), so the
     // bucketed result provably equals the exact all-pairs answer at 0.95

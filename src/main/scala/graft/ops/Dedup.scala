@@ -405,6 +405,41 @@ object Dedup {
       .select(col("label"), col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Per-document duplicated-passage statistics (the CCNet/RefinedWeb-style
+    * sub-document dedup signal): hash every sliding `n`-token window; a
+    * window is DUPLICATED when its hash occurs in at least two distinct
+    * documents; output per doc = window count, duplicated-window count, and
+    * the duplicated fraction. Training pipelines drop or trim documents
+    * above a fraction threshold.
+    *
+    * Pure built-ins end to end (split/sequence/slice/md5 are all
+    * codegen'd): the only shuffles are the hash-df aggregation and the
+    * per-doc rollup — both partial-aggregated, no arrays ever collected.
+    * Cross-doc df is computed on (hash, doc) DISTINCT postings, so a phrase
+    * repeated inside ONE document does not count as duplication.
+    */
+  def passageDupStats(docs: DataFrame, n: Int = 10): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nWin = greatest(size(toks) - lit(n - 1), lit(0))
+    val wins = docs
+      .select(col("doc_id"), toks.as("t"), nWin.as("nw"))
+      .filter(col("nw") > 0)
+      .select(col("doc_id"), explode(sequence(lit(1), col("nw"))).as("i"), col("t"))
+      .select(col("doc_id"), md5(array_join(slice(col("t"), col("i"), lit(n)), " ")).as("h"))
+    val dfByHash = wins
+      .select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("docs_with"))
+    wins
+      .join(dfByHash, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("windows"),
+        sum(when(col("docs_with") >= 2, 1L).otherwise(0L)).as("dup_windows"))
+      .withColumn(
+        "dup_fraction",
+        round(col("dup_windows").cast("double") / col("windows"), 4))
+  }
+
   /** Embedding cosine near-dup pairs WITHOUT a blocking label — for corpora
     * that carry no cluster column. Multi-table sign-LSH blocking (reusing
     * [[Similarity.lshBucket]] with a per-table seed): a near-identical pair

@@ -135,6 +135,27 @@ class DedupSpec extends AnyFunSuite {
     assert(found == brute, s"missing=${(brute -- found).take(5)} extra=${(found -- brute).take(5)}")
   }
 
+  test("passage dedup: cross-doc duplicated windows counted, within-doc repeats not") {
+    val corpus = Seq(
+      // docs 0 and 1 share a verbatim 12-token passage; doc 2 is unrelated;
+      // doc 3 repeats its own phrase twice (within-doc only -> not duplicated)
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu unique0 end0"),
+      (1L, "start1 alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu tail1"),
+      (2L, "totally different words that appear nowhere else in the corpus at all here"),
+      (3L, "one two three four five six seven eight nine ten one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val r = Dedup.passageDupStats(corpus, n = 10)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("windows"), x.getAs[Long]("dup_windows"))).toMap
+    // 14-token docs -> 5 windows; the shared 12-token run yields 3 shared
+    // 10-token windows per doc
+    assert(r(0L) == ((5L, 3L)), s"doc0: ${r(0L)}")
+    assert(r(1L) == ((5L, 3L)), s"doc1: ${r(1L)}")
+    assert(r(2L)._2 == 0L)
+    assert(r(3L)._2 == 0L, "within-doc repetition must not count as duplication")
+    assert(r(3L)._1 == 11L) // 20 tokens -> 11 windows
+  }
+
   test("label-free LSH embedding dedup covers the label-blocked pairs") {
     // 6 tight clusters, no reliance on the label column at query time
     val emb2 = (0L until 60L).map { i =>
