@@ -426,15 +426,18 @@ object Dedup {
       .filter(col("nw") > 0)
       .select(col("doc_id"), explode(sequence(lit(1), col("nw"))).as("i"), col("t"))
       .select(col("doc_id"), md5(array_join(slice(col("t"), col("i"), lit(n)), " ")).as("h"))
-    val dfByHash = wins
-      .select(col("h"), col("doc_id")).distinct()
-      .groupBy(col("h")).agg(count(lit(1)).as("docs_with"))
-    wins
-      .join(dfByHash, Seq("h"))
+    // single pass over the exploded windows: collapse to (hash, doc) counts
+    // first (map-side partial agg), take cross-doc df as a window over the
+    // collapsed rows (no join back, no recompute of the explode+md5), then
+    // roll up per doc
+    val perDocHash = wins.groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("cnt"))
+    val wH = Window.partitionBy(col("h"))
+    perDocHash
+      .withColumn("docs_with", count(lit(1)).over(wH))
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("windows"),
-        sum(when(col("docs_with") >= 2, 1L).otherwise(0L)).as("dup_windows"))
+        sum(col("cnt")).as("windows"),
+        sum(when(col("docs_with") >= 2, col("cnt")).otherwise(0L)).as("dup_windows"))
       .withColumn(
         "dup_fraction",
         round(col("dup_windows").cast("double") / col("windows"), 4))
