@@ -20,14 +20,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Materialize through the noop sink, NOT count(): under a count(1)
+    // aggregate Catalyst prunes every deterministic projected column, so a
+    // pure-Column query (md5/regex chains) would be timed as a bare scan.
+    // The noop writer evaluates every output row in full.
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
     // JVM/codegen warmup on a cheap query so the first timed entry isn't
     // paying one-time compilation costs
-    try SparkEntry.queries("q_agg_filter")(spark, sfDir).count()
+    try run(SparkEntry.queries("q_agg_filter")(spark, sfDir))
     catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results

@@ -150,8 +150,10 @@ object SparkEntry {
       s.read.parquet(t(dir, "documents"))
         .select(
           col("doc_id"),
+          // explicit char class, not \s: Java's \s includes \x0B, RE2's
+          // does not — the explicit class is identical in both dialects
           regexp_replace(
-            regexp_replace(col("text"), "\\s+([.,;:!?])", "$1"),
+            regexp_replace(col("text"), "[ \\t\\n\\x0B\\f\\r]+([.,;:!?])", "$1"),
             "  +", " ").as("clean_text"))
     }),
     "q_quality_score" -> ((s, dir) =>
@@ -440,7 +442,7 @@ object SparkEntry {
          FROM s GROUP BY user_id""",
     "q_punct_normalize" ->
       """SELECT doc_id,
-         regexp_replace(regexp_replace(text, '\s+([.,;:!?])', '\1', 'g'),
+         regexp_replace(regexp_replace(text, '[ \t\n\x0B\f\r]+([.,;:!?])', '\1', 'g'),
                         '  +', ' ', 'g') AS clean_text
          FROM documents""",
     "q_quality_score" ->
@@ -530,7 +532,7 @@ object SparkEntry {
            substr(raw_url,
              length(regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', 0)) + 1)
            AS u FROM raw),
-         c2 AS (SELECT doc_id, raw_url, regexp_replace(u, '#.*', '', 'g') AS u FROM c1),
+         c2 AS (SELECT doc_id, raw_url, regexp_replace(u, '(?s)#.*', '', 'g') AS u FROM c1),
          c3 AS (SELECT doc_id, raw_url,
            regexp_replace(u, '^(http://[^/:?#]+):80([/?#].*)?$', '\1\2') AS u FROM c2),
          c4 AS (SELECT doc_id, raw_url,
@@ -575,6 +577,12 @@ object SparkEntry {
            WHERE len(list_intersect(a.s, b.s)) > 0)
          SELECT a_id, b_id, round(common::DOUBLE / un, 4) AS jaccard
          FROM pairs WHERE round(common::DOUBLE / un, 4) >= 0.8""",
+    // NOTE: this oracle is the EXACT all-pairs >= 0.8 set; minhashPairs is
+    // LSH-recall-bounded (16 bands x 4 rows: a pair at exactly 0.8 misses
+    // every band with prob ~2e-4). Equality holding on the fixed test corpus
+    // is a measured 100%-recall result, not a structural guarantee — if the
+    // corpus changes and this row ever mismatches by a missing pair, that is
+    // the documented LSH miss, not a code regression.
     "q_dedup_minhash" ->
       """WITH tok AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -133,6 +133,19 @@ object HtmlExtractor {
         } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
           val end = html.indexOf('>', i)
           i = if (end < 0) n else end + 1
+        } else if (i + 1 >= n ||
+          (!Character.isLetter(html.charAt(i + 1)) && html.charAt(i + 1) != '/')) {
+          // HTML5: '<' not followed by a letter (or '/') is literal text —
+          // "5 < 6" must not swallow content to the next '>' (and an
+          // apostrophe after a stray '<' must not eat the whole document
+          // via attribute-quote skipping)
+          appendChar(c)
+          i += 1
+        } else if (html.charAt(i + 1) == '/' &&
+          (i + 2 >= n || !Character.isLetter(html.charAt(i + 2)))) {
+          // HTML5 "bogus comment": '</' + non-letter consumes to '>'
+          val end = html.indexOf('>', i + 2)
+          i = if (end < 0) n else end + 1
         } else {
           val end = findTagEnd(html, i + 1)
           if (end < 0) { i = n } // truncated tag: drop the tail
@@ -152,7 +165,10 @@ object HtmlExtractor {
                 endWord()
                 if (text.nonEmpty && text.last != ' ') text.append(' ')
               } else if (name == "title") {
-                inTitle = !closing
+                // self-closing <title/> must not route the document into the
+                // title buffer
+                if (closing) inTitle = false
+                else if (!inner.endsWith("/")) inTitle = true
               } else if (BlockTags.contains(name)) {
                 flush(if (closing) "body" else name)
                 if (BoilerplateTags.contains(name)) {

@@ -19,6 +19,15 @@ object Aggregators {
     * finish = top-k with deterministic (count desc, token asc) tie-break.
     * The partial-aggregation shape means each partition ships one
     * vocab-sized map through the shuffle, never per-row data.
+    *
+    * Scale boundary: "vocab-sized" is only small for NATURAL-language
+    * vocabularies. On raw web text (numbers, urls, typos) the distinct-token
+    * count keeps growing with corpus size and the single global merge
+    * becomes the bottleneck — there, use the explode -> groupBy(token) ->
+    * count -> orderBy/limit formulation (fully distributed; the
+    * q_explode_tokens building block) or a sketched heavy-hitters pass.
+    * This Aggregator is the typed-UDAF taxonomy slot (SURVEY §2.12), right
+    * when the vocabulary genuinely is bounded.
     */
   final class TopKTokens(k: Int)
       extends Aggregator[String, mutable.HashMap[String, Long], Seq[TokenCount]] {

@@ -144,7 +144,9 @@ object TextAnalysis {
   def canonicalizeUrl(url: Column): Column = {
     val prefix = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*", 0)
     val lowered = concat(lower(prefix), url.substr(length(prefix) + lit(1), length(url)))
-    val noFrag = regexp_replace(lowered, "#.*", "")
+    // (?s): '.' matches line terminators identically in Java and RE2 (their
+    // default '.' classes differ on \r)
+    val noFrag = regexp_replace(lowered, "(?s)#.*", "")
     val noP80 = regexp_replace(noFrag, "^(http://[^/:?#]+):80([/?#].*)?$", "$1$2")
     val noP443 = regexp_replace(noP80, "^(https://[^/:?#]+):443([/?#].*)?$", "$1$2")
     val noTrack = regexp_replace(noP443, "[?&](utm_[^=&#]*|fbclid|gclid)=[^&#]*", "")

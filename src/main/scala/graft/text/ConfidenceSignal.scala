@@ -56,8 +56,12 @@ object ConfidenceSignal {
       var words = 0
       var minConf = Int.MaxValue
       valid.foreach { b =>
-        totalWeight += b.charWeight
-        weightedSum += b.conf.toDouble * b.charWeight
+        // floor the weight like the per-word form (math.max(1, len)): a
+        // valid block with charWeight 0 must not zero the denominator
+        // (NaN would blow up in round2's BigDecimal)
+        val w = math.max(1L, b.charWeight)
+        totalWeight += w
+        weightedSum += b.conf.toDouble * w
         words += b.wordCount
         if (b.conf < minConf) minConf = b.conf
       }

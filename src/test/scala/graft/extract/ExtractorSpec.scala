@@ -94,6 +94,33 @@ class HtmlExtractorSpec extends AnyFunSuite {
     assert(text.contains("link tail words"))
   }
 
+  test("stray '<' in body text is literal, not a tag open (HTML5)") {
+    val html = "<html><body><p>" + ("filler words here " * 6) +
+      "value 5 < 6 and 7 > 8 ok, isn't that nice, more words follow here" +
+      "</p><p>" + ("second paragraph content words " * 5) + "</p></body></html>"
+    val text = HtmlExtractor.extract(html).contentBlocks.map(_.text).mkString(" ")
+    assert(text.contains("5 < 6 and 7 > 8 ok"), s"got: $text")
+    assert(text.contains("isn't that nice"))
+    assert(text.contains("second paragraph content"), "document tail must survive a stray '<'")
+  }
+
+  test("self-closing <title/> does not swallow the document") {
+    val html = "<html><head><title/></head><body><p>" +
+      ("twelve words of real article content here for the block " * 3) +
+      "</p></body></html>"
+    val ex = HtmlExtractor.extract(html)
+    assert(ex.contentBlocks.nonEmpty, "body must not be routed into the title buffer")
+    assert(ex.contentBlocks.head.text.contains("real article content"))
+  }
+
+  test("'</' followed by a non-letter is a bogus comment, consumed to '>'") {
+    val html = "<html><body><p>" + ("content words here " * 8) +
+      "</ 3>tail words survive</p></body></html>"
+    val text = HtmlExtractor.extract(html).contentBlocks.map(_.text).mkString(" ")
+    assert(text.contains("tail words survive"), s"got: $text")
+    assert(!text.contains("3>"))
+  }
+
   test("heavy segmentation recovers content the fast rules missed") {
     // content split into many small paragraphs (each below MinContentWords)
     val paras = (1 to 8).map(i => s"<p>short real sentence number $i of text</p>").mkString
