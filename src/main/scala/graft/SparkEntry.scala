@@ -234,6 +234,12 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(s.read.parquet(t(dir, "documents")), n = 4, threshold = 0.8)(s)),
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(s.read.parquet(t(dir, "documents")), n = 4, threshold = 0.8)(s)),
+    // connected-component cluster ids over the exact near-dup pair set:
+    // each component keeps one survivor (doc_id == cluster_id)
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      Dedup.dupClusters(docs, Dedup.ngramJaccardPairs(docs, n = 4, threshold = 0.8)(s))(s)
+    }),
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashes(s.read.parquet(t(dir, "documents")))(s)),
     "q_dedup_simhash_pairs" -> ((s, dir) =>
@@ -577,6 +583,31 @@ object SparkEntry {
            WHERE len(list_intersect(a.s, b.s)) > 0)
          SELECT a_id, b_id, round(common::DOUBLE / un, 4) AS jaccard
          FROM pairs WHERE round(common::DOUBLE / un, 4) >= 0.8""",
+    // connected components over the same exact pair set, via a recursive
+    // min-label-reachability CTE; singletons keep their own id
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(w) < 4 THEN [array_to_string(w, ' ')]
+               ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                     for i in range(1, len(w) - 2)] END) AS s
+           FROM tok),
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s)) > 0
+             AND round(len(list_intersect(a.s, b.s))::DOUBLE /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.8),
+         edges AS (
+           SELECT a_id AS src, b_id AS dst FROM pairs
+           UNION ALL SELECT b_id, a_id FROM pairs),
+         reach(node, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+         SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node""",
     // NOTE: this oracle is the EXACT all-pairs >= 0.8 set; minhashPairs is
     // LSH-recall-bounded (16 bands x 4 rows: a pair at exactly 0.8 misses
     // every band with prob ~2e-4). Equality holding on the fixed test corpus

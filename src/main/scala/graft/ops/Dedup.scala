@@ -379,6 +379,55 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected-component dedup clusters over a near-dup PAIR set: every doc
+    * gets `cluster_id` = the smallest doc_id reachable through the pairs
+    * (docs in no pair keep their own id) — the step a training pipeline runs
+    * after candidate generation, so each near-dup component keeps exactly
+    * one survivor (`doc_id == cluster_id`).
+    *
+    * Iterative smallest-label propagation with a driver convergence loop:
+    * each iteration is one edge-label join + min-aggregate, labels persisted
+    * per round (bounded lineage), convergence when no label shrinks. The
+    * iteration count is the component diameter — near-dup components are
+    * near-cliques, so 2-3 rounds in practice; at web scale with adversarial
+    * long-chain graphs the alternating large-star/small-star CC (Kiveris et
+    * al.) drops in behind the same signature.
+    */
+  def dupClusters(docs: DataFrame, pairs: DataFrame)(
+      implicit spark: SparkSession): DataFrame = {
+    // eager local checkpoints per round: without lineage truncation every
+    // iteration's logical plan embeds all previous rounds and Catalyst
+    // analysis cost explodes (classic iterative-DataFrame pitfall)
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint(true)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(min(col("cluster_id")).as("neighbor_min"))
+      val updated = labels
+        .join(neighborMin.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      changed = updated
+        .withColumnRenamed("cluster_id", "new_label")
+        .join(labels, Seq("doc_id"))
+        .filter(col("new_label") < col("cluster_id"))
+        .count()
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
   /** Embedding cosine near-dup pairs, blocked by `label` (the cluster id the
     * table carries) — the blocking join keeps the pair space linear-ish; the
     * cosine is computed with codegen'd higher-order functions, in double

@@ -135,6 +135,23 @@ class DedupSpec extends AnyFunSuite {
     assert(found == brute, s"missing=${(brute -- found).take(5)} extra=${(found -- brute).take(5)}")
   }
 
+  test("dup clusters: connected components with min-id survivors") {
+    // components: {0,1,3} (chain 0-1, 0-3), {2,5}, singletons 4, 6
+    val nodes = (0L to 6L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L, 1.0), (0L, 3L, 1.0), (2L, 5L, 1.0))
+      .toDF("a_id", "b_id", "jaccard")
+    val r = Dedup.dupClusters(nodes, pairs)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(0L -> 0L, 1L -> 0L, 3L -> 0L, 2L -> 2L, 5L -> 2L, 4L -> 4L, 6L -> 6L))
+    // a long chain needs diameter iterations, not one
+    val chain = (0L to 9L).sliding(2).map(p => (p(0), p(1), 1.0)).toSeq
+      .toDF("a_id", "b_id", "jaccard")
+    val nodes10 = (0L to 9L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val rc = Dedup.dupClusters(nodes10, chain)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(rc.values.toSet == Set(0L), s"chain must collapse to one cluster: $rc")
+  }
+
   test("passage dedup: cross-doc duplicated windows counted, within-doc repeats not") {
     val corpus = Seq(
       // docs 0 and 1 share a verbatim 12-token passage; doc 2 is unrelated;
