@@ -32,17 +32,20 @@ object Bench {
     try run(SparkEntry.queries("q_agg_filter")(spark, sfDir))
     catch { case _: Throwable => () }
 
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+      try run(fn(spark, sfDir))
+      catch { case _: Throwable => failed += name } // marked, never silent
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     // The driver parses this from noisy sbt logs: print it AND write it to a
     // side file so `parsed` never comes back null (VERDICT r1 "What's wrong" #5)
     println(json)

@@ -584,7 +584,13 @@ object SparkEntry {
          SELECT a_id, b_id, round(common::DOUBLE / un, 4) AS jaccard
          FROM pairs WHERE round(common::DOUBLE / un, 4) >= 0.8""",
     // connected components over the same exact pair set, via a recursive
-    // min-label-reachability CTE; singletons keep their own id
+    // min-label-reachability CTE; singletons keep their own id.
+    // NOTE: like q_dedup_ngram, this oracle computes UNCAPPED exact pairs
+    // while the Spark side applies ngramJaccardPairs' maxShingleDf (which
+    // never binds on this corpus, max df 6 vs cap 128); if the corpus ever
+    // grows a >128-df boilerplate shingle, a pair diff here is the
+    // documented cap, amplified through the component merge — not a code
+    // regression
     "q_dedup_clusters" ->
       """WITH RECURSIVE tok AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),

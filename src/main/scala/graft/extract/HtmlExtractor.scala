@@ -134,15 +134,16 @@ object HtmlExtractor {
           val end = html.indexOf('>', i)
           i = if (end < 0) n else end + 1
         } else if (i + 1 >= n ||
-          (!Character.isLetter(html.charAt(i + 1)) && html.charAt(i + 1) != '/')) {
-          // HTML5: '<' not followed by a letter (or '/') is literal text —
-          // "5 < 6" must not swallow content to the next '>' (and an
-          // apostrophe after a stray '<' must not eat the whole document
-          // via attribute-quote skipping)
+          (!isAsciiLetter(html.charAt(i + 1)) && html.charAt(i + 1) != '/')) {
+          // HTML5: '<' not followed by an ASCII letter (or '/') is literal
+          // text — "5 < 6" must not swallow content to the next '>' (and an
+          // apostrophe after a stray '<' must not eat the whole document via
+          // attribute-quote skipping). ASCII letter per the spec's tag-open
+          // state: '<' before a non-ASCII letter is literal too.
           appendChar(c)
           i += 1
         } else if (html.charAt(i + 1) == '/' &&
-          (i + 2 >= n || !Character.isLetter(html.charAt(i + 2)))) {
+          (i + 2 >= n || !isAsciiLetter(html.charAt(i + 2)))) {
           // HTML5 "bogus comment": '</' + non-letter consumes to '>'
           val end = html.indexOf('>', i + 2)
           i = if (end < 0) n else end + 1
@@ -155,12 +156,13 @@ object HtmlExtractor {
             val raw = if (closing) inner.substring(1) else inner
             val name = raw.takeWhile(ch => Character.isLetterOrDigit(ch)).toLowerCase
             if (name.nonEmpty) {
-              if (!closing && SkipContentTags.contains(name) && !inner.endsWith("/"))
+              val selfClosing = isSelfClosing(inner, name)
+              if (!closing && SkipContentTags.contains(name) && !selfClosing)
                 skipUntil = name
               else if (name == "a") {
                 endWord()
                 if (closing) anchorDepth = math.max(0, anchorDepth - 1)
-                else if (!inner.endsWith("/")) anchorDepth += 1
+                else if (!selfClosing) anchorDepth += 1
               } else if (name == "br") {
                 endWord()
                 if (text.nonEmpty && text.last != ' ') text.append(' ')
@@ -168,7 +170,7 @@ object HtmlExtractor {
                 // self-closing <title/> must not route the document into the
                 // title buffer
                 if (closing) inTitle = false
-                else if (!inner.endsWith("/")) inTitle = true
+                else if (!selfClosing) inTitle = true
               } else if (BlockTags.contains(name)) {
                 flush(if (closing) "body" else name)
                 if (BoilerplateTags.contains(name)) {
@@ -214,6 +216,23 @@ object HtmlExtractor {
   /** Find the closing '>' of a tag starting after '<', skipping quoted
     * attribute values (an href containing '>' must not end the tag).
     */
+  private def isAsciiLetter(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  /** XHTML-style self-closing flag: a trailing '/' counts only when it is
+    * the whole tag (`<br/>`) or preceded by whitespace or a closing quote
+    * (`<img src="x" />`). A '/' ending an UNQUOTED attribute value
+    * (`<title data-href=http://x/>`) is part of the value per HTML5 and
+    * must not make the element self-closing.
+    */
+  private def isSelfClosing(inner: String, name: String): Boolean =
+    inner.endsWith("/") && {
+      inner.length == name.length + 1 || {
+        val before = inner.charAt(inner.length - 2)
+        Character.isWhitespace(before) || before == '"' || before == '\''
+      }
+    }
+
   private def findTagEnd(html: String, from: Int): Int = {
     var i = from
     val n = html.length

@@ -393,19 +393,23 @@ object Dedup {
     * long-chain graphs the alternating large-star/small-star CC (Kiveris et
     * al.) drops in behind the same signature.
     */
-  def dupClusters(docs: DataFrame, pairs: DataFrame)(
+  def dupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 50)(
       implicit spark: SparkSession): DataFrame = {
     // eager local checkpoints per round: without lineage truncation every
     // iteration's logical plan embeds all previous rounds and Catalyst
-    // analysis cost explodes (classic iterative-DataFrame pitfall)
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // analysis cost explodes (classic iterative-DataFrame pitfall).
+    // Pair generation is checkpointed ONCE before deriving both edge
+    // directions — a plain union would embed (and re-execute) the expensive
+    // pair subtree twice.
+    val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint(true)
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 50) {
+    while (changed > 0 && iter < maxIters) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
         .groupBy(col("dst"))
@@ -425,6 +429,12 @@ object Dedup {
       labels = updated
       iter += 1
     }
+    // a silent non-converged return would hand out WRONG cluster ids (one
+    // component, several "survivors") — fail loudly; raise maxIters for
+    // pathological long-chain graphs (or switch to large-star/small-star)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIters iterations ($changed labels still shrinking)")
     labels
   }
 
