@@ -113,12 +113,25 @@ object Dedup {
   /** Annotate every row with its exact-dup canonical id (min id over the
     * md5(text) group) and a duplicate flag — the form a training-data
     * pipeline consumes (filter `!is_duplicate` keeps one survivor per
-    * content hash). One window over one hash shuffle.
+    * content hash).
+    *
+    * Skew-immune formulation: the canonical id is a partial-aggregated
+    * `groupBy(hash).min(id)` joined back, NOT a window. A window partition
+    * is processed by ONE task, so a mass-duplicate content hash (10^7+
+    * copies of a boilerplate page at web scale) would pin its entire
+    * posting list on a single spilling task; under partial aggregation the
+    * hot hash shrinks to one row per map task before the shuffle, and the
+    * join-back's hot probe partition is AQE-skew-splittable (the build side
+    * is one row per hash, so duplicating it across splits is free).
     */
   def markDuplicates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol)))
-    docs
-      .withColumn("canonical_id", min(col(idCol)).over(w))
+    val hashed = docs.withColumn("__text_hash", md5(col(textCol)))
+    val canon = hashed
+      .groupBy(col("__text_hash"))
+      .agg(min(col(idCol)).as("canonical_id"))
+    hashed
+      .join(canon, Seq("__text_hash"))
+      .drop("__text_hash")
       .withColumn("is_duplicate", col(idCol) =!= col("canonical_id"))
   }
 
@@ -162,32 +175,35 @@ object Dedup {
       .map { case (id, text) => (id, shingleHashes(text, n)) }
       .toDF("doc_id", "shingles")
     val posts0 = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    // document frequency per shingle: one window over the same `sh` shuffle
-    // the self-join needs (no list materialization — a mega-shingle costs a
-    // count, never a collect)
-    val wSh = Window.partitionBy(col("sh"))
+    // Document frequency per shingle: a partial-aggregated groupBy joined
+    // back, NOT a window. A window partition runs on ONE task, so a
+    // corpus-common boilerplate shingle (df 10^7-10^8 at web scale) would
+    // land its whole posting list on a single spilling task BEFORE the df
+    // cap could drop it; under partial aggregation the hot shingle shrinks
+    // to one row per map task. The inner join against the pre-filtered
+    // low-df table both annotates and drops capped shingles in one step
+    // (hot probe partitions are AQE-skew-splittable: one build row per key).
+    val dfTab = posts0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val kept = posts0
-      .withColumn("df", count(lit(1)).over(wSh))
-      .filter(col("df") <= maxShingleDf)
-      .drop("df")
+      .join(dfTab.filter(col("df") <= maxShingleDf).select(col("sh")), Seq("sh"))
     if (logDropped) {
-      val dropped = posts0
-        .groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxShingleDf)
-        .count()
+      val dropped = dfTab.filter(col("df") > maxShingleDf).count()
       println(s"ngramJaccardPairs: dropped $dropped shingles with df > $maxShingleDf")
     }
     // per-doc set size over the SAME kept universe as the intersection —
     // numerator and denominator must agree or dropped boilerplate would
-    // depress the Jaccard of genuinely identical pairs
-    val wDoc = Window.partitionBy(col("doc_id"))
-    val posts = kept.withColumn("n_sh", count(lit(1)).over(wDoc))
-    val a = posts.select(col("sh"), col("doc_id").as("a_id"), col("n_sh").as("a_n"))
-    val b = posts.select(col("sh"), col("doc_id").as("b_id"), col("n_sh").as("b_n"))
+    // depress the Jaccard of genuinely identical pairs. Joined onto the
+    // AGGREGATED pair table (one row per candidate pair), not carried
+    // through the wide self-join.
+    val docSizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = kept.select(col("sh"), col("doc_id").as("a_id"))
+    val b = kept.select(col("sh"), col("doc_id").as("b_id"))
     a.join(b, Seq("sh"))
       .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
+      .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("common"))
+      .join(docSizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")), Seq("a_id"))
+      .join(docSizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_n")), Seq("b_id"))
       .withColumn(
         "jaccard",
         round(col("common").cast("double") / (col("a_n") + col("b_n") - col("common")), 4))
@@ -476,6 +492,15 @@ object Dedup {
     * per-doc rollup — both partial-aggregated, no arrays ever collected.
     * Cross-doc df is computed on (hash, doc) DISTINCT postings, so a phrase
     * repeated inside ONE document does not count as duplication.
+    *
+    * Skew discipline: cross-doc df is a partial-aggregated groupBy over the
+    * collapsed (hash, doc) rows joined back — not a window. A boilerplate
+    * passage shared by 10^7 docs would otherwise pin one window task with
+    * its whole posting list; partial aggregation shrinks it to one row per
+    * map task, and the join-back's hot probe partition splits under AQE.
+    * The explode+md5 map side is NOT recomputed for the second consumer:
+    * both branches read the identical (h, doc_id) exchange, which Spark
+    * reuses (ReusedExchange — asserted in tests).
     */
   def passageDupStats(docs: DataFrame, n: Int = 10): DataFrame = {
     val toks = split(col("text"), " ")
@@ -485,14 +510,17 @@ object Dedup {
       .filter(col("nw") > 0)
       .select(col("doc_id"), explode(sequence(lit(1), col("nw"))).as("i"), col("t"))
       .select(col("doc_id"), md5(array_join(slice(col("t"), col("i"), lit(n)), " ")).as("h"))
-    // single pass over the exploded windows: collapse to (hash, doc) counts
-    // first (map-side partial agg), take cross-doc df as a window over the
-    // collapsed rows (no join back, no recompute of the explode+md5), then
-    // roll up per doc
     val perDocHash = wins.groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("cnt"))
-    val wH = Window.partitionBy(col("h"))
+    // The trivially-true filter pins `cnt` against column pruning: without it
+    // Catalyst prunes the count out of THIS branch's partial aggregate, the
+    // two (h, doc_id) exchanges stop being identical, and ReuseExchange no
+    // longer fires — the explode+md5 map side would run twice (verified in
+    // the plan; count(1) >= 1 always holds for an aggregate output row).
+    val dfTab = perDocHash
+      .filter(col("cnt") >= 1)
+      .groupBy(col("h")).agg(count(lit(1)).as("docs_with"))
     perDocHash
-      .withColumn("docs_with", count(lit(1)).over(wH))
+      .join(dfTab, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("cnt")).as("windows"),
