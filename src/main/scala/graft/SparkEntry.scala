@@ -213,9 +213,17 @@ object SparkEntry {
         .select(id, col("raw_url"),
           TextAnalysis.canonicalizeUrl(col("raw_url")).as("canonical_url"))
     }),
-    "q_topk_tokens" -> ((s, dir) => {
-      // corpus top-k token frequency via a typed Aggregator (one-pass,
-      // vocab-sized partial buffers)
+    "q_topk_tokens" -> ((s, dir) =>
+      // corpus top-k token frequency, fully distributed (explode ->
+      // groupBy -> TakeOrderedAndProject) — the raw-web-vocab-safe shipped
+      // operator; the typed Aggregator variant (bounded vocab) stays
+      // available as Aggregators.TopKTokens and is exercised by
+      // q_topk_tokens_agg below
+      TextAnalysis.topKTokensDistributed(s.read.parquet(t(dir, "documents")), k = 20)),
+    "q_topk_tokens_agg" -> ((s, dir) => {
+      // same top-k via the typed Aggregator (one-pass, vocab-sized partial
+      // buffers) — the UDAF-taxonomy slot, right when the vocabulary is
+      // genuinely bounded; must agree with the distributed form
       val topk = udf_topk(s)
       s.read.parquet(t(dir, "documents"))
         .agg(topk(col("text")).as("top"))
@@ -239,6 +247,12 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, dir) => {
       val docs = s.read.parquet(t(dir, "documents"))
       Dedup.dupClusters(docs, Dedup.ngramJaccardPairs(docs, n = 4, threshold = 0.8)(s))(s)
+    }),
+    // same labelling via alternating large-star/small-star contraction —
+    // the adversarial-diameter drop-in, held to the identical oracle
+    "q_dedup_clusters_star" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      Dedup.dupClustersStar(docs, Dedup.ngramJaccardPairs(docs, n = 4, threshold = 0.8)(s))(s)
     }),
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashes(s.read.parquet(t(dir, "documents")))(s)),
@@ -374,6 +388,34 @@ object SparkEntry {
                ELSE 0 END)::BIGINT AS simhash
            FROM bits GROUP BY doc_id) s ON d.doc_id = s.doc_id)"""
   }
+
+  /** Implementation-independent connected-components oracle (recursive
+    * min-label reachability over the exact >=0.8 n-gram pair set) — shared
+    * by the label-propagation and star-contraction cluster queries.
+    */
+  private val ClustersOracleSql: String =
+    """WITH RECURSIVE tok AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       sh AS (
+         SELECT doc_id,
+           list_distinct(CASE WHEN len(w) < 4 THEN [array_to_string(w, ' ')]
+             ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                   for i in range(1, len(w) - 2)] END) AS s
+         FROM tok),
+       pairs AS (
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.s, b.s)) > 0
+           AND round(len(list_intersect(a.s, b.s))::DOUBLE /
+               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.8),
+       edges AS (
+         SELECT a_id AS src, b_id AS dst FROM pairs
+         UNION ALL SELECT b_id, a_id FROM pairs),
+       reach(node, lbl) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+       SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node"""
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_simhash" ->
@@ -561,6 +603,14 @@ object SparkEntry {
          GROUP BY word
          ORDER BY count(*) DESC, word ASC
          LIMIT 20""",
+    "q_topk_tokens_agg" ->
+      """SELECT row_number() OVER (ORDER BY count(*) DESC, word ASC)::INT AS rank,
+         word AS token, count(*) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         WHERE word <> ''
+         GROUP BY word
+         ORDER BY count(*) DESC, word ASC
+         LIMIT 20""",
     "q_dedup_mark" ->
       """SELECT doc_id,
          min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
@@ -591,29 +641,10 @@ object SparkEntry {
     // grows a >128-df boilerplate shingle, a pair diff here is the
     // documented cap, amplified through the component merge — not a code
     // regression
-    "q_dedup_clusters" ->
-      """WITH RECURSIVE tok AS (
-           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         sh AS (
-           SELECT doc_id,
-             list_distinct(CASE WHEN len(w) < 4 THEN [array_to_string(w, ' ')]
-               ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
-                     for i in range(1, len(w) - 2)] END) AS s
-           FROM tok),
-         pairs AS (
-           SELECT a.doc_id AS a_id, b.doc_id AS b_id
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           WHERE len(list_intersect(a.s, b.s)) > 0
-             AND round(len(list_intersect(a.s, b.s))::DOUBLE /
-                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.8),
-         edges AS (
-           SELECT a_id AS src, b_id AS dst FROM pairs
-           UNION ALL SELECT b_id, a_id FROM pairs),
-         reach(node, lbl) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
-         SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node""",
+    "q_dedup_clusters" -> ClustersOracleSql,
+    // the star-contraction implementation must produce the identical
+    // component labelling — same implementation-independent oracle
+    "q_dedup_clusters_star" -> ClustersOracleSql,
     // NOTE: this oracle is the EXACT all-pairs >= 0.8 set; minhashPairs is
     // LSH-recall-bounded (16 bands x 4 rows: a pair at exactly 0.8 misses
     // every band with prob ~2e-4). Equality holding on the fixed test corpus

@@ -152,7 +152,7 @@ object ExtractionJob {
     val sampled =
       if (cfg.skewSampleFraction >= 1.0) pages else pages.sample(cfg.skewSampleFraction, 42L)
     val counts = sampled
-      .select(regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1).as("host"))
+      .select(graft.ops.TextAnalysis.hostOf(col("url")).as("host"))
       .groupBy("host")
       .count()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -192,7 +192,7 @@ object ExtractionJob {
     groups.foreach(g => df = df.filter(col("commit_group").isInCollection(g)))
     if (cfg.repartitionInput) {
       df = df
-        .withColumn("host", regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1))
+        .withColumn("host", graft.ops.TextAnalysis.hostOf(col("url")))
         .withColumn(
           "salted_key",
           when(

@@ -395,6 +395,20 @@ object Dedup {
       .distinct()
   }
 
+  /** Lineage truncation for iterative plans: reliable `checkpoint()` when
+    * the session has a checkpoint directory configured, eager
+    * `localCheckpoint` otherwise. Local checkpoints store their blocks ON
+    * the executors — fast, but NOT fault-tolerant: at cluster scale a
+    * single executor loss (or dynamic-allocation decommission) mid-loop
+    * kills the job unrecoverably. Production deployments must call
+    * `spark.sparkContext.setCheckpointDir(...)` so every round's state
+    * lands on reliable storage and the loop survives executor churn; the
+    * local fallback is the single-JVM / test default.
+    */
+  private def truncateLineage(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint(true)
+
   /** Connected-component dedup clusters over a near-dup PAIR set: every doc
     * gets `cluster_id` = the smallest doc_id reachable through the pairs
     * (docs in no pair keep their own id) — the step a training pipeline runs
@@ -405,24 +419,25 @@ object Dedup {
     * each iteration is one edge-label join + min-aggregate, labels persisted
     * per round (bounded lineage), convergence when no label shrinks. The
     * iteration count is the component diameter — near-dup components are
-    * near-cliques, so 2-3 rounds in practice; at web scale with adversarial
-    * long-chain graphs the alternating large-star/small-star CC (Kiveris et
-    * al.) drops in behind the same signature.
+    * near-cliques, so 2-3 rounds in practice; for adversarial long-chain
+    * graphs use [[dupClustersStar]] (same signature, O(log^2 n) rounds on
+    * any diameter). Checkpointing is reliable when a checkpoint dir is set
+    * (see [[truncateLineage]]).
     */
   def dupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 50)(
       implicit spark: SparkSession): DataFrame = {
-    // eager local checkpoints per round: without lineage truncation every
+    // eager checkpoints per round: without lineage truncation every
     // iteration's logical plan embeds all previous rounds and Catalyst
     // analysis cost explodes (classic iterative-DataFrame pitfall).
     // Pair generation is checkpointed ONCE before deriving both edge
     // directions — a plain union would embed (and re-execute) the expensive
     // pair subtree twice.
-    val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
-    val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint(true)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .localCheckpoint(true)
+    val p = truncateLineage(pairs.select(col("a_id"), col("b_id")))
+    val edges = truncateLineage(
+      p.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(p.select(col("b_id").as("src"), col("a_id").as("dst"))))
+    var labels = truncateLineage(
+      docs.select(col("doc_id"), col("doc_id").as("cluster_id")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -430,13 +445,13 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
         .groupBy(col("dst"))
         .agg(min(col("cluster_id")).as("neighbor_min"))
-      val updated = labels
-        .join(neighborMin.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
-        .select(
-          col("doc_id"),
-          least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint(true)
+      val updated = truncateLineage(
+        labels
+          .join(neighborMin.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
+              .as("cluster_id")))
       changed = updated
         .withColumnRenamed("cluster_id", "new_label")
         .join(labels, Seq("doc_id"))
@@ -452,6 +467,82 @@ object Dedup {
       throw new IllegalStateException(
         s"dupClusters did not converge in $maxIters iterations ($changed labels still shrinking)")
     labels
+  }
+
+  /** Large-star step (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC 2014 §3): for every node u, connect each STRICTLY
+    * LARGER neighbor to m = min(N(u) ∪ {u}). All per-node statistics are
+    * partial-aggregated groupBys (a hub node shrinks to one row per map
+    * task); output edges always point larger -> smaller.
+    */
+  private def largeStarStep(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+    sym.join(mins, Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star step: point every edge from its larger endpoint; for every
+    * node u, connect u and each of its (smaller) neighbors to
+    * m = min(N(u)); edges stay larger -> smaller.
+    */
+  private def smallStarStep(edges: DataFrame): DataFrame = {
+    val dir = edges.select(
+      greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val mins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+    dir.join(mins, Seq("u"))
+      .select(col("v").as("a"), col("m").as("b"))
+      .union(mins.select(col("u").as("a"), col("m").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .select(col("a").as("u"), col("b").as("v"))
+  }
+
+  /** [[dupClusters]] via alternating large-star / small-star contraction
+    * (Kiveris et al., SoCC 2014) — same signature, same output contract
+    * (`cluster_id` = smallest reachable doc_id). Converges in O(log^2 n)
+    * rounds on ANY graph shape, vs label propagation's diameter-many
+    * rounds: the drop-in for adversarial long-chain graphs (a 1000-node
+    * chain converges in ~10 rounds here vs 999 there — tested). Per-round
+    * state is one edge set, truncated via [[truncateLineage]] (reliable
+    * when a checkpoint dir is set). Convergence = the round's edge set is
+    * IDENTICAL to the previous round's (count gate first, then an exact
+    * exceptAll diff — never a hash heuristic, a false convergence would
+    * silently emit multiple survivors per component).
+    */
+  def dupClustersStar(docs: DataFrame, pairs: DataFrame, maxIters: Int = 40)(
+      implicit spark: SparkSession): DataFrame = {
+    val p = truncateLineage(pairs.select(col("a_id"), col("b_id")))
+    var edges = truncateLineage(
+      p.select(greatest(col("a_id"), col("b_id")).as("u"),
+          least(col("a_id"), col("b_id")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct())
+    var prevCount = edges.count()
+    var converged = prevCount == 0
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val next = truncateLineage(smallStarStep(largeStarStep(edges)))
+      val cnt = next.count()
+      converged = cnt == prevCount && next.exceptAll(edges).isEmpty
+      edges = next
+      prevCount = cnt
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClustersStar did not converge in $maxIters iterations ($prevCount edges)")
+    // converged state is a min-rooted star per component: every non-root
+    // points directly at its component minimum
+    docs.select(col("doc_id"))
+      .join(edges.select(col("u").as("doc_id"), col("v").as("root")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
   }
 
   /** Embedding cosine near-dup pairs, blocked by `label` (the cluster id the

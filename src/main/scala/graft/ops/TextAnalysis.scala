@@ -116,6 +116,33 @@ object TextAnalysis {
         sum(length(col("text"))).as("total_chars"),
         round(avg(tokenCount(col("text"))), 4).as("avg_tokens"))
 
+  /** Corpus top-k token frequency, fully distributed — the formulation to
+    * reach for on raw web text, where the distinct-token count (numbers,
+    * urls, typos) grows with corpus size: explode -> partial-aggregated
+    * groupBy(token) -> global top-k. The final ordering compiles to
+    * TakeOrderedAndProject (each partition ships only its own top k rows),
+    * so no task ever holds a vocab-sized structure — unlike the typed
+    * [[Aggregators.TopKTokens]] Aggregator, whose single vocab-sized merge
+    * is the right tool only when the vocabulary genuinely is bounded.
+    * Deterministic tie-break: (count desc, token asc).
+    */
+  def topKTokensDistributed(docs: DataFrame, k: Int = 20): DataFrame = {
+    val counts = docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+    // the rank window runs over the k already-selected rows (one tiny
+    // partition by construction), never over the corpus
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token").asc)
+    counts
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("rank"), col("token"), col("cnt"))
+  }
+
   /** Content fingerprint: md5 of the normalized text (lowercase, trimmed) —
     * the document-fingerprinting slot; cheap, exact, engine-independent.
     */
@@ -141,6 +168,16 @@ object TextAnalysis {
     * codegen, no UDF, and every pattern is RE2-compatible so an ANSI SQL
     * oracle (DuckDB) reproduces it exactly.
     */
+  /** Lowercased host (authority) of a url, with the same case-insensitive
+    * scheme handling as [[canonicalizeUrl]] — the shared expression for
+    * host-keyed partitioning/salting decisions. A case-sensitive `[a-z]+`
+    * scheme match would give every `HTTPS://...` url an EMPTY host: a
+    * skewed crawl with non-lowercase schemes would evade salting entirely
+    * (and all its rows would hash together under one empty key).
+    */
+  def hostOf(url: Column): Column =
+    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)", 1))
+
   def canonicalizeUrl(url: Column): Column = {
     val prefix = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*", 0)
     val lowered = concat(lower(prefix), url.substr(length(prefix) + lit(1), length(url)))

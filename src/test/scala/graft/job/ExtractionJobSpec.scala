@@ -127,6 +127,19 @@ class ExtractionJobSpec extends AnyFunSuite {
     assert(all.select("url").distinct().count() == 120)
   }
 
+  test("skew detection is scheme-case-robust (HTTPS:// hosts land in the salted branch)") {
+    import spark.implicits._
+    // 60% of rows on one host, written with an UPPERCASE scheme and
+    // mixed-case authority — a case-sensitive host extract would read an
+    // empty host for every one of them and the mega-host would evade salting
+    val urls = (0 until 100).map { i =>
+      if (i < 60) s"HTTPS://Skew.Example.COM/page$i" else s"https://unique$i.org/p"
+    }.toDF("url")
+    val c = cfg.copy(skewSampleFraction = 1.0, skewHostShare = 0.3)
+    val skewed = ExtractionJob.detectSkewedHosts(urls, c)
+    assert(skewed == Set("skew.example.com"), s"got $skewed")
+  }
+
   test("results are independent of parallelism, salting and heavy mode (plan-only knobs)") {
     val pages = CorpusGen.pages(spark, 100).toDF()
     def run(c: ExtractionJob.JobConfig, hosts: Set[String]) =

@@ -152,6 +152,48 @@ class DedupSpec extends AnyFunSuite {
     assert(rc.values.toSet == Set(0L), s"chain must collapse to one cluster: $rc")
   }
 
+  test("star-contraction clusters agree with label propagation") {
+    val nodes = (0L to 6L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L, 1.0), (0L, 3L, 1.0), (2L, 5L, 1.0))
+      .toDF("a_id", "b_id", "jaccard")
+    val star = Dedup.dupClustersStar(nodes, pairs)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val prop = Dedup.dupClusters(nodes, pairs)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(star == prop)
+  }
+
+  test("star contraction collapses a 1000-node chain within the round bound") {
+    // diameter 999: label propagation would need 999 rounds (and throw at
+    // its default 50); star contraction is O(log^2 n) on any shape
+    val n = 1000L
+    val nodes = (0L until n).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val chain = (0L until n - 1).map(i => (i, i + 1, 1.0)).toDF("a_id", "b_id", "jaccard")
+    val r = Dedup.dupClustersStar(nodes, chain, maxIters = 25)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.size == 1000 && r.values.toSet == Set(0L))
+  }
+
+  test("iterative CC uses reliable checkpoints when a checkpoint dir is set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    try {
+      spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
+      val nodes = (0L to 5L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+      val pairs = Seq((0L, 1L, 1.0), (1L, 2L, 1.0)).toDF("a_id", "b_id", "jaccard")
+      val r = Dedup.dupClustersStar(nodes, pairs)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(r(2L) == 0L && r(5L) == 5L)
+      // fault-tolerant state actually landed on (shared) storage
+      val wrote = java.nio.file.Files.walk(dir.toPath).filter(_.toFile.isFile).count()
+      assert(wrote > 0, "expected reliable checkpoint files under the checkpoint dir")
+    } finally {
+      // the session is shared across suites: later iterative tests simply
+      // keep using reliable checkpoints rooted here (correctness-neutral)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+      ()
+    }
+  }
+
   test("passage dedup: cross-doc duplicated windows counted, within-doc repeats not") {
     val corpus = Seq(
       // docs 0 and 1 share a verbatim 12-token passage; doc 2 is unrelated;
@@ -351,10 +393,51 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("hostOf: case-insensitive scheme, lowercased authority, port kept, path/query excluded") {
+    val cases = Seq(
+      "HTTPS://Host.COM/Path?q=1" -> "host.com",
+      "http://host.org:8443/x" -> "host.org:8443",
+      "ftp+ssh://A.B.C" -> "a.b.c",
+      "https://h?q=1" -> "h", // query directly after authority
+      "not a url" -> "")
+    val df = cases.map(_._1).zipWithIndex.map { case (u, i) => (i, u) }.toDF("i", "u")
+    val got = df.select(col("i"), TextAnalysis.hostOf(col("u")).as("h"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i) == want, s"$in -> ${got(i)} (want $want)")
+    }
+  }
+
   test("fingerprint is case/whitespace normalized") {
     val df = Seq((1L, "  Hello World "), (2L, "hello world")).toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprint(df).collect().map(_.getAs[String]("fingerprint"))
     assert(fp(0) == fp(1))
+  }
+
+  test("distributed top-k tokens: TakeOrderedAndProject plan, agrees with the Aggregator") {
+    val df = (0 until 50).map { i =>
+      // 'alpha' in every doc, 'beta' in even docs, unique tail tokens
+      (i.toLong, s"alpha ${if (i % 2 == 0) "beta" else s"odd$i"} tail$i")
+    }.toDF("doc_id", "text")
+    val dist = TextAnalysis.topKTokensDistributed(df, k = 5)
+    val r = dist.collect().map(x =>
+      (x.getAs[Int]("rank"), x.getAs[String]("token"), x.getAs[Long]("cnt")))
+    assert(r.take(2).toSeq == Seq((1, "alpha", 50L), (2, "beta", 25L)))
+    assert(r.length == 5)
+    // rank 3..5 are the lexicographically-first count-1 tokens (tie-break)
+    assert(r(2)._2 < r(3)._2 && r(3)._2 < r(4)._2 && r(2)._3 == 1L)
+    // the global top-k must be a distributed TakeOrderedAndProject (each
+    // partition ships only its own top k), never a single vocab-sized merge
+    assert(dist.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    assert(dist.queryExecution.executedPlan.toString.contains("partial_count"))
+    // the bounded-vocab Aggregator must agree on the same corpus
+    val topk = org.apache.spark.sql.functions.udaf(new Aggregators.TopKTokens(5))
+    val agg = df.agg(topk(col("text")).as("top"))
+      .select(posexplode(col("top")).as(Seq("rank0", "tc")))
+      .select((col("rank0") + 1).cast("int").as("rank"),
+        col("tc.token").as("token"), col("tc.cnt").as("cnt"))
+      .collect().map(x => (x.getInt(0), x.getString(1), x.getLong(2)))
+    assert(agg.toSeq == r.toSeq)
   }
 }
 
