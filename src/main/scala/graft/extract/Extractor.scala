@@ -221,46 +221,98 @@ object Extractor {
     if (row.html == null || row.html.isEmpty) fast // nothing better available
     else
       if (PdfExtractor.isPdf(row.html)) {
-        PdfExtractor.heavyExtract(row.html) match {
+        PdfExtractor.parse(row.html) match {
           case Left(_) => fast // unparseable: keep fast output (pipeline.py:717-722)
-          case Right(ex) =>
-            if (ex.columns.isEmpty) return fast
-            val (text0, _, counts0) = assemble(ex.columns)
-            if (text0.isEmpty) return fast
+          case Right(pages) =>
+            // Selective page reprocessing (the reference's phase-2 contract:
+            // only FLAGGED pages reach the expensive engine,
+            // pipeline.py:451): each page's fast extraction is re-scored on
+            // its own, and only failing pages are re-segmented — passing
+            // pages keep their fast columns, spliced back in page order.
+            // A doc whose doc-LEVEL quality flagged but whose pages all
+            // pass individually (aggregate effect) re-segments everything,
+            // as does the all-pages-flagged case.
+            val analyzer = cfg.analyzer
+            val perPage = pages.zipWithIndex.map { case (pg, pi) =>
+              val fastCols = PdfExtractor.extractPage(pg, pi)
+              val (pText, _, _) = assemble(fastCols)
+              val q = analyzer.analyze(pText)
+              (pg, pi, fastCols, q.flagged || q.score < cfg.threshold)
+            }
+            val nFlagged = perPage.count(_._4)
+            def heavyCols(pg: PdfExtractor.Page, pi: Int) =
+              PdfExtractor.heavyExtractPage(pg, pi).map { case (k, t) => (s"heavy-$k", t) }
+            val columns: Vector[(String, String)] =
+              if (nFlagged == 0 || nFlagged == pages.length)
+                pages.zipWithIndex.flatMap { case (pg, pi) => heavyCols(pg, pi) }
+              else
+                perPage.flatMap { case (pg, pi, fastCols, flagged) =>
+                  if (flagged) heavyCols(pg, pi) else fastCols
+                }
+            if (columns.isEmpty) return fast
+            val spliced = nFlagged > 0 && nFlagged < pages.length &&
+              columns.exists(!_._1.startsWith("heavy-"))
             // the PDF path has no block-margin confidence source (parity with
             // fastExtract's PDF branch): three-signal analyze
-            heavyResult(row, fast, cfg, text0, counts0, None)
+            heavyResult(row, fast, cfg, columns,
+              if (spliced) Engines.Mixed else Engines.Heavy, None)
         }
       } else {
         val html = new String(row.html, StandardCharsets.UTF_8)
         val ex = HtmlExtractor.heavySegment(html)
         val content = ex.contentBlocks
         if (content.isEmpty) return fast
-        val (text0, _, counts0) = assemble(content.map(b => (b.tag, b.text)))
-        heavyResult(row, fast, cfg, text0, counts0,
+        heavyResult(row, fast, cfg,
+          content.map(b => (s"heavy-${b.tag}", b.text)), Engines.Heavy,
           Some(ConfidenceSignal.scoreBlocks(confidenceData(content))))
       }
+  }
+
+  /** Span offsets for the doubly-postprocessed heavy text. Each source
+    * block is double-postprocessed independently and rejoined: when that
+    * reproduces the final doc-level text byte-for-byte (postprocess is
+    * block-local — the same property [[assemble]] relies on), spans carry
+    * per-block kinds (`heavy-...` for re-segmented content, the fast kinds
+    * for spliced-in pages); if a cross-block transform ever breaks the
+    * reconstruction, offsets fall back to ONE whole-doc span rather than
+    * ship wrong offsets. Text itself is always the doc-level result.
+    */
+  private def splicedSpans(columns: Seq[(String, String)], text: String): Seq[Span] = {
+    val rebuilt = columns
+      .map { case (k, raw) => (k, Postprocess(Postprocess(raw)._1)._1) }
+      .filter(_._2.nonEmpty)
+    val sb = new StringBuilder
+    val spans = Seq.newBuilder[Span]
+    rebuilt.foreach { case (k, clean) =>
+      if (sb.nonEmpty) sb.append("\n\n")
+      val start = sb.length
+      sb.append(clean)
+      spans += Span(start, sb.length, k)
+    }
+    if (sb.toString == text) spans.result() else Seq(Span(0, text.length, "heavy"))
   }
 
   private def heavyResult(
       row: RawPage,
       fast: DocResult,
       cfg: Config,
-      text0: String,
-      counts0: Map[String, Int],
+      columns: Seq[(String, String)],
+      engine: String,
       confidence: Option[ConfidenceSignal.Result]
   ): DocResult = {
+    val (text0, _, counts0) = assemble(columns)
+    if (text0.isEmpty) return fast
     val analyzer = cfg.analyzer
     // double postprocess (pipeline.py:689 quirk)
     val (text, counts1) = Postprocess(text0)
-    val spans = Seq(Span(0, text.length, "heavy"))
+    val spans = splicedSpans(columns, text)
     val q = analyzer.analyzeWith(text, confidence)
     val counts = mergeCounts(counts0, counts1)
     val diag =
       if (!cfg.diagnostics) None
       else {
         val struggles = QualityAnalyzer.classifyStruggle(
-          q.signalScores, q.score, cfg.threshold, Engines.Heavy, Some(q.score))
+          q.signalScores, q.score, cfg.threshold, engine, Some(q.score))
         val d = WordDiff.diff(fast.extracted_text, text)
         val disagreements = QualityAnalyzer.signalDisagreements(q.signalScores)
         Some(Diagnostics(
@@ -277,7 +329,7 @@ object Extractor {
             d.summary))
         ))
       }
-    DocResult(row.url, text, spans, q, Engines.Heavy, success = true, error = null, diag)
+    DocResult(row.url, text, spans, q, engine, success = true, error = null, diag)
   }
 
   private def weightsFor(scores: Map[String, Double]): Map[String, Double] =

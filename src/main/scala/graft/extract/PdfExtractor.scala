@@ -85,17 +85,8 @@ object PdfExtractor {
     * advance.
     */
   def extract(payload: Array[Byte]): Either[String, Extraction] =
-    parse(payload).map { pages =>
-      val cols = Vector.newBuilder[(String, String)]
-      pages.zipWithIndex.foreach { case (page, pi) =>
-        val columns = segmentColumns(page)
-        columns.zipWithIndex.foreach { case (colRuns, ci) =>
-          val textOut = sweepColumn(colRuns)
-          if (textOut.nonEmpty) cols += ((s"pdf-p$pi-col$ci", textOut))
-        }
-      }
-      Extraction(cols.result())
-    }
+    parse(payload).map(pages =>
+      Extraction(pages.zipWithIndex.flatMap { case (page, pi) => extractPage(page, pi) }))
 
   private def segmentColumns(page: Page): Vector[Vector[Run]] = {
     if (page.runs.isEmpty) return Vector.empty
@@ -164,15 +155,26 @@ object PdfExtractor {
     *      a one-char-width gap is a space).
     */
   def heavyExtract(payload: Array[Byte]): Either[String, Extraction] =
-    parse(payload).map { pages =>
-      val cols = Vector.newBuilder[(String, String)]
-      pages.zipWithIndex.foreach { case (page, pi) =>
-        gutterColumns(page).zipWithIndex.foreach { case (colRuns, ci) =>
-          val textOut = heavySweep(colRuns)
-          if (textOut.nonEmpty) cols += ((s"pdf-p$pi-col$ci", textOut))
-        }
-      }
-      Extraction(cols.result())
+    parse(payload).map(pages =>
+      Extraction(pages.zipWithIndex.flatMap { case (page, pi) => heavyExtractPage(page, pi) }))
+
+  /** Fast-path (kind, text) columns of ONE page — the unit of selective
+    * reprocessing: the heavy stage re-segments only flagged pages and keeps
+    * these columns for pages that pass the quality gate.
+    */
+  def extractPage(page: Page, pi: Int): Vector[(String, String)] =
+    segmentColumns(page).zipWithIndex.flatMap { case (colRuns, ci) =>
+      val textOut = sweepColumn(colRuns)
+      if (textOut.nonEmpty) Some((s"pdf-p$pi-col$ci", textOut)) else None
+    }
+
+  /** Heavy-path (kind, text) columns of ONE page (gutter columns +
+    * y-tolerance clustering + advance-aware joining).
+    */
+  def heavyExtractPage(page: Page, pi: Int): Vector[(String, String)] =
+    gutterColumns(page).zipWithIndex.flatMap { case (colRuns, ci) =>
+      val textOut = heavySweep(colRuns)
+      if (textOut.nonEmpty) Some((s"pdf-p$pi-col$ci", textOut)) else None
     }
 
   /** Occupancy-projection column segmentation: mark [x, x + len*CharWidth)

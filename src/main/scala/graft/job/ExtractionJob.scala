@@ -378,11 +378,18 @@ object ExtractionJob {
       pages: DataFrame,
       cfg: JobConfig,
       outputDir: String
+  )(implicit spark: SparkSession): Seq[Lineage] =
+    runCheckpointed(pages, cfg, new ParquetCommitStore(outputDir))
+
+  /** Store-injected form: the commit/resume protocol is identical for the
+    * parquet stand-in and a production Iceberg catalog ([[CommitStore]]).
+    */
+  def runCheckpointed(
+      pages: DataFrame,
+      cfg: JobConfig,
+      store: CommitStore
   )(implicit spark: SparkSession): Seq[Lineage] = {
-    import spark.implicits._
-    val lineagePath = s"$outputDir/lineage"
-    val resultsPath = s"$outputDir/results"
-    val committed: Set[Int] = readCommittedGroups(lineagePath)
+    val committed: Set[Int] = store.committedGroups()
 
     val remaining = (0 until cfg.numGroups).filterNot(committed)
     if (remaining.isEmpty) return Seq.empty
@@ -402,26 +409,15 @@ object ExtractionJob {
     try {
       remaining.grouped(cfg.groupsPerCommit).foreach { batch =>
         val subset = persisted.filter(col("commit_group").isInCollection(batch))
-        // One shuffle of the (payload-free) results into commit groups:
-        // bounds output file count to ~1 per group instead of
-        // numPartitions x groups. DYNAMIC partition overwrite (not append)
-        // makes the batch write idempotent: a crash after this write but
-        // before the lineage append leaves orphan partition dirs, and the
-        // resumed batch replaces them instead of duplicating rows — the
-        // parquet stand-in for Iceberg's single-transaction commit.
-        subset
-          .repartition(math.max(batch.size, 1), col("commit_group"))
-          .write
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite")
-          .partitionBy("commit_group")
-          .parquet(resultsPath)
         val computed = lineage(subset).collect().toSeq
         // groups with zero rows still need a commit record, else every
         // resume re-scans them forever (found by CLI resume verification)
         val empties = batch.toSet -- computed.map(_.commit_group)
         val lin = computed ++ empties.toSeq.sorted.map(Lineage(_, -1, 0L, 0L, 0L))
-        lin.toDS().coalesce(1).write.mode("append").parquet(lineagePath)
+        // results first, lineage second (the store contract): a crash
+        // between the two leaves replaceable orphans, never a committed
+        // group without data
+        store.commitBatch(subset, lin, batch)
         all ++= lin
       }
     } finally caches.foreach(_.unpersist())

@@ -287,6 +287,41 @@ class ExtractorKernelSpec extends AnyFunSuite {
     assert(doc.quality.flagged)
   }
 
+  test("mixed engine: clean pages are spliced, only flagged pages re-segmented") {
+    // splice a clean one-page PDF (class 12) with a 2-page jittered one
+    // (class 13) into a single 3-page document: page 0 passes the per-page
+    // quality gate, pages 1-2 fail it — the heavy stage must keep page 0's
+    // FAST columns and re-segment only the flagged pages (the reference's
+    // selective reprocessing), reporting the multi-engine doc as `mixed`
+    val clean = CorpusGen.genRow(42L, 12).html
+    val jit = CorpusGen.genRow(42L, 13).html
+    val header = "%PDF-GRAFT 1.0\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val spliced = clean ++ jit.drop(header.length)
+    val row = graft.model.RawPage("https://h/mixed", CorpusGen.genRow(42L, 12).warc_ts,
+      spliced, "", "en")
+    // the clean page dilutes the doc-level score to ~0.89: gate at 0.9 so
+    // the doc flags while the clean page (score 1.0) still passes per-page
+    val mcfg = Extractor.Config(threshold = 0.9)
+    val fast = Extractor.fastExtract(row, mcfg)
+    assert(fast.success && Extractor.needsHeavy(fast, mcfg),
+      s"jittered pages must flag the doc (score ${fast.quality.score})")
+    val heavy = Extractor.heavyExtract(row, fast, mcfg)
+    assert(heavy.engine == Engines.Mixed, s"engine ${heavy.engine}")
+    val kinds = heavy.spans.map(_.kind)
+    assert(kinds.exists(_.startsWith("pdf-p0-")), s"page 0 fast columns kept: $kinds")
+    assert(kinds.exists(_.startsWith("heavy-pdf-p1-")), s"flagged pages re-segmented: $kinds")
+    assert(kinds.exists(_.startsWith("heavy-pdf-p2-")))
+    // the kept page's text is the fast extraction, byte-for-byte: the fast
+    // doc's page-0 span slice must appear at the head of the heavy text
+    val fastP0 = fast.spans.filter(_.kind.startsWith("pdf-p0-"))
+      .map(s => fast.extracted_text.substring(s.start, s.end)).mkString("\n\n")
+    assert(heavy.extracted_text.startsWith(fastP0))
+    // all-flagged docs still report the plain heavy engine
+    val allJit = Extractor.heavyExtract(CorpusGen.genRow(42L, 13),
+      Extractor.fastExtract(CorpusGen.genRow(42L, 13), mcfg), mcfg)
+    assert(allJit.engine == Engines.Heavy)
+  }
+
   test("heavy path recovers fragmented content and re-postprocesses (stable)") {
     val row = CorpusGen.genRow(42L, 11)
     val fast = Extractor.fastExtract(row, cfg)

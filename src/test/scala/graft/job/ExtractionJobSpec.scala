@@ -127,6 +127,51 @@ class ExtractionJobSpec extends AnyFunSuite {
     assert(all.select("url").distinct().count() == 120)
   }
 
+  test("summarize rolls up the mixed engine for spliced fast+heavy docs") {
+    import spark.implicits._
+    // one clean page + two jittered pages in one PDF -> selective per-page
+    // reprocessing yields engine=mixed (Extractor test covers mechanics);
+    // here: the batch rollup must surface it as its own engine row
+    val clean = CorpusGen.genRow(42L, 12)
+    val jit = CorpusGen.genRow(42L, 13)
+    val header = "%PDF-GRAFT 1.0\n".getBytes("UTF-8")
+    val spliced = clean.copy(
+      url = "https://host0.example/doc/9012",
+      html = clean.html ++ jit.html.drop(header.length))
+    val pages = Seq(spliced, CorpusGen.genRow(42L, 0)).toDF()
+    val c = cfg.copy(threshold = 0.9)
+    val roll = ExtractionJob.summarize(ExtractionJob.extract(pages, c)).collect()
+      .map(r => r.getAs[String]("engine") -> r.getAs[Long]("docs")).toMap
+    assert(roll.get(Engines.Mixed).contains(1L), s"rollup: $roll")
+  }
+
+  test("runCheckpointed speaks only the CommitStore trait (resume honors the store's view)") {
+    import org.apache.spark.sql.{Dataset, SparkSession}
+    val pages = CorpusGen.pages(spark, 60).toDF()
+    val c = cfg.copy(numGroups = 8, groupsPerCommit = 4)
+    // fake store pre-seeded with half the groups committed: the run must
+    // consult the STORE for resume state (not any filesystem path) and
+    // commit only the remainder, in groupsPerCommit-sized batches
+    val committed = scala.collection.mutable.Set[Int](0, 1, 2, 3)
+    val batches = scala.collection.mutable.ListBuffer.empty[Seq[Int]]
+    val store = new CommitStore {
+      override def committedGroups()(implicit s: SparkSession): Set[Int] = committed.toSet
+      override def commitBatch(
+          results: Dataset[ExtractionJob.ResultRow],
+          lineageRows: Seq[graft.model.Lineage],
+          batch: Seq[Int])(implicit s: SparkSession): Unit = {
+        assert(results.collect().forall(r => batch.contains(r.commit_group)))
+        batches += batch
+        committed ++= batch
+      }
+    }
+    val lin = ExtractionJob.runCheckpointed(pages, c, store)
+    assert(lin.map(_.commit_group).toSet == Set(4, 5, 6, 7))
+    assert(batches.toList == List(Seq(4, 5, 6, 7)))
+    // second run: store says everything is committed -> no-op
+    assert(ExtractionJob.runCheckpointed(pages, c, store).isEmpty)
+  }
+
   test("skew detection is scheme-case-robust (HTTPS:// hosts land in the salted branch)") {
     import spark.implicits._
     // 60% of rows on one host, written with an UPPERCASE scheme and
