@@ -150,7 +150,14 @@ object Dedup {
     * LOW-DF shingle sets: numerator AND denominator both count only kept
     * shingles (the same universe), so a pair that shares ANY low-df content
     * keeps its full score (an identical pair with some unique shingles stays
-    * at 1.0 however much boilerplate was dropped). The one regime the cap
+    * at 1.0 however much boilerplate was dropped). The flip side: when the
+    * cap binds, the score can OVERSTATE true Jaccard — two documents that
+    * share a few low-df shingles but are otherwise dominated by dropped
+    * boilerplate lose mass from numerator AND denominator, so the kept-
+    * universe ratio upper-bounds the true one and pairs below the true-
+    * Jaccard threshold can be emitted. Callers needing the uninflated score
+    * must re-verify emitted pairs against full shingle sets (as
+    * [[minhashPairs]] does). The one regime the cap
     * excludes ON PURPOSE is a duplicate cluster larger than `maxShingleDf`
     * itself — there EVERY shingle is corpus-common, all postings drop, and
     * no pairs are emitted. That is the mass-duplication regime where k^2

@@ -158,6 +158,53 @@ object Similarity {
     * so a query reads nProbe partitions instead of scanning the corpus; here
     * the cell id is the join key.
     */
+  // centroids are unit vectors: argmax dot == argmax cosine for a fixed v
+  private def cosTo(v: Seq[Double], c: (Int, Array[Double])): Double = {
+    var dot = 0.0
+    var d = 0
+    while (d < c._2.length) { dot += v(d) * c._2(d); d += 1 }
+    dot
+  }
+
+  private def indexedCentroids(e: DataFrame, nCentroids: Int)(
+      implicit spark: SparkSession): org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Double])]] =
+    spark.sparkContext.broadcast(
+      trainCentroids(e, nCentroids).zipWithIndex.map { case (v, i) => (i, v) })
+
+  /** The corpus with its IVF cell id appended (original columns + `cell`) —
+    * the AT-REST layout hook: write this `partitionBy("cell")` and a query
+    * scan filtered to its probe cells prunes to nProbe partitions through
+    * partition pruning instead of scanning the corpus (tested on file
+    * counts). The quantizer ([[trainCentroids]]) is deterministic and
+    * partitioning-independent, so cells assigned at write time agree with
+    * probe lists computed by later sessions over the same corpus.
+    */
+  def assignCells(embeddings: DataFrame, nCentroids: Int = 16)(
+      implicit spark: SparkSession): DataFrame = {
+    val bc = indexedCentroids(withNorm(embeddings), nCentroids)
+    val cellUdf = udf { v: Seq[Double] => bc.value.maxBy(c => (cosTo(v, c), -c._1))._1 }
+    embeddings.withColumn("cell", cellUdf(col("embedding").cast("array<double>")))
+  }
+
+  /** One row per (query, probed cell): the `nProbe` cells nearest each
+    * query vector under the same deterministic quantizer as [[assignCells]].
+    */
+  def probeCells(
+      embeddings: DataFrame,
+      queryFilter: Column,
+      nCentroids: Int = 16,
+      nProbe: Int = 4
+  )(implicit spark: SparkSession): DataFrame = {
+    val e = withNorm(embeddings)
+    val bc = indexedCentroids(e, nCentroids)
+    val probesUdf = udf { v: Seq[Double] =>
+      bc.value.sortBy(c => (-cosTo(v, c), c._1)).take(nProbe).map(_._1)
+    }
+    e.filter(queryFilter)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("norm").as("q_norm"),
+        explode(probesUdf(col("v"))).as("cell"))
+  }
+
   def ivfTopK(
       embeddings: DataFrame,
       queryFilter: Column,
@@ -165,30 +212,10 @@ object Similarity {
       nCentroids: Int = 16,
       nProbe: Int = 4
   )(implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val e = withNorm(embeddings)
-    val centroids: Array[(Int, Array[Double])] =
-      trainCentroids(e, nCentroids).zipWithIndex.map { case (v, i) => (i, v) }
-    val bc = spark.sparkContext.broadcast(centroids)
-
-    // centroids are unit vectors: argmax dot == argmax cosine for a fixed v
-    def cosTo(v: Seq[Double], c: (Int, Array[Double])): Double = {
-      var dot = 0.0
-      var d = 0
-      while (d < c._2.length) { dot += v(d) * c._2(d); d += 1 }
-      dot
-    }
-    val cellUdf = udf { v: Seq[Double] =>
-      bc.value.maxBy(c => (cosTo(v, c), -c._1))._1
-    }
-    val probesUdf = udf { v: Seq[Double] =>
-      bc.value.sortBy(c => (-cosTo(v, c), c._1)).take(nProbe).map(_._1)
-    }
-
-    val corpus = e.withColumn("cell", cellUdf(col("v")))
-    val queries = e.filter(queryFilter)
-      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("norm").as("q_norm"),
-        explode(probesUdf(col("v"))).as("cell"))
+    val corpus = assignCells(embeddings, nCentroids)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("cell"))
+      .withColumn("norm", sqrt(dotCol(col("v"), col("v"))))
+    val queries = probeCells(embeddings, queryFilter, nCentroids, nProbe)
     val scored = corpus
       .join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))

@@ -53,18 +53,29 @@ object StreamingExtraction {
     * form of `Dedup.markDuplicates`, with the canonical-survivor decision
     * made incrementally instead of by a window over the full corpus.
     *
-    * State is bounded with event-time eviction when `stateTtlMs > 0`: the
-    * stream is watermarked on `warc_ts` by the TTL, each hash's eviction
-    * deadline is (last sighting's event time + TTL), and once the watermark
-    * passes it the state is removed — so on an unbounded crawl the state
-    * holds only the hashes seen within the TTL horizon, and a duplicate
-    * arriving after the horizon is (by declared semantics) re-emitted.
-    * `stateTtlMs = 0` keeps the unbounded exact semantics.
+    * State is bounded with event-time eviction when `stateTtlMs > 0`: each
+    * hash's eviction deadline is (last sighting's event time + TTL), and
+    * once the watermark passes it the state is removed — so on an unbounded
+    * crawl the state holds only the hashes seen within the TTL horizon, and
+    * a duplicate arriving after the horizon is (by declared semantics)
+    * re-emitted. `stateTtlMs = 0` keeps the unbounded exact semantics.
+    *
+    * LATE-ROW SEMANTICS (explicit, because it is data loss, not dedup): the
+    * stream is watermarked by `allowedLatenessMs` (default: the TTL), and
+    * Spark's stateful operator DROPS input rows older than the watermark
+    * before they reach the state function — a document whose FIRST sighting
+    * arrives later than the allowed lateness is not "re-emitted as novel",
+    * it is silently absent from the output. Crawls with long out-of-order
+    * tails should therefore set `allowedLatenessMs` to the worst-case
+    * disorder bound while keeping `stateTtlMs` at the (typically much
+    * longer) dedup-memory horizon — the two bounds are different knobs and
+    * are only conflated by the default for backward compatibility.
     */
   def dedupedExtract(
       pages: DataFrame,
       cfg: ExtractionJob.JobConfig,
-      stateTtlMs: Long = 0L
+      stateTtlMs: Long = 0L,
+      allowedLatenessMs: Long = -1L
   )(implicit spark: SparkSession): Dataset[DedupedDoc] = {
     import spark.implicits._
     val exCfg = cfg.extractorConfig
@@ -80,8 +91,9 @@ object StreamingExtraction {
       .filter(_._5)
       .toDF("hash", "url", "text", "warc_ts", "success")
     val withTtl = stateTtlMs > 0
+    val lateness = if (allowedLatenessMs >= 0) allowedLatenessMs else stateTtlMs
     val watermarked =
-      if (withTtl) rows.withWatermark("warc_ts", s"$stateTtlMs milliseconds") else rows
+      if (withTtl) rows.withWatermark("warc_ts", s"$lateness milliseconds") else rows
     val timeoutConf =
       if (withTtl) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
     watermarked

@@ -301,6 +301,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("IVF at rest: cell-partitioned corpus prunes the scan to the probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-rest").toString
+    // write the corpus cell-partitioned (the documented at-rest layout)
+    Similarity.assignCells(emb, nCentroids = 10)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val stored = spark.read.parquet(dir)
+
+    // probe cells of one query under the SAME deterministic quantizer
+    val probes = Similarity.probeCells(emb, col("vec_id") === 7L, nCentroids = 10, nProbe = 3)
+      .select("cell").collect().map(_.getInt(0)).toSeq
+    assert(probes.length == 3)
+
+    // the filtered scan must touch ONLY the probed cells' files
+    def filesRead(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(input_file_name()).distinct().collect().map(_.getString(0)).toSet
+    val all = filesRead(stored)
+    val pruned = filesRead(stored.filter(col("cell").isInCollection(probes)))
+    assert(pruned.nonEmpty && pruned.size < all.size,
+      s"expected partition pruning: read ${pruned.size}/${all.size} files")
+    assert(pruned.forall(f => probes.exists(c => f.contains(s"cell=$c"))),
+      s"read a non-probed partition: $pruned")
+
+    // round-trip sanity: search over the stored corpus returns identical rows
+    val orig = Similarity.ivfTopK(emb, col("vec_id") < 20, 5, nCentroids = 10, nProbe = 3)
+      .collect().map(_.toString).sorted
+    val back = Similarity.ivfTopK(stored.drop("cell"), col("vec_id") < 20, 5,
+      nCentroids = 10, nProbe = 3).collect().map(_.toString).sorted
+    assert(orig.sameElements(back))
+  }
+
   test("trained IVF cells are balanced (no degenerate coarse quantizer)") {
     import graft.ops.Similarity
     val e = emb

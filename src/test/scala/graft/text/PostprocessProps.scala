@@ -70,6 +70,42 @@ object PostprocessProps extends Properties("Postprocess") {
     g >= 0.0 && g <= 1.0 && d >= 0.0 && d <= 1.0
   }
 
+  // ---- ADVICE-parity fuzz (the fixed Python-parity points, property-pinned
+  // so a regression of any of them fails the suite, not just one example) --
+
+  // Python's \s includes U+001C-U+001F; every tokenizer must treat them as
+  // word separators, exactly like a space.
+  private val pySeparator: Gen[Char] = Gen.oneOf(' ', '\u001c', '\u001d', '\u001e', '\u001f')
+
+  property("U+001C-U+001F separate words identically to a space in all tokenizers") =
+    forAll(Gen.chooseNum(2, 12).flatMap(n => Gen.listOfN(n, word)), pySeparator) { (ws, sep) =>
+      val spaced = ws.mkString(" ")
+      val seped = ws.mkString(sep.toString)
+      GarbledSignal.score(seped).score == GarbledSignal.score(spaced).score &&
+      DictionarySignal.score(seped).score == DictionarySignal.score(spaced).score && {
+        val d = WordDiff.diff(spaced, seped)
+        d.additions.isEmpty && d.deletions.isEmpty && d.substitutions.isEmpty
+      }
+    }
+
+  // Python's $ never matches before a lone final \r: the trailing-space
+  // strip must keep spaces/tabs that precede a final carriage return.
+  property("trailing whitespace before a final CR survives normalize_punctuation") =
+    forAll(line, Gen.oneOf(" ", "\t", " \t")) { (l, pad) =>
+      val (out, _) = Postprocess.normalizePunctuation(l + pad + "\r")
+      out.endsWith(pad + "\r")
+    }
+
+  // Python str.strip() removes NBSP: a short heading padded past 60 chars
+  // with NBSP must still measure short and keep its heading break.
+  property("NBSP padding never defeats the heading-length check") =
+    forAll(Gen.chooseNum(50, 80), word) { (nPad, w) =>
+      val heading = ("\u00a0" * nPad) + s"Heading ${w.capitalize}"
+      val body = "The body line begins after the heading"
+      val (out, _) = Postprocess.joinParagraphs(s"$heading\n$body")
+      out == s"$heading\n$body"
+    }
+
   property("round4 is stable (round4(round4(x)) == round4(x))") =
     forAll(Gen.chooseNum(0.0, 1.0)) { x =>
       val r = DictionarySignal.round4(x)
