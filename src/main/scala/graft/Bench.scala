@@ -37,8 +37,8 @@ object Bench {
     // 10.5s in one driver run vs 0.4-1.3s on direct reruns). Each query
     // runs twice and reports the MIN — the closest sample to unthrottled
     // machine performance. A query that fails is recorded as -1 and
-    // EXCLUDED from the total, so a fast failure can never flatter the
-    // cross-round comparison.
+    // invalidates the headline total (see below), so a fast failure can
+    // never flatter the cross-round comparison.
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Option[Double] = {
@@ -55,7 +55,11 @@ object Bench {
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // Totals are only comparable across rounds over the same passing query
+    // set: with any failure the headline total is reported as -1 (invalid)
+    // rather than a sum over fewer queries — a regression into failure must
+    // read as breakage, never as a faster round.
+    val total = if (failed.nonEmpty) -1.0 else results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""

@@ -209,6 +209,13 @@ object Extractor {
     *     advance-aware run joining ([[PdfExtractor.heavyExtract]])
     */
   def heavyExtract(row: RawPage, fast: DocResult, cfg: Config): DocResult = {
+    // The budget covers EVERYTHING the heavy path does per row — including
+    // the per-page fast re-extraction + quality gating that drives the
+    // selective splice, and (only when the doc-level re-postprocess changes
+    // bytes) the span reconstruction. That is a few extra doc-lengths of
+    // ticks vs a bare re-segmentation; the default budget (64M steps vs
+    // maxBytes 512KB payloads) leaves >100x headroom, but callers who
+    // hand-tune maxKernelSteps near a doc's actual work should size for it.
     try graft.util.StepBudget.withBudget(cfg.maxKernelSteps)(heavyExtractUnsafe(row, fast, cfg))
     catch {
       // budget exceeded or any heavy failure keeps the fast output
@@ -300,12 +307,16 @@ object Extractor {
       engine: String,
       confidence: Option[ConfidenceSignal.Result]
   ): DocResult = {
-    val (text0, _, counts0) = assemble(columns)
+    val (text0, spans0, counts0) = assemble(columns)
     if (text0.isEmpty) return fast
     val analyzer = cfg.analyzer
     // double postprocess (pipeline.py:689 quirk)
     val (text, counts1) = Postprocess(text0)
-    val spans = splicedSpans(columns, text)
+    // common case: the doc-level second pass is a no-op, so assemble's
+    // per-block spans are already exact — the per-block reconstruction (two
+    // more postprocess passes per block, all ticking the kernel budget)
+    // only runs when the second pass actually changed bytes
+    val spans = if (text == text0) spans0 else splicedSpans(columns, text)
     val q = analyzer.analyzeWith(text, confidence)
     val counts = mergeCounts(counts0, counts1)
     val diag =

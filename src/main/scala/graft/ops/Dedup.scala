@@ -125,7 +125,13 @@ object Dedup {
     * is one row per hash, so duplicating it across splits is free).
     */
   def markDuplicates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val hashed = docs.withColumn("__text_hash", md5(col(textCol)))
+    // null text hashes to null, and an inner equi-join would silently DROP
+    // those rows (null keys never match). The window formulation — and the
+    // SQL oracle — groups all nulls into one partition, so a non-colliding
+    // sentinel (not 32 hex chars, can't equal a real md5) reproduces that:
+    // null-text rows dedup against each other and survive the join.
+    val hashed = docs.withColumn(
+      "__text_hash", coalesce(md5(col(textCol)), lit("null-text")))
     val canon = hashed
       .groupBy(col("__text_hash"))
       .agg(min(col(idCol)).as("canonical_id"))
@@ -411,6 +417,12 @@ object Dedup {
     * `spark.sparkContext.setCheckpointDir(...)` so every round's state
     * lands on reliable storage and the loop survives executor churn; the
     * local fallback is the single-JVM / test default.
+    *
+    * Cleanup: Spark only deletes superseded reliable checkpoints when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default
+    * false) — set it in long-lived sessions, or point the checkpoint dir
+    * at a per-job location removed after the job, else each iteration's
+    * files accumulate on the reliable store.
     */
   private def truncateLineage(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()

@@ -180,8 +180,12 @@ object Similarity {
     * probe lists computed by later sessions over the same corpus.
     */
   def assignCells(embeddings: DataFrame, nCentroids: Int = 16)(
-      implicit spark: SparkSession): DataFrame = {
-    val bc = indexedCentroids(withNorm(embeddings), nCentroids)
+      implicit spark: SparkSession): DataFrame =
+    assignCellsWith(embeddings, indexedCentroids(withNorm(embeddings), nCentroids))
+
+  private def assignCellsWith(
+      embeddings: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Double])]]): DataFrame = {
     val cellUdf = udf { v: Seq[Double] => bc.value.maxBy(c => (cosTo(v, c), -c._1))._1 }
     embeddings.withColumn("cell", cellUdf(col("embedding").cast("array<double>")))
   }
@@ -196,7 +200,14 @@ object Similarity {
       nProbe: Int = 4
   )(implicit spark: SparkSession): DataFrame = {
     val e = withNorm(embeddings)
-    val bc = indexedCentroids(e, nCentroids)
+    probeCellsWith(e, queryFilter, indexedCentroids(e, nCentroids), nProbe)
+  }
+
+  private def probeCellsWith(
+      e: DataFrame,
+      queryFilter: Column,
+      bc: org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Double])]],
+      nProbe: Int): DataFrame = {
     val probesUdf = udf { v: Seq[Double] =>
       bc.value.sortBy(c => (-cosTo(v, c), c._1)).take(nProbe).map(_._1)
     }
@@ -212,10 +223,16 @@ object Similarity {
       nCentroids: Int = 16,
       nProbe: Int = 4
   )(implicit spark: SparkSession): DataFrame = {
-    val corpus = assignCells(embeddings, nCentroids)
+    val e = withNorm(embeddings)
+    // the quantizer is trained ONCE per call and shared by the corpus cell
+    // assignment and the query probe lists (training is deterministic, so
+    // separate assignCells/probeCells calls agree too — they just pay a
+    // second training)
+    val bc = indexedCentroids(e, nCentroids)
+    val corpus = assignCellsWith(embeddings, bc)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("cell"))
       .withColumn("norm", sqrt(dotCol(col("v"), col("v"))))
-    val queries = probeCells(embeddings, queryFilter, nCentroids, nProbe)
+    val queries = probeCellsWith(e, queryFilter, bc, nProbe)
     val scored = corpus
       .join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))

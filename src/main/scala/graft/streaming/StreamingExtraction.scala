@@ -70,6 +70,8 @@ object StreamingExtraction {
     * disorder bound while keeping `stateTtlMs` at the (typically much
     * longer) dedup-memory horizon — the two bounds are different knobs and
     * are only conflated by the default for backward compatibility.
+    * `stateTtlMs = 0` with `allowedLatenessMs >= 0` is the lateness-only
+    * mode: unbounded exact dedup memory, bounded input disorder.
     */
   def dedupedExtract(
       pages: DataFrame,
@@ -92,8 +94,14 @@ object StreamingExtraction {
       .toDF("hash", "url", "text", "warc_ts", "success")
     val withTtl = stateTtlMs > 0
     val lateness = if (allowedLatenessMs >= 0) allowedLatenessMs else stateTtlMs
+    // the watermark is installed whenever EITHER knob asks for it: TTL mode
+    // needs it for event-time timeouts; lateness-only mode (stateTtlMs = 0,
+    // allowedLatenessMs >= 0) bounds late-row disorder while keeping
+    // unbounded exact dedup memory
     val watermarked =
-      if (withTtl) rows.withWatermark("warc_ts", s"$lateness milliseconds") else rows
+      if (withTtl || allowedLatenessMs >= 0)
+        rows.withWatermark("warc_ts", s"$lateness milliseconds")
+      else rows
     val timeoutConf =
       if (withTtl) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
     watermarked

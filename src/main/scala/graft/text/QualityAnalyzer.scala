@@ -136,8 +136,11 @@ object QualityAnalyzer {
 
     if (math.abs(compositeScore - threshold) < GrayZone) categories += "gray_zone"
 
-    // heavy path ran but the row is still flagged (surya_insufficient analogue)
-    if (engine == graft.model.Engines.Heavy && heavyScore.exists(_ < threshold))
+    // heavy path ran but the row is still flagged (surya_insufficient
+    // analogue). A `mixed` doc also ran the heavy engine (on its flagged
+    // pages) — both engines mark the category.
+    if ((engine == graft.model.Engines.Heavy || engine == graft.model.Engines.Mixed) &&
+        heavyScore.exists(_ < threshold))
       categories += "heavy_insufficient"
 
     categories.result()

@@ -49,6 +49,26 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(r.filter(!_.getAs[Boolean]("is_duplicate")).length == 101)
   }
 
+  test("markDuplicates keeps and groups null-text rows (join must not drop null keys)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true)))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(0L, "alpha"),
+      org.apache.spark.sql.Row(1L, null),
+      org.apache.spark.sql.Row(2L, null),
+      org.apache.spark.sql.Row(3L, "alpha"))
+    val docs = spark.createDataFrame(rows, schema)
+    val r = Dedup.markDuplicates(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("canonical_id"), x.getAs[Boolean]("is_duplicate"))).toMap
+    assert(r.size == 4, s"null-text rows must survive: $r")
+    // nulls form ONE group (window/oracle semantics): min id 1 is canonical
+    assert(r(1L) == ((1L, false)) && r(2L) == ((1L, true)))
+    assert(r(3L) == ((0L, true)))
+  }
+
   test("ngramJaccardPairs: shingle df is a partial-aggregated groupBy, not a window") {
     val pairs = Dedup.ngramJaccardPairs(skewed, n = 4, threshold = 0.8, maxShingleDf = 64)
     noWindow(pairs)

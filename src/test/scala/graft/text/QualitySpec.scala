@@ -153,6 +153,17 @@ class QualitySpec extends AnyFunSuite {
     assert(cats2.contains("signal_disagreement"))
   }
 
+  test("heavy_insufficient fires for BOTH heavy and mixed engines") {
+    val scores = Map("garbled" -> 0.9, "dictionary" -> 0.9)
+    def cats(engine: String) = QualityAnalyzer.classifyStruggle(
+      scores, compositeScore = 0.7, threshold = 0.85,
+      engine = engine, heavyScore = Some(0.7))
+    assert(cats(graft.model.Engines.Heavy).contains("heavy_insufficient"))
+    // a spliced doc also ran the heavy engine on its flagged pages
+    assert(cats(graft.model.Engines.Mixed).contains("heavy_insufficient"))
+    assert(!cats(graft.model.Engines.Html).contains("heavy_insufficient"))
+  }
+
   test("signal disagreements are pairwise, rounded, name-ordered") {
     val d = QualityAnalyzer.signalDisagreements(
       Map("garbled" -> 0.91, "dictionary" -> 0.5, "confidence" -> 0.7))
