@@ -158,6 +158,13 @@ object SparkEntry {
     }),
     "q_quality_score" -> ((s, dir) =>
       TextAnalysis.qualityScore(s.read.parquet(t(dir, "documents")))),
+    // Gopher/RefinedWeb-style repetition signals (within-doc duplicate
+    // lines + top-bigram dominance)
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(s.read.parquet(t(dir, "documents")))),
+    // Gopher Table-A1 document filter rules as pure Column arithmetic
+    "q_gopher_filter" -> ((s, dir) =>
+      TextAnalysis.gopherRules(s.read.parquet(t(dir, "documents")))),
     // reference quality kernels over the documents table (rows-only checks:
     // regex/whitelist semantics aren't ANSI-SQL-expressible; the kernels'
     // correctness gate is the golden-fixture + unit suites)
@@ -527,6 +534,90 @@ object SparkEntry {
              0.2 * (CASE WHEN avg_word_len >= 3.0 AND avg_word_len <= 8.0
                     THEN 1.0 ELSE 0.5 END), 4) < 0.5) AS flagged
          FROM sig""",
+    "q_repetition" ->
+      """WITH nl AS (
+           SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
+         nonempty AS (SELECT doc_id, line FROM nl WHERE line <> ''),
+         per_line AS (
+           SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+           FROM nonempty GROUP BY doc_id, line),
+         line_stats AS (
+           SELECT doc_id,
+             sum(cnt)::BIGINT AS n_lines,
+             sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::BIGINT AS dup_lines,
+             sum(cnt * len)::BIGINT AS line_chars,
+             sum(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END)::BIGINT AS dup_line_chars
+           FROM per_line GROUP BY doc_id),
+         toks AS (
+           SELECT doc_id, regexp_extract_all(text, '[^ \n]+') AS t FROM documents),
+         bg AS (
+           SELECT doc_id, len(t) AS n_tokens,
+             unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+           FROM toks WHERE len(t) >= 2),
+         per_bg AS (
+           SELECT doc_id, n_tokens, bg, count(*) AS cnt
+           FROM bg GROUP BY doc_id, n_tokens, bg),
+         bg_stats AS (
+           SELECT doc_id, n_tokens, max(cnt) AS top_bigram_cnt
+           FROM per_bg GROUP BY doc_id, n_tokens)
+         SELECT l.doc_id, l.n_lines,
+           round(l.dup_lines::DOUBLE / l.n_lines, 4) AS dup_line_frac,
+           round(l.dup_line_chars::DOUBLE / l.line_chars, 4) AS dup_line_char_frac,
+           round(coalesce(b.top_bigram_cnt * 2.0 / b.n_tokens, 0.0), 4) AS top_bigram_frac
+         FROM line_stats l LEFT JOIN bg_stats b USING (doc_id)""",
+    "q_gopher_filter" ->
+      """WITH base AS (
+           SELECT doc_id, text,
+             replace(text, chr(10), ' ') AS flat,
+             regexp_extract_all(text, '[^ \n]+') AS words,
+             list_filter(string_split(text, chr(10)), l -> l <> '') AS lines
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             len(words) AS word_count,
+             len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+             length(regexp_replace(text, '[ \n]', '', 'g')) AS char_count,
+             len(lines) AS n_lines,
+             len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '• ')))
+               AS bullet_lines,
+             len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…')) AS ellipsis_lines,
+             (length(flat) - length(replace(flat, '#', ''))) AS hash_count,
+             (length(flat) - length(replace(flat, '...', ''))) / 3 +
+               (length(flat) - length(replace(flat, '…', ''))) AS ellipsis_count,
+             (CASE WHEN contains(' ' || lower(flat) || ' ', ' the ') THEN 1 ELSE 0 END) +
+             (CASE WHEN contains(' ' || lower(flat) || ' ', ' be ') THEN 1 ELSE 0 END) +
+             (CASE WHEN contains(' ' || lower(flat) || ' ', ' to ') THEN 1 ELSE 0 END) +
+             (CASE WHEN contains(' ' || lower(flat) || ' ', ' of ') THEN 1 ELSE 0 END) +
+             (CASE WHEN contains(' ' || lower(flat) || ' ', ' and ') THEN 1 ELSE 0 END) +
+             (CASE WHEN contains(' ' || lower(flat) || ' ', ' that ') THEN 1 ELSE 0 END) +
+             (CASE WHEN contains(' ' || lower(flat) || ' ', ' have ') THEN 1 ELSE 0 END) +
+             (CASE WHEN contains(' ' || lower(flat) || ' ', ' with ') THEN 1 ELSE 0 END)
+               AS stop_hits
+           FROM base),
+         r AS (
+           SELECT doc_id, word_count,
+             char_count::DOUBLE / word_count AS mean_word_len,
+             (hash_count + ellipsis_count)::DOUBLE / word_count AS symbol_ratio,
+             alpha_words::DOUBLE / word_count AS alpha_word_frac,
+             stop_hits,
+             (word_count BETWEEN 50 AND 100000) AS r_word_count,
+             (char_count::DOUBLE / word_count BETWEEN 3.0 AND 10.0) AS r_mean_word_len,
+             ((hash_count + ellipsis_count)::DOUBLE / word_count < 0.1) AS r_symbol_ratio,
+             (bullet_lines::DOUBLE / n_lines <= 0.9) AS r_bullet_lines,
+             (ellipsis_lines::DOUBLE / n_lines <= 0.3) AS r_ellipsis_lines,
+             (alpha_words::DOUBLE / word_count >= 0.8) AS r_alpha_words,
+             (stop_hits >= 2) AS r_stopwords
+           FROM m)
+         SELECT doc_id, word_count::BIGINT AS word_count,
+           round(mean_word_len, 4) AS mean_word_len,
+           round(symbol_ratio, 4) AS symbol_ratio,
+           round(alpha_word_frac, 4) AS alpha_word_frac,
+           stop_hits::INT AS stop_hits,
+           r_word_count, r_mean_word_len, r_symbol_ratio, r_bullet_lines,
+           r_ellipsis_lines, r_alpha_words, r_stopwords,
+           (r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_bullet_lines
+            AND r_ellipsis_lines AND r_alpha_words AND r_stopwords) AS keep
+         FROM r""",
     "q_langid" -> {
       def cnt(m: String) =
         s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', '$m', ''))) / ${m.length}"

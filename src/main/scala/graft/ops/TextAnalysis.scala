@@ -116,6 +116,123 @@ object TextAnalysis {
         sum(length(col("text"))).as("total_chars"),
         round(avg(tokenCount(col("text"))), 4).as("avg_tokens"))
 
+  /** Per-document repetition statistics — the Gopher/RefinedWeb-style
+    * repetition signals (Rae et al. 2021 §A1.1; repetitious documents are
+    * low-quality training data):
+    *
+    *   - `n_lines`          non-empty lines,
+    *   - `dup_line_frac`    fraction of non-empty lines whose content occurs
+    *                        more than once IN THIS DOC (every occurrence of
+    *                        a repeated line counts),
+    *   - `dup_line_char_frac` same, weighted by line characters,
+    *   - `top_bigram_frac`  occurrences of the doc's most frequent token
+    *                        bigram x 2 / token count (token-based variant of
+    *                        Gopher's most-common-n-gram character fraction).
+    *
+    * Fully distributed: explode -> two-level partial-aggregated groupBy per
+    * (doc, line) / (doc, bigram), rolled up per doc — the within-doc analogue
+    * of [[Dedup.passageDupStats]]'s cross-doc form, and like it never
+    * materializes per-doc lists.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+      .filter(col("line") =!= "")
+    val perLine = lines.groupBy(col("doc_id"), col("line"))
+      .agg(count(lit(1)).as("cnt"), length(col("line")).as("len"))
+    val lineStats = perLine.groupBy(col("doc_id")).agg(
+      sum(col("cnt")).as("n_lines"),
+      sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_lines"),
+      sum(col("cnt") * col("len")).as("line_chars"),
+      sum(when(col("cnt") > 1, col("cnt") * col("len")).otherwise(0L)).as("dup_line_chars"))
+
+    // non-empty tokens only (consecutive separators yield no empties), and
+    // the explode range is guarded by n_tokens >= 2 — Spark's sequence(1, 0)
+    // would count DOWN, not come back empty
+    val toks = docs.select(
+      col("doc_id"),
+      regexp_extract_all(col("text"), lit("[^ \n]+"), lit(0)).as("t"))
+    val bigrams = toks
+      .select(col("doc_id"), size(col("t")).as("n_tokens"), col("t"))
+      .filter(col("n_tokens") >= 2)
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(1), col("n_tokens") - 1)).as("i"), col("t"))
+      .select(col("doc_id"), col("n_tokens"),
+        array_join(slice(col("t"), col("i"), lit(2)), " ").as("bg"))
+    val perBigram = bigrams.groupBy(col("doc_id"), col("n_tokens"), col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+    val bigramStats = perBigram.groupBy(col("doc_id"), col("n_tokens")).agg(
+      max(col("cnt")).as("top_bigram_cnt"))
+
+    lineStats
+      .join(bigramStats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_lines"),
+        round(col("dup_lines").cast("double") / col("n_lines"), 4).as("dup_line_frac"),
+        round(col("dup_line_chars").cast("double") / col("line_chars"), 4)
+          .as("dup_line_char_frac"),
+        round(
+          coalesce(col("top_bigram_cnt") * 2.0 / col("n_tokens"), lit(0.0)), 4)
+          .as("top_bigram_frac"))
+  }
+
+  /** Gopher document-filter rules (Rae et al. 2021, Table A1) re-expressed
+    * as pure Column arithmetic — the standard pre-training quality gate a
+    * web pipeline applies after extraction. Per doc: the individual rule
+    * booleans plus the conjunction `keep`. Token = non-empty run of
+    * non-space/non-newline chars (matches the corpus tokenization);
+    * thresholds are the published ones.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val flat = regexp_replace(t, "\n", " ")
+    val words = regexp_extract_all(t, lit("[^ \n]+"), lit(0))
+    val wordCount = size(words)
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val charCount = length(regexp_replace(t, "[ \n]", ""))
+    val meanWordLen = charCount.cast("double") / wordCount
+    val lines = filter(split(t, "\n"), l => l =!= "")
+    val nLines = size(lines)
+    val bulletLines = size(filter(lines, l => l.startsWith("- ") || l.startsWith("• ")))
+    val ellipsisLines = size(filter(lines, l => l.endsWith("...") || l.endsWith("…")))
+    val hashCount = length(flat) - length(regexp_replace(flat, "#", ""))
+    val ellipsisCount =
+      (length(flat) - length(regexp_replace(flat, "\\.\\.\\.", ""))) / 3 +
+        (length(flat) - length(regexp_replace(flat, "…", "")))
+    val symbolRatio = (hashCount + ellipsisCount).cast("double") / wordCount
+    val stopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val padded = concat(lit(" "), lower(flat), lit(" "))
+    val stopHits = stopwords
+      .map(w => when(padded.contains(s" $w "), 1).otherwise(0))
+      .reduce(_ + _)
+
+    val rWordCount = wordCount.between(50, 100000)
+    val rMeanLen = meanWordLen.between(3.0, 10.0)
+    val rSymbol = symbolRatio < 0.1
+    val rBullet = bulletLines.cast("double") / nLines <= 0.9
+    val rEllipsis = ellipsisLines.cast("double") / nLines <= 0.3
+    val rAlpha = alphaWords.cast("double") / wordCount >= 0.8
+    val rStop = stopHits >= 2
+
+    docs.select(
+      col("doc_id"),
+      wordCount.cast("long").as("word_count"),
+      round(meanWordLen, 4).as("mean_word_len"),
+      round(symbolRatio, 4).as("symbol_ratio"),
+      round(alphaWords.cast("double") / wordCount, 4).as("alpha_word_frac"),
+      stopHits.cast("int").as("stop_hits"),
+      rWordCount.as("r_word_count"),
+      rMeanLen.as("r_mean_word_len"),
+      rSymbol.as("r_symbol_ratio"),
+      rBullet.as("r_bullet_lines"),
+      rEllipsis.as("r_ellipsis_lines"),
+      rAlpha.as("r_alpha_words"),
+      rStop.as("r_stopwords"),
+      (rWordCount && rMeanLen && rSymbol && rBullet && rEllipsis && rAlpha && rStop)
+        .as("keep"))
+  }
+
   /** Corpus top-k token frequency, fully distributed — the formulation to
     * reach for on raw web text, where the distinct-token count (numbers,
     * urls, typos) grows with corpus size: explode -> partial-aggregated

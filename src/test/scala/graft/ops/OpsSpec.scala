@@ -444,6 +444,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fp(0) == fp(1))
   }
 
+  test("repetition stats: duplicate lines and top-bigram dominance, hand-computed") {
+    val df = Seq(
+      // 4 non-empty lines, "same line" twice (dup frac 2/4; dup chars
+      // 18/28); 8 tokens, top bigram "same line" x2 -> frac 2*2/8
+      (0L, "same line\nsame line\nab cd\nef gh"),
+      (1L, "all distinct lines\nhere now"), // no dups, top bigram count 1
+      (2L, "one") // single token, no bigram -> frac 0.0
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(df).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Long]("n_lines") == 4)
+    assert(r(0L).getAs[Double]("dup_line_frac") == 0.5)
+    assert(r(0L).getAs[Double]("dup_line_char_frac") == math.rint(18.0 / 28.0 * 10000) / 10000)
+    assert(r(0L).getAs[Double]("top_bigram_frac") == math.rint(4.0 / 8.0 * 10000) / 10000)
+    assert(r(1L).getAs[Double]("dup_line_frac") == 0.0)
+    assert(r(1L).getAs[Double]("top_bigram_frac") == round4(2.0 / 5.0))
+    assert(r(2L).getAs[Double]("top_bigram_frac") == 0.0)
+  }
+
+  private def round4(x: Double) = math.rint(x * 10000) / 10000
+
+  test("gopher rules: published thresholds fire on the right violations") {
+    val good = ("the be to of and that have with " + ("alpha beta gamma delta " * 20)).trim
+    val df = Seq(
+      (0L, good), // passes everything
+      (1L, "too short of a doc"), // word-count rule
+      (2L, ("#### " * 40 + "the be of and words here " * 10).trim), // symbol ratio
+      (3L, (1 to 80).map(i => s"- bullet $i").mkString("\n")) // bullet lines
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(df).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Boolean]("keep"), s"good doc must pass: ${r(0L)}")
+    assert(!r(1L).getAs[Boolean]("r_word_count") && !r(1L).getAs[Boolean]("keep"))
+    assert(!r(2L).getAs[Boolean]("r_symbol_ratio") && !r(2L).getAs[Boolean]("keep"))
+    assert(!r(3L).getAs[Boolean]("r_bullet_lines") && !r(3L).getAs[Boolean]("keep"))
+  }
+
   test("distributed top-k tokens: TakeOrderedAndProject plan, agrees with the Aggregator") {
     val df = (0 until 50).map { i =>
       // 'alpha' in every doc, 'beta' in even docs, unique tail tokens
