@@ -560,11 +560,14 @@ object SparkEntry {
          bg_stats AS (
            SELECT doc_id, n_tokens, max(cnt) AS top_bigram_cnt
            FROM per_bg GROUP BY doc_id, n_tokens)
-         SELECT l.doc_id, l.n_lines,
-           round(l.dup_lines::DOUBLE / l.n_lines, 4) AS dup_line_frac,
-           round(l.dup_line_chars::DOUBLE / l.line_chars, 4) AS dup_line_char_frac,
+         SELECT d.doc_id, coalesce(l.n_lines, 0)::BIGINT AS n_lines,
+           round(coalesce(l.dup_lines::DOUBLE / l.n_lines, 0.0), 4) AS dup_line_frac,
+           round(coalesce(l.dup_line_chars::DOUBLE / l.line_chars, 0.0), 4)
+             AS dup_line_char_frac,
            round(coalesce(b.top_bigram_cnt * 2.0 / b.n_tokens, 0.0), 4) AS top_bigram_frac
-         FROM line_stats l LEFT JOIN bg_stats b USING (doc_id)""",
+         FROM documents d
+         LEFT JOIN line_stats l USING (doc_id)
+         LEFT JOIN bg_stats b USING (doc_id)""",
     "q_gopher_filter" ->
       """WITH base AS (
            SELECT doc_id, text,

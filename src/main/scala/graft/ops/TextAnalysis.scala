@@ -164,13 +164,20 @@ object TextAnalysis {
     val bigramStats = perBigram.groupBy(col("doc_id"), col("n_tokens")).agg(
       max(col("cnt")).as("top_bigram_cnt"))
 
-    lineStats
+    // anchored on the full docs table: a doc with NO non-empty line (empty /
+    // whitespace-only text) must still emit a row (n_lines 0, fractions 0.0)
+    // — dropping it from the output would silently lose the doc from any
+    // pipeline that joins the stats back to gate on them
+    docs.select(col("doc_id"))
+      .join(lineStats, Seq("doc_id"), "left")
       .join(bigramStats, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
-        col("n_lines"),
-        round(col("dup_lines").cast("double") / col("n_lines"), 4).as("dup_line_frac"),
-        round(col("dup_line_chars").cast("double") / col("line_chars"), 4)
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        round(coalesce(col("dup_lines").cast("double") / col("n_lines"), lit(0.0)), 4)
+          .as("dup_line_frac"),
+        round(
+          coalesce(col("dup_line_chars").cast("double") / col("line_chars"), lit(0.0)), 4)
           .as("dup_line_char_frac"),
         round(
           coalesce(col("top_bigram_cnt") * 2.0 / col("n_tokens"), lit(0.0)), 4)
@@ -196,10 +203,10 @@ object TextAnalysis {
     val nLines = size(lines)
     val bulletLines = size(filter(lines, l => l.startsWith("- ") || l.startsWith("• ")))
     val ellipsisLines = size(filter(lines, l => l.endsWith("...") || l.endsWith("…")))
-    val hashCount = length(flat) - length(regexp_replace(flat, "#", ""))
-    val ellipsisCount =
-      (length(flat) - length(regexp_replace(flat, "\\.\\.\\.", ""))) / 3 +
-        (length(flat) - length(regexp_replace(flat, "…", "")))
+    // markerCount's space padding cannot create occurrences of these
+    // markers, so it counts them exactly (and keeps one counting idiom)
+    val hashCount = markerCount(flat, "#")
+    val ellipsisCount = markerCount(flat, "...") + markerCount(flat, "…")
     val symbolRatio = (hashCount + ellipsisCount).cast("double") / wordCount
     val stopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val padded = concat(lit(" "), lower(flat), lit(" "))

@@ -104,6 +104,7 @@ object StreamingExtraction {
       else rows
     val timeoutConf =
       if (withTtl) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
+    val watermarkInstalled = withTtl || allowedLatenessMs >= 0
     watermarked
       .select(col("hash"), col("url"), col("text"), col("warc_ts"))
       .as[(String, String, String, java.sql.Timestamp)]
@@ -116,30 +117,40 @@ object StreamingExtraction {
             state.remove()
             Iterator.empty
           } else {
-            val batch = rows.toSeq.sortBy(_._2) // deterministic within-batch order
-            // MONOTONIC deadline: max over every sighting's (event time + TTL)
-            // — an out-of-order older duplicate must not shrink it and evict
-            // state early (clamped above the watermark; Spark rejects timeout
-            // timestamps at or below it)
-            val batchDeadline =
-              if (withTtl) batch.iterator.map(_._4.getTime).max + stateTtlMs else 0L
-            val out = state.getOption match {
-              case Some(s) =>
-                val deadline = math.max(s.deadlineMs, batchDeadline)
-                state.update(s.copy(dropped = s.dropped + batch.size, deadlineMs = deadline))
-                if (withTtl)
-                  state.setTimeoutTimestamp(
-                    math.max(deadline, state.getCurrentWatermarkMs() + 1))
-                Iterator.empty[DedupedDoc]
-              case None =>
-                val first = batch.head
-                state.update(DedupState(first._2, batch.size - 1L, batchDeadline))
-                if (withTtl)
-                  state.setTimeoutTimestamp(
-                    math.max(batchDeadline, state.getCurrentWatermarkMs() + 1))
-                Iterator.single(DedupedDoc(first._2, hash, first._3))
+            // The engine only pre-filters late rows under EventTimeTimeout;
+            // in lateness-only mode (NoTimeout + watermark) the declared
+            // late-row drop is applied HERE, against the same watermark the
+            // engine would use. Under TTL mode this is a no-op (already
+            // engine-filtered).
+            val wmMs =
+              if (watermarkInstalled) state.getCurrentWatermarkMs() else Long.MinValue
+            val kept = rows.filter(r => !watermarkInstalled || r._4.getTime >= wmMs)
+            val batch = kept.toSeq.sortBy(_._2) // deterministic within-batch order
+            if (batch.isEmpty) Iterator.empty[DedupedDoc]
+            else {
+              // MONOTONIC deadline: max over every sighting's (event time +
+              // TTL) — an out-of-order older duplicate must not shrink it
+              // and evict state early (clamped above the watermark; Spark
+              // rejects timeout timestamps at or below it)
+              val batchDeadline =
+                if (withTtl) batch.iterator.map(_._4.getTime).max + stateTtlMs else 0L
+              state.getOption match {
+                case Some(s) =>
+                  val deadline = math.max(s.deadlineMs, batchDeadline)
+                  state.update(s.copy(dropped = s.dropped + batch.size, deadlineMs = deadline))
+                  if (withTtl)
+                    state.setTimeoutTimestamp(
+                      math.max(deadline, state.getCurrentWatermarkMs() + 1))
+                  Iterator.empty[DedupedDoc]
+                case None =>
+                  val first = batch.head
+                  state.update(DedupState(first._2, batch.size - 1L, batchDeadline))
+                  if (withTtl)
+                    state.setTimeoutTimestamp(
+                      math.max(batchDeadline, state.getCurrentWatermarkMs() + 1))
+                  Iterator.single(DedupedDoc(first._2, hash, first._3))
+              }
             }
-            out
           }
         })
   }

@@ -450,10 +450,13 @@ class TextAnalysisSpec extends AnyFunSuite {
       // 18/28); 8 tokens, top bigram "same line" x2 -> frac 2*2/8
       (0L, "same line\nsame line\nab cd\nef gh"),
       (1L, "all distinct lines\nhere now"), // no dups, top bigram count 1
-      (2L, "one") // single token, no bigram -> frac 0.0
+      (2L, "one"), // single token, no bigram -> frac 0.0
+      (3L, "\n\n") // no non-empty line: row must SURVIVE with zeros
     ).toDF("doc_id", "text")
     val r = TextAnalysis.repetitionStats(df).collect()
       .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r.size == 4, "every doc emits a row, even with no non-empty lines")
+    assert(r(3L).getAs[Long]("n_lines") == 0 && r(3L).getAs[Double]("dup_line_frac") == 0.0)
     assert(r(0L).getAs[Long]("n_lines") == 4)
     assert(r(0L).getAs[Double]("dup_line_frac") == 0.5)
     assert(r(0L).getAs[Double]("dup_line_char_frac") == math.rint(18.0 / 28.0 * 10000) / 10000)

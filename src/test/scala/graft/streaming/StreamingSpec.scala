@@ -119,6 +119,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("lateness-only mode: bounded disorder drop, unbounded dedup memory") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val t0 = CorpusGen.Epoch
+    def at(row: RawPage, ms: Long) = row.copy(warc_ts = new java.sql.Timestamp(ms))
+    val a = at(CorpusGen.genRow(42L, 3), t0)
+    val b = at(CorpusGen.genRow(42L, 23), t0 + 600000L) // +10 min; wm -> +9 min
+    // a NOVEL doc whose first sighting is older than the watermark: in
+    // lateness-only mode this is the documented data-loss drop
+    val tooLate = at(CorpusGen.genRow(42L, 43), t0 + 60000L)
+    // a duplicate of `a` far beyond any TTL horizon: state must NOT have
+    // been evicted (stateTtlMs = 0 keeps unbounded dedup memory)
+    val aDup = at(CorpusGen.genRow(42L, 3), t0 + 720000L)
+      .copy(url = "https://dup.example/doc/3")
+
+    val stream = MemoryStream[RawPage]
+    val q = StreamingExtraction
+      .dedupedExtract(stream.toDF(), cfg, stateTtlMs = 0L, allowedLatenessMs = 60000L)
+      .writeStream.format("memory").queryName("stream_dedup_lateonly")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(Seq(a)); q.processAllAvailable()
+      stream.addData(Seq(b)); q.processAllAvailable() // advances wm to +9 min
+      stream.addData(Seq(tooLate)); q.processAllAvailable() // dropped (late)
+      stream.addData(Seq(aDup)); q.processAllAvailable() // deduped (state kept)
+      val urls = spark.sql("SELECT url FROM stream_dedup_lateonly")
+        .collect().map(_.getString(0)).toSet
+      assert(urls == Set(a.url, b.url),
+        s"late novel row dropped AND old duplicate suppressed; got $urls")
+    } finally q.stop()
+  }
+
   test("out-of-order older duplicate does not shrink the eviction deadline") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
