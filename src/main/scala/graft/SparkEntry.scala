@@ -19,6 +19,22 @@ object SparkEntry {
 
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
 
+  /** Deterministic md5 4-hex-digit doc bucket (uniform 0..99), shared by
+    * the split query and the composed pipeline — physical-partitioning-
+    * independent, reproducible anywhere md5 exists.
+    */
+  private def hashSplitBucket: org.apache.spark.sql.Column = {
+    val h = md5(col("doc_id").cast("string"))
+    def hexVal(i: Int) = {
+      val a = ascii(substring(h, i, 1))
+      a - lit(48) - lit(39) * (a >= 97).cast("int")
+    }
+    (hexVal(1) * lit(4096) + hexVal(2) * lit(256) + hexVal(3) * lit(16) + hexVal(4)) % lit(100)
+  }
+
+  private def hashSplitName: org.apache.spark.sql.Column =
+    when(hashSplitBucket < 80, "train").when(hashSplitBucket < 90, "val").otherwise("test")
+
   private def udf_topk(s: SparkSession) =
     org.apache.spark.sql.functions.udaf(new graft.ops.Aggregators.TopKTokens(20))
 
@@ -274,18 +290,25 @@ object SparkEntry {
     // partitioning-independent, reproducible anywhere md5 exists. The first
     // FOUR hex digits parse to a uniform 0..65535 value (two raw ascii codes
     // would be lumpy mod 100)
-    "q_hash_split" -> ((s, dir) => {
-      val h = md5(col("doc_id").cast("string"))
-      def hexVal(i: Int) = {
-        val a = ascii(substring(h, i, 1))
-        a - lit(48) - lit(39) * (a >= 97).cast("int")
-      }
-      val bucket =
-        (hexVal(1) * lit(4096) + hexVal(2) * lit(256) + hexVal(3) * lit(16) + hexVal(4)) % lit(100)
+    "q_hash_split" -> ((s, dir) =>
       s.read.parquet(t(dir, "documents"))
-        .select(col("doc_id"), bucket.cast("int").as("bucket"),
-          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-            .as("split"))
+        .select(col("doc_id"), hashSplitBucket.cast("int").as("bucket"),
+          hashSplitName.as("split"))),
+    // the full corpus-preparation chain composed from the shipped
+    // operators: Gopher quality gate -> exact-dup survivors ->
+    // deterministic split -> per-split size rollup. One oracled query
+    // proving the operators compose (each stage is independently oracled
+    // above); at scale every stage is the already-audited skew-safe plan.
+    "q_pipeline_compose" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      val kept = TextAnalysis.gopherRules(docs).filter(col("keep")).select("doc_id")
+      val survivors = Dedup.markDuplicates(docs)
+        .filter(!col("is_duplicate")).select("doc_id")
+      docs.join(kept, Seq("doc_id")).join(survivors, Seq("doc_id"))
+        .select(hashSplitName.as("split"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ws_tokens"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("total_ws_tokens"))
     }),
     // label-free variant: multi-table sign-LSH blocking + exact verification.
     // The synthetic embeddings are diffuse (max pairwise cosine ~0.6), so
@@ -423,6 +446,63 @@ object SparkEntry {
          UNION
          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
        SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node"""
+
+  /** Gopher Table-A1 filter oracle — shared by q_gopher_filter and the
+    * composed-pipeline oracle (embedded as a subquery there).
+    */
+  private val GopherOracleSql: String =
+    """WITH base AS (
+           SELECT doc_id, text,
+             replace(text, chr(10), ' ') AS flat,
+             regexp_extract_all(text, '[^ \n]+') AS words,
+             list_filter(string_split(text, chr(10)), l -> l <> '') AS lines
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             len(words) AS word_count,
+             len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+             length(regexp_replace(text, '[ \n]', '', 'g')) AS char_count,
+             len(lines) AS n_lines,
+             len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '• ')))
+               AS bullet_lines,
+             len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…')) AS ellipsis_lines,
+             (length(flat) - length(replace(flat, '#', ''))) AS hash_count,
+             (length(flat) - length(replace(flat, '...', ''))) / 3 +
+               (length(flat) - length(replace(flat, '…', ''))) AS ellipsis_count,
+             (CASE WHEN contains(' ' || lower(flat) || ' ', ' the ') THEN 1 ELSE 0 END) +
+             (CASE WHEN contains(' ' || lower(flat) || ' ', ' be ') THEN 1 ELSE 0 END) +
+             (CASE WHEN contains(' ' || lower(flat) || ' ', ' to ') THEN 1 ELSE 0 END) +
+             (CASE WHEN contains(' ' || lower(flat) || ' ', ' of ') THEN 1 ELSE 0 END) +
+             (CASE WHEN contains(' ' || lower(flat) || ' ', ' and ') THEN 1 ELSE 0 END) +
+             (CASE WHEN contains(' ' || lower(flat) || ' ', ' that ') THEN 1 ELSE 0 END) +
+             (CASE WHEN contains(' ' || lower(flat) || ' ', ' have ') THEN 1 ELSE 0 END) +
+             (CASE WHEN contains(' ' || lower(flat) || ' ', ' with ') THEN 1 ELSE 0 END)
+               AS stop_hits
+           FROM base),
+         r AS (
+           SELECT doc_id, word_count,
+             char_count::DOUBLE / word_count AS mean_word_len,
+             (hash_count + ellipsis_count)::DOUBLE / word_count AS symbol_ratio,
+             alpha_words::DOUBLE / word_count AS alpha_word_frac,
+             stop_hits,
+             (word_count BETWEEN 50 AND 100000) AS r_word_count,
+             (char_count::DOUBLE / word_count BETWEEN 3.0 AND 10.0) AS r_mean_word_len,
+             ((hash_count + ellipsis_count)::DOUBLE / word_count < 0.1) AS r_symbol_ratio,
+             (bullet_lines::DOUBLE / n_lines <= 0.9) AS r_bullet_lines,
+             (ellipsis_lines::DOUBLE / n_lines <= 0.3) AS r_ellipsis_lines,
+             (alpha_words::DOUBLE / word_count >= 0.8) AS r_alpha_words,
+             (stop_hits >= 2) AS r_stopwords
+           FROM m)
+         SELECT doc_id, word_count::BIGINT AS word_count,
+           round(mean_word_len, 4) AS mean_word_len,
+           round(symbol_ratio, 4) AS symbol_ratio,
+           round(alpha_word_frac, 4) AS alpha_word_frac,
+           stop_hits::INT AS stop_hits,
+           r_word_count, r_mean_word_len, r_symbol_ratio, r_bullet_lines,
+           r_ellipsis_lines, r_alpha_words, r_stopwords,
+           (r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_bullet_lines
+            AND r_ellipsis_lines AND r_alpha_words AND r_stopwords) AS keep
+         FROM r"""
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_simhash" ->
@@ -568,59 +648,7 @@ object SparkEntry {
          FROM documents d
          LEFT JOIN line_stats l USING (doc_id)
          LEFT JOIN bg_stats b USING (doc_id)""",
-    "q_gopher_filter" ->
-      """WITH base AS (
-           SELECT doc_id, text,
-             replace(text, chr(10), ' ') AS flat,
-             regexp_extract_all(text, '[^ \n]+') AS words,
-             list_filter(string_split(text, chr(10)), l -> l <> '') AS lines
-           FROM documents),
-         m AS (
-           SELECT doc_id,
-             len(words) AS word_count,
-             len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
-             length(regexp_replace(text, '[ \n]', '', 'g')) AS char_count,
-             len(lines) AS n_lines,
-             len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '• ')))
-               AS bullet_lines,
-             len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…')) AS ellipsis_lines,
-             (length(flat) - length(replace(flat, '#', ''))) AS hash_count,
-             (length(flat) - length(replace(flat, '...', ''))) / 3 +
-               (length(flat) - length(replace(flat, '…', ''))) AS ellipsis_count,
-             (CASE WHEN contains(' ' || lower(flat) || ' ', ' the ') THEN 1 ELSE 0 END) +
-             (CASE WHEN contains(' ' || lower(flat) || ' ', ' be ') THEN 1 ELSE 0 END) +
-             (CASE WHEN contains(' ' || lower(flat) || ' ', ' to ') THEN 1 ELSE 0 END) +
-             (CASE WHEN contains(' ' || lower(flat) || ' ', ' of ') THEN 1 ELSE 0 END) +
-             (CASE WHEN contains(' ' || lower(flat) || ' ', ' and ') THEN 1 ELSE 0 END) +
-             (CASE WHEN contains(' ' || lower(flat) || ' ', ' that ') THEN 1 ELSE 0 END) +
-             (CASE WHEN contains(' ' || lower(flat) || ' ', ' have ') THEN 1 ELSE 0 END) +
-             (CASE WHEN contains(' ' || lower(flat) || ' ', ' with ') THEN 1 ELSE 0 END)
-               AS stop_hits
-           FROM base),
-         r AS (
-           SELECT doc_id, word_count,
-             char_count::DOUBLE / word_count AS mean_word_len,
-             (hash_count + ellipsis_count)::DOUBLE / word_count AS symbol_ratio,
-             alpha_words::DOUBLE / word_count AS alpha_word_frac,
-             stop_hits,
-             (word_count BETWEEN 50 AND 100000) AS r_word_count,
-             (char_count::DOUBLE / word_count BETWEEN 3.0 AND 10.0) AS r_mean_word_len,
-             ((hash_count + ellipsis_count)::DOUBLE / word_count < 0.1) AS r_symbol_ratio,
-             (bullet_lines::DOUBLE / n_lines <= 0.9) AS r_bullet_lines,
-             (ellipsis_lines::DOUBLE / n_lines <= 0.3) AS r_ellipsis_lines,
-             (alpha_words::DOUBLE / word_count >= 0.8) AS r_alpha_words,
-             (stop_hits >= 2) AS r_stopwords
-           FROM m)
-         SELECT doc_id, word_count::BIGINT AS word_count,
-           round(mean_word_len, 4) AS mean_word_len,
-           round(symbol_ratio, 4) AS symbol_ratio,
-           round(alpha_word_frac, 4) AS alpha_word_frac,
-           stop_hits::INT AS stop_hits,
-           r_word_count, r_mean_word_len, r_symbol_ratio, r_bullet_lines,
-           r_ellipsis_lines, r_alpha_words, r_stopwords,
-           (r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_bullet_lines
-            AND r_ellipsis_lines AND r_alpha_words AND r_stopwords) AS keep
-         FROM r""",
+    "q_gopher_filter" -> GopherOracleSql,
     "q_langid" -> {
       def cnt(m: String) =
         s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', '$m', ''))) / ${m.length}"
@@ -806,6 +834,37 @@ object SparkEntry {
                 WHEN bucket < 90 THEN 'val'
                 ELSE 'test' END AS split
          FROM b""",
+    // composed pipeline: the gopher oracle is embedded verbatim as a
+    // subquery, the dedup survivor set is the window formulation, and the
+    // split is the same md5 bucket arithmetic — fully independent of the
+    // Spark operator implementations
+    "q_pipeline_compose" ->
+      ("""WITH gf AS (SELECT doc_id, keep FROM (""" + GopherOracleSql + """)),
+         survivors AS (
+           SELECT doc_id FROM (
+             SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+             FROM documents) WHERE NOT is_dup),
+         b AS (
+           SELECT doc_id,
+             ((ascii(substr(md5(doc_id::VARCHAR), 1, 1)) - 48
+                 - 39 * CASE WHEN ascii(substr(md5(doc_id::VARCHAR), 1, 1)) >= 97 THEN 1 ELSE 0 END) * 4096
+              + (ascii(substr(md5(doc_id::VARCHAR), 2, 1)) - 48
+                 - 39 * CASE WHEN ascii(substr(md5(doc_id::VARCHAR), 2, 1)) >= 97 THEN 1 ELSE 0 END) * 256
+              + (ascii(substr(md5(doc_id::VARCHAR), 3, 1)) - 48
+                 - 39 * CASE WHEN ascii(substr(md5(doc_id::VARCHAR), 3, 1)) >= 97 THEN 1 ELSE 0 END) * 16
+              + (ascii(substr(md5(doc_id::VARCHAR), 4, 1)) - 48
+                 - 39 * CASE WHEN ascii(substr(md5(doc_id::VARCHAR), 4, 1)) >= 97 THEN 1 ELSE 0 END)
+             ) % 100 AS bucket
+           FROM documents)
+         SELECT CASE WHEN b.bucket < 80 THEN 'train' WHEN b.bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           sum(len(string_split(d.text, ' ')))::BIGINT AS total_ws_tokens
+         FROM documents d
+         JOIN (SELECT doc_id FROM gf WHERE keep) k USING (doc_id)
+         JOIN survivors USING (doc_id)
+         JOIN b USING (doc_id)
+         GROUP BY 1"""),
     // exhaustive-pair oracle over the same planted table: identical vectors
     // collide in every LSH table (no plane separates a zero angle), so the
     // bucketed result provably equals the exact all-pairs answer at 0.95
