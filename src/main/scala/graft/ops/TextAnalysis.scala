@@ -192,13 +192,16 @@ object TextAnalysis {
     * thresholds are the published ones.
     */
   def gopherRules(docs: DataFrame): DataFrame = {
-    val t = col("text")
+    // null text reads as empty: every count is 0, r_word_count is false, so
+    // keep is false (never null — three-valued logic would otherwise leak
+    // nulls through the conjunction and a filter(keep) would drop the row
+    // silently rather than explicitly rejecting it)
+    val t = coalesce(col("text"), lit(""))
     val flat = regexp_replace(t, "\n", " ")
     val words = regexp_extract_all(t, lit("[^ \n]+"), lit(0))
     val wordCount = size(words)
     val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
     val charCount = length(regexp_replace(t, "[ \n]", ""))
-    val meanWordLen = charCount.cast("double") / wordCount
     val lines = filter(split(t, "\n"), l => l =!= "")
     val nLines = size(lines)
     val bulletLines = size(filter(lines, l => l.startsWith("- ") || l.startsWith("• ")))
@@ -207,7 +210,15 @@ object TextAnalysis {
     // markers, so it counts them exactly (and keeps one counting idiom)
     val hashCount = markerCount(flat, "#")
     val ellipsisCount = markerCount(flat, "...") + markerCount(flat, "…")
-    val symbolRatio = (hashCount + ellipsisCount).cast("double") / wordCount
+    // ANSI-safe ratios: an empty/null doc has wordCount/nLines 0, and under
+    // Spark's default ANSI mode a zero divisor THROWS rather than nulling —
+    // ratios read 0.0 there and the word-count rule rejects the doc
+    def perWord(c: Column) =
+      when(wordCount > 0, c.cast("double") / wordCount).otherwise(lit(0.0))
+    val symbolRatio = perWord(hashCount + ellipsisCount)
+    val meanWordLen = perWord(charCount)
+    def perLine(c: Column) =
+      when(nLines > 0, c.cast("double") / nLines).otherwise(lit(0.0))
     val stopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val padded = concat(lit(" "), lower(flat), lit(" "))
     val stopHits = stopwords
@@ -217,9 +228,9 @@ object TextAnalysis {
     val rWordCount = wordCount.between(50, 100000)
     val rMeanLen = meanWordLen.between(3.0, 10.0)
     val rSymbol = symbolRatio < 0.1
-    val rBullet = bulletLines.cast("double") / nLines <= 0.9
-    val rEllipsis = ellipsisLines.cast("double") / nLines <= 0.3
-    val rAlpha = alphaWords.cast("double") / wordCount >= 0.8
+    val rBullet = perLine(bulletLines) <= 0.9
+    val rEllipsis = perLine(ellipsisLines) <= 0.3
+    val rAlpha = perWord(alphaWords) >= 0.8
     val rStop = stopHits >= 2
 
     docs.select(
@@ -227,7 +238,7 @@ object TextAnalysis {
       wordCount.cast("long").as("word_count"),
       round(meanWordLen, 4).as("mean_word_len"),
       round(symbolRatio, 4).as("symbol_ratio"),
-      round(alphaWords.cast("double") / wordCount, 4).as("alpha_word_frac"),
+      round(perWord(alphaWords), 4).as("alpha_word_frac"),
       stopHits.cast("int").as("stop_hits"),
       rWordCount.as("r_word_count"),
       rMeanLen.as("r_mean_word_len"),

@@ -480,6 +480,15 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(x => x.getAs[Long]("doc_id") -> x).toMap
     assert(r(0L).getAs[Boolean]("keep"), s"good doc must pass: ${r(0L)}")
     assert(!r(1L).getAs[Boolean]("r_word_count") && !r(1L).getAs[Boolean]("keep"))
+    // null text: keep must be a definite false, not a null that a
+    // filter(keep) would silently drop
+    import org.apache.spark.sql.types._
+    val nullDoc = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(9L, null: String)),
+      StructType(Seq(StructField("doc_id", LongType, false),
+        StructField("text", StringType, true))))
+    val nr = TextAnalysis.gopherRules(nullDoc).collect()(0)
+    assert(!nr.isNullAt(nr.fieldIndex("keep")) && !nr.getAs[Boolean]("keep"))
     assert(!r(2L).getAs[Boolean]("r_symbol_ratio") && !r(2L).getAs[Boolean]("keep"))
     assert(!r(3L).getAs[Boolean]("r_bullet_lines") && !r(3L).getAs[Boolean]("keep"))
   }
