@@ -1,0 +1,195 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native word n-gram shingle hashing (`shingle_hashes64(text, n)` ->
+  * sorted distinct array<bigint>).
+  *
+  * Why an Expression: shingling runs over every document in the dedup
+  * family (exact n-gram Jaccard, MinHash, connected components). The
+  * previous formulation was a typed `Dataset.map`, which forces a
+  * DeserializeToObject/SerializeFromObject boundary — every row pays full
+  * object materialization, column pruning stops at the boundary, and
+  * whole-stage codegen splits. This expression participates in codegen
+  * (a direct static call) and hashes byte ranges of the UTF8String in
+  * place: tokens split on the 0x20 byte (single-space tokenization, the
+  * same contract as [[SimHashImpl]]), and an n-token window's joined
+  * string is EXACTLY the byte subrange from its first token's start to its
+  * last token's end — so hashing the subrange is bit-identical to the
+  * Scala kernel `Dedup.shingleHashes` (property-tested), including the
+  * empty-token semantics of `split(" ", -1)` and the whole-text fallback
+  * for docs shorter than n tokens.
+  */
+case class ShingleHashes64Expr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle size $n must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes64 requires a string argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleImpl.hashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.ShingleImpl.hashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleImpl {
+  /** Sorted distinct 64-bit shingle hashes of `s` under single-space
+    * tokenization; byte-range FNV-1a + mix64, identical constants to
+    * `graft.ops.Dedup.hash64`.
+    */
+  def hashes(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    // token count under split(" ", -1): separators + 1
+    var seps = 0
+    var i = 0
+    while (i < len) { if (bytes(i) == 0x20) seps += 1; i += 1 }
+    val nTokens = seps + 1
+    if (nTokens < n) {
+      // whole-text shingle, INCLUDING empty text (SQL parity: split('')
+      // yields [''], so '' must hash too)
+      return UnsafeArrayData.fromPrimitiveArray(Array(hashRange(bytes, 0, len)))
+    }
+    // start offset of every token (position after each separator)
+    val starts = new Array[Int](nTokens)
+    starts(0) = 0
+    var tk = 1
+    i = 0
+    while (i < len) { if (bytes(i) == 0x20) { starts(tk) = i + 1; tk += 1 }; i += 1 }
+    val nWindows = nTokens - n + 1
+    val out = new Array[Long](nWindows)
+    var w = 0
+    while (w < nWindows) {
+      val from = starts(w)
+      val until = if (w + n < nTokens) starts(w + n) - 1 else len // exclude trailing sep
+      out(w) = hashRange(bytes, from, until)
+      w += 1
+    }
+    // sorted distinct (the kernel's SortedSet contract)
+    java.util.Arrays.sort(out)
+    var uniq = 0
+    var j = 0
+    while (j < nWindows) {
+      if (j == 0 || out(j) != out(j - 1)) { out(uniq) = out(j); uniq += 1 }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, uniq))
+  }
+
+  private def hashRange(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+      i += 1
+    }
+    mix64(h)
+  }
+
+  def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+    z ^ (z >>> 33)
+  }
+}
+
+/** `minhash_sig(shingles, k)`: MinHash signature over a shingle-hash array
+  * (k seeded-mix minima, one pass). Same Expression rationale as
+  * [[ShingleHashes64Expr]]; bit-identical to `Dedup.minhashSignature`.
+  */
+case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"signature size $k must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashImpl.sig(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.MinHashImpl.sig($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashImpl {
+  def sig(shingles: ArrayData, k: Int): ArrayData = {
+    val sh = shingles.toLongArray()
+    val out = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val s = sh(i)
+      var h = 0
+      while (h < k) {
+        val v = ShingleImpl.mix64(s ^ (0x9e3779b97f4a7c15L * (h + 1)))
+        if (v < out(h)) out(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Per-band LSH bucket keys of a signature (`minhash_bands(sig, bands)`):
+    * band b's key chains mix64 over its signature slice from a
+    * band-seeded FNV init — identical to the loop previously inlined in
+    * `Dedup.minhashPairs`.
+    */
+  def bands(sig: ArrayData, nBands: Int): ArrayData = {
+    val s = sig.toLongArray()
+    val rowsPerBand = s.length / nBands
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var h = 0xcbf29ce484222325L ^ b.toLong
+      var i = b * rowsPerBand
+      while (i < (b + 1) * rowsPerBand) { h = ShingleImpl.mix64(h ^ s(i)); i += 1 }
+      out(b) = h
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** `minhash_bands(sig, bands)` — see [[MinHashImpl.bands]]. */
+case class MinHashBandsExpr(child: Expression, nBands: Int) extends UnaryExpression {
+  require(nBands >= 1, s"band count $nBands must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_bands requires array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_bands"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashImpl.bands(input.asInstanceOf[ArrayData], nBands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.MinHashImpl.bands($c, $nBands)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -85,8 +85,22 @@ object SimHashImpl {
 
 /** Registration surface for the engine's native functions. */
 object GraftFunctions {
+  private def intArg(e: Expression, name: String): Int = {
+    require(e.foldable, s"$name expects a literal int argument")
+    e.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(s"$name: expected int literal, got $other")
+    }
+  }
+
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "simhash64" -> ((exprs: Seq[Expression]) => SimHash64Expr(exprs.head))
+    "simhash64" -> ((exprs: Seq[Expression]) => SimHash64Expr(exprs.head)),
+    "shingle_hashes64" -> ((exprs: Seq[Expression]) =>
+      ShingleHashes64Expr(exprs.head, intArg(exprs(1), "shingle_hashes64"))),
+    "minhash_sig" -> ((exprs: Seq[Expression]) =>
+      MinHashSigExpr(exprs.head, intArg(exprs(1), "minhash_sig"))),
+    "minhash_bands" -> ((exprs: Seq[Expression]) =>
+      MinHashBandsExpr(exprs.head, intArg(exprs(1), "minhash_bands")))
   )
 
   /** Register into an existing session (temp functions). */
@@ -96,9 +110,18 @@ object GraftFunctions {
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
 
-  /** Column-API form (resolves the registered function). */
+  /** Column-API forms (resolve the registered functions). */
   def simhash64(c: Column): Column =
     org.apache.spark.sql.functions.call_function("simhash64", c)
+  def shingleHashes64(c: Column, n: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      "shingle_hashes64", c, org.apache.spark.sql.functions.lit(n))
+  def minhashSig(c: Column, k: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      "minhash_sig", c, org.apache.spark.sql.functions.lit(k))
+  def minhashBands(c: Column, bands: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      "minhash_bands", c, org.apache.spark.sql.functions.lit(bands))
 }
 
 /** `spark.sql.extensions=graft.expressions.GraftExtensions` injector. */

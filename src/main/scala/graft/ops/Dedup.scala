@@ -181,12 +181,13 @@ object Dedup {
       maxShingleDf: Int = 128,
       logDropped: Boolean = false
   )(implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val shingled = docs
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, text) => (id, shingleHashes(text, n)) }
-      .toDF("doc_id", "shingles")
+    // native codegen expression (bit-identical to the Scala kernel,
+    // property-tested): no typed-map object boundary — pruning and
+    // whole-stage codegen run through the shingling
+    graft.expressions.GraftFunctions.register(spark)
+    val shingled = docs.select(
+      col("doc_id"),
+      graft.expressions.GraftFunctions.shingleHashes64(col("text"), n).as("shingles"))
     val posts0 = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
     // Document frequency per shingle: a partial-aggregated groupBy joined
     // back, NOT a window. A window partition runs on ONE task, so a
@@ -243,29 +244,22 @@ object Dedup {
       threshold: Double = 0.8,
       maxBucket: Int = 200
   )(implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val rowsPerBand = numHashes / bands
-    val shingled = docs
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        val sh = shingleHashes(text, n)
-        (id, sh, minhashSignature(sh, numHashes))
-      }
-      .toDF("doc_id", "shingles", "sig")
+    // native codegen expressions end to end (shingles -> signature -> band
+    // keys, each bit-identical to the Scala kernels): the whole candidate
+    // generation stays inside whole-stage codegen with no typed-map
+    // object boundaries
+    graft.expressions.GraftFunctions.register(spark)
+    import graft.expressions.GraftFunctions.{minhashBands, minhashSig, shingleHashes64}
+    val shingled = docs.select(
+      col("doc_id"),
+      shingleHashes64(col("text"), n).as("shingles"))
+      .withColumn("sig", minhashSig(col("shingles"), numHashes))
 
     // band buckets: (band, hash(slice)) -> doc list
     val bandRows = shingled
-      .as[(Long, Array[Long], Array[Long])]
-      .flatMap { case (id, _, sig) =>
-        (0 until bands).iterator.map { bnd =>
-          var h = 0xcbf29ce484222325L ^ bnd.toLong
-          var i = bnd * rowsPerBand
-          while (i < (bnd + 1) * rowsPerBand) { h = mix64(h ^ sig(i)); i += 1 }
-          (bnd, h, id)
-        }
-      }
-      .toDF("band", "bucket", "doc_id")
+      .select(col("doc_id"),
+        posexplode(minhashBands(col("sig"), bands)).as(Seq("band", "bucket")))
+      .select(col("band"), col("bucket"), col("doc_id"))
 
     // bucket cap via a streaming row_number window (no per-bucket array
     // materialization — a collect_list would buffer a mass-duplicate

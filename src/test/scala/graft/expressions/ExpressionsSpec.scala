@@ -51,4 +51,70 @@ class ExpressionsSpec extends AnyFunSuite {
       .select(GraftFunctions.simhash64(col("text")).as("h"))
     assert(df.head.isNullAt(0))
   }
+
+  test("native shingle_hashes64 is bit-identical to the Scala kernel") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog", // > n tokens
+      "three token text", "two tokens", "one", "", // <= n fallbacks
+      "double  space empty  tokens inside here now", // empty tokens count
+      "unicode école über δοκιμή 文本 shingle content here",
+      "trailing space here now ok ", " leading space text here too",
+      "repeat repeat repeat repeat repeat repeat") // duplicate shingles collapse
+    for (n <- Seq(1, 2, 4, 7)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val native = df
+        .select(col("doc_id"), GraftFunctions.shingleHashes64(col("text"), n).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(java.util.Arrays.equals(native(i.toLong), Dedup.shingleHashes(t, n)),
+          s"mismatch for '$t' at n=$n")
+      }
+    }
+  }
+
+  test("native minhash_sig and minhash_bands are bit-identical to the kernels") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog near the river",
+      "completely different content about query planning and shuffles",
+      "short", "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = df.select(
+      col("doc_id"),
+      GraftFunctions.minhashSig(GraftFunctions.shingleHashes64(col("text"), 4), 64).as("sig"))
+      .withColumn("bands", GraftFunctions.minhashBands(col("sig"), 16))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Long](1).toArray, r.getSeq[Long](2).toArray)))
+      .toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val sig = Dedup.minhashSignature(Dedup.shingleHashes(t, 4), 64)
+      assert(java.util.Arrays.equals(native(i.toLong)._1, sig), s"sig mismatch for '$t'")
+      // reference band formula (the loop previously inlined in minhashPairs)
+      val rowsPerBand = 64 / 16
+      val bands = (0 until 16).map { bnd =>
+        var h = 0xcbf29ce484222325L ^ bnd.toLong
+        var k = bnd * rowsPerBand
+        while (k < (bnd + 1) * rowsPerBand) { h = Dedup.mix64(h ^ sig(k)); k += 1 }
+        h
+      }.toArray
+      assert(java.util.Arrays.equals(native(i.toLong)._2, bands), s"bands mismatch for '$t'")
+    }
+  }
+
+  test("shingle pipeline stays inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val df = spark.range(10)
+      .select(GraftFunctions.minhashSig(
+        GraftFunctions.shingleHashes64(
+          concat(lit("alpha beta gamma delta epsilon token "), col("id")), 4), 16).as("sig"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+    assert(!plan.contains("DeserializeToObject"), plan)
+    assert(df.queryExecution.executedPlan.find(
+      _.getClass.getSimpleName.startsWith("WholeStageCodegen")).nonEmpty, plan)
+    assert(df.collect().length == 10)
+  }
 }

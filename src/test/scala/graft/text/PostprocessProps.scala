@@ -112,6 +112,13 @@ object PostprocessProps extends Properties("Postprocess") {
       DictionarySignal.round4(r) == r
     }
 
+  property("native byte-range shingle hashing equals the string kernel") =
+    forAll(text, Gen.oneOf(1, 2, 4, 7)) { (t, n) =>
+      val native = graft.expressions.ShingleImpl.hashes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), n).toLongArray()
+      java.util.Arrays.equals(native, Dedup.shingleHashes(t, n))
+    }
+
   property("shingle hashing is order-canonical and deterministic") =
     forAll(Gen.listOfN(20, word)) { ws =>
       val t = ws.mkString(" ")
