@@ -172,6 +172,66 @@ object MinHashImpl {
   }
 }
 
+object SimHashKeysImpl {
+  /** Per-table block-combination keys of a 64-bit simhash for the Manku
+    * multi-table hamming search (`simhash_keys(h, radius)`): B = radius + 3
+    * near-even bit blocks, one ~32-bit concatenated key per 3-block
+    * combination — identical to the loop previously inlined in
+    * `Dedup.simhashPairsFromHashes`. Combination order is
+    * `(0 until B).combinations(3)` order; the table id is the array index.
+    */
+  def keys(h: Long, radius: Int): ArrayData = {
+    val nBlocks = radius + 3
+    val combos = combosFor(nBlocks)
+    val bounds = Array.tabulate(nBlocks + 1)(b => b * 64 / nBlocks)
+    val out = new Array[Long](combos.length)
+    var t = 0
+    while (t < combos.length) {
+      val combo = combos(t)
+      var key = 0L
+      var i = 0
+      while (i < combo.length) {
+        val b = combo(i)
+        val lo = bounds(b)
+        val width = bounds(b + 1) - lo
+        val mask = if (width >= 64) -1L else (1L << width) - 1
+        key = (key << width) | ((h >>> lo) & mask)
+        i += 1
+      }
+      out(t) = key
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  private val comboCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Int]]]()
+  private def combosFor(nBlocks: Int): Array[Array[Int]] =
+    comboCache.computeIfAbsent(nBlocks,
+      n => (0 until n).combinations(3).map(_.toArray).toArray)
+}
+
+/** `simhash_keys(h, radius)` — see [[SimHashKeysImpl.keys]]. */
+case class SimHashKeysExpr(child: Expression, radius: Int) extends UnaryExpression {
+  require(radius >= 1 && radius <= 8, s"radius $radius out of range for key tables")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash_keys requires bigint, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash_keys"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashKeysImpl.keys(input.asInstanceOf[Long], radius)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.SimHashKeysImpl.keys($c, $radius)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `minhash_bands(sig, bands)` — see [[MinHashImpl.bands]]. */
 case class MinHashBandsExpr(child: Expression, nBands: Int) extends UnaryExpression {
   require(nBands >= 1, s"band count $nBands must be >= 1")

@@ -100,7 +100,9 @@ object GraftFunctions {
     "minhash_sig" -> ((exprs: Seq[Expression]) =>
       MinHashSigExpr(exprs.head, intArg(exprs(1), "minhash_sig"))),
     "minhash_bands" -> ((exprs: Seq[Expression]) =>
-      MinHashBandsExpr(exprs.head, intArg(exprs(1), "minhash_bands")))
+      MinHashBandsExpr(exprs.head, intArg(exprs(1), "minhash_bands"))),
+    "simhash_keys" -> ((exprs: Seq[Expression]) =>
+      SimHashKeysExpr(exprs.head, intArg(exprs(1), "simhash_keys")))
   )
 
   /** Register into an existing session (temp functions). */
@@ -122,6 +124,9 @@ object GraftFunctions {
   def minhashBands(c: Column, bands: Int): Column =
     org.apache.spark.sql.functions.call_function(
       "minhash_bands", c, org.apache.spark.sql.functions.lit(bands))
+  def simhashKeys(c: Column, radius: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      "simhash_keys", c, org.apache.spark.sql.functions.lit(radius))
 }
 
 /** `spark.sql.extensions=graft.expressions.GraftExtensions` injector. */

@@ -351,33 +351,14 @@ object Dedup {
         .filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"), lit(0).as("hamming"))
     }
-    val nBlocks = radius + 3
-    val keyBlocks = 3 // agreement blocks per table key (~32 bits of 64)
-    // block bit-offsets: distribute 64 bits as evenly as possible
-    val bounds = (0 to nBlocks).map(b => b * 64 / nBlocks)
-    val combos: Seq[Seq[Int]] =
-      (0 until nBlocks).combinations(keyBlocks).map(_.toSeq).toSeq
-    val nCombos = combos.size
-    val combosArr = combos.map(_.toArray).toArray
-    val boundsArr = bounds.toArray
-
-    val hashed = hashed0.select(col("doc_id"), col("simhash")).as[(Long, Long)]
-    val posts = hashed.flatMap { case (id, h) =>
-      (0 until nCombos).iterator.map { t =>
-        var key = 0L
-        val combo = combosArr(t)
-        var i = 0
-        while (i < combo.length) {
-          val b = combo(i)
-          val lo = boundsArr(b)
-          val width = boundsArr(b + 1) - lo
-          val mask = if (width >= 64) -1L else (1L << width) - 1
-          key = (key << width) | ((h >>> lo) & mask)
-          i += 1
-        }
-        (t, key, id, h)
-      }
-    }.toDF("table_id", "key", "doc_id", "simhash")
+    // per-table block-combination keys via the native codegen expression
+    // (table id = position in the key array) — no typed-map boundary
+    graft.expressions.GraftFunctions.register(spark)
+    val posts = hashed0
+      .select(col("doc_id"), col("simhash"),
+        posexplode(graft.expressions.GraftFunctions.simhashKeys(col("simhash"), radius))
+          .as(Seq("table_id", "key")))
+      .select(col("table_id"), col("key"), col("doc_id"), col("simhash"))
 
     // Bucket cap WITHOUT materializing buckets: a row_number window keeps
     // the maxBucket lowest doc_ids per (table,key) — rows stream through the

@@ -104,6 +104,35 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native simhash_keys matches the Manku block-combination reference") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val hashes = Seq(0L, -1L, 0x0123456789abcdefL, 0xdeadbeefcafebabeL, 42L)
+    for (radius <- Seq(1, 3, 5)) {
+      val nBlocks = radius + 3
+      val bounds = (0 to nBlocks).map(b => b * 64 / nBlocks)
+      val combos = (0 until nBlocks).combinations(3).map(_.toSeq).toSeq
+      def refKeys(h: Long): Array[Long] = combos.map { combo =>
+        var key = 0L
+        combo.foreach { b =>
+          val lo = bounds(b)
+          val width = bounds(b + 1) - lo
+          val mask = if (width >= 64) -1L else (1L << width) - 1
+          key = (key << width) | ((h >>> lo) & mask)
+        }
+        key
+      }.toArray
+      val native = hashes.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+        .toDF("doc_id", "h")
+        .select(col("doc_id"), GraftFunctions.simhashKeys(col("h"), radius).as("k"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+      hashes.zipWithIndex.foreach { case (h, i) =>
+        assert(java.util.Arrays.equals(native(i.toLong), refKeys(h)),
+          s"mismatch for $h at radius $radius")
+      }
+    }
+  }
+
   test("shingle pipeline stays inside whole-stage codegen") {
     GraftFunctions.register(spark)
     val df = spark.range(10)
