@@ -100,12 +100,10 @@ object ShingleImpl {
     mix64(h)
   }
 
-  def mix64(z0: Long): Long = {
-    var z = z0
-    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
-    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
-    z ^ (z >>> 33)
-  }
+  // delegate, not a copy: only ever called from compiled Scala (the codegen
+  // entry points are hashes/sig/bands/keys), so the single mix64 definition
+  // in graft.util.Hashing stays the one source of the constants
+  def mix64(z0: Long): Long = graft.util.Hashing.mix64(z0)
 }
 
 /** `minhash_sig(shingles, k)`: MinHash signature over a shingle-hash array
@@ -115,9 +113,11 @@ object ShingleImpl {
 case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
   require(k >= 1, s"signature size $k must be >= 1")
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    // containsNull=false only: toLongArray would silently read a null
+    // element as shingle 0 and compute a wrong signature
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"minhash_sig requires array<bigint>, got ${other.catalogString}")
+      s"minhash_sig requires array<bigint> without null elements, got ${other.catalogString}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -236,9 +236,9 @@ case class SimHashKeysExpr(child: Expression, radius: Int) extends UnaryExpressi
 case class MinHashBandsExpr(child: Expression, nBands: Int) extends UnaryExpression {
   require(nBands >= 1, s"band count $nBands must be >= 1")
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"minhash_bands requires array<bigint>, got ${other.catalogString}")
+      s"minhash_bands requires array<bigint> without null elements, got ${other.catalogString}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true

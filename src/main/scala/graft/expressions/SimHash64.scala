@@ -85,25 +85,40 @@ object SimHashImpl {
 
 /** Registration surface for the engine's native functions. */
 object GraftFunctions {
-  private def intArg(e: Expression, name: String): Int = {
+  private def intArg(exprs: Seq[Expression], idx: Int, name: String): Int = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"$name expects exactly 2 arguments, got ${exprs.length}")
+    val e = exprs(idx)
     require(e.foldable, s"$name expects a literal int argument")
     e.eval() match {
       case i: Int => i
-      case other => throw new IllegalArgumentException(s"$name: expected int literal, got $other")
+      case other => throw new IllegalArgumentException(
+        s"$name: expected int literal, got ${if (other == null) "null"
+          else s"$other of ${other.getClass.getSimpleName}"}")
     }
   }
 
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "simhash64" -> ((exprs: Seq[Expression]) => SimHash64Expr(exprs.head)),
     "shingle_hashes64" -> ((exprs: Seq[Expression]) =>
-      ShingleHashes64Expr(exprs.head, intArg(exprs(1), "shingle_hashes64"))),
+      ShingleHashes64Expr(exprs.head, intArg(exprs, 1, "shingle_hashes64"))),
     "minhash_sig" -> ((exprs: Seq[Expression]) =>
-      MinHashSigExpr(exprs.head, intArg(exprs(1), "minhash_sig"))),
+      MinHashSigExpr(exprs.head, intArg(exprs, 1, "minhash_sig"))),
     "minhash_bands" -> ((exprs: Seq[Expression]) =>
-      MinHashBandsExpr(exprs.head, intArg(exprs(1), "minhash_bands"))),
+      MinHashBandsExpr(exprs.head, intArg(exprs, 1, "minhash_bands"))),
     "simhash_keys" -> ((exprs: Seq[Expression]) =>
-      SimHashKeysExpr(exprs.head, intArg(exprs(1), "simhash_keys")))
+      SimHashKeysExpr(exprs.head, intArg(exprs, 1, "simhash_keys")))
   )
+
+  /** Inject every native function into a SparkSessionExtensions hook. */
+  def injectInto(ext: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[SimHash64Expr].getName, name),
+        builder))
+    }
 
   /** Register into an existing session (temp functions). */
   def register(spark: SparkSession): Unit =
@@ -131,10 +146,8 @@ object GraftFunctions {
 
 /** `spark.sql.extensions=graft.expressions.GraftExtensions` injector. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
-      (exprs: Seq[Expression]) => SimHash64Expr(exprs.head)))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    // the injector surface must track the register() surface exactly — a
+    // session configured via spark.sql.extensions gets every native function
+    GraftFunctions.injectInto(ext)
 }

@@ -335,7 +335,6 @@ object Dedup {
     */
   def simhashPairsFromHashes(hashed0: DataFrame, radius: Int = 3, maxBucket: Int = 1000)(
       implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
     require(radius >= 0 && radius <= 8, s"radius $radius out of range")
     if (radius == 0) {
       // exact-hash grouping: no pair search needed at all (window cap, same
