@@ -277,6 +277,13 @@ object SparkEntry {
       val docs = s.read.parquet(t(dir, "documents"))
       Dedup.dupClustersStar(docs, Dedup.ngramJaccardPairs(docs, n = 4, threshold = 0.8)(s))(s)
     }),
+    // train/test decontamination: treat even doc_ids as the training set
+    // and score every doc's 8-gram overlap against it (even docs read 1.0
+    // by construction; odd docs score by genuine shared content)
+    "q_contamination" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      Dedup.contamination(docs.filter(pmod(col("doc_id"), lit(2)) === 0), docs, n = 8)(s)
+    }),
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashes(s.read.parquet(t(dir, "documents")))(s)),
     "q_dedup_simhash_pairs" -> ((s, dir) =>
@@ -763,6 +770,30 @@ object SparkEntry {
     // grows a >128-df boilerplate shingle, a pair diff here is the
     // documented cap, amplified through the component merge — not a code
     // regression
+    "q_contamination" ->
+      """WITH tok AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+               ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+                     w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
+                     for i in range(1, len(w) - 6)] END) AS s
+           FROM tok),
+         corpus_sh AS (
+           SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 2 = 0),
+         tpost AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         totals AS (SELECT doc_id, count(*) AS n_shingles FROM tpost GROUP BY doc_id),
+         hits AS (
+           SELECT doc_id, count(*) AS contaminated_shingles
+           FROM tpost WHERE g IN (SELECT g FROM corpus_sh) GROUP BY doc_id)
+         SELECT t.doc_id, t.n_shingles::BIGINT AS n_shingles,
+           coalesce(h.contaminated_shingles, 0)::BIGINT AS contaminated_shingles,
+           round(coalesce(h.contaminated_shingles, 0)::DOUBLE / t.n_shingles, 4)
+             AS contamination_frac,
+           (round(coalesce(h.contaminated_shingles, 0)::DOUBLE / t.n_shingles, 4) >= 0.8)
+             AS is_contaminated
+         FROM totals t LEFT JOIN hits h USING (doc_id)""",
     "q_dedup_clusters" -> ClustersOracleSql,
     // the star-contraction implementation must produce the identical
     // component labelling — same implementation-independent oracle

@@ -538,6 +538,50 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Cross-corpus contamination (train/test decontamination): for every doc
+    * of `target` (the held-out set), the fraction of its distinct n-gram
+    * shingles that occur ANYWHERE in `corpus` (the training set) — the
+    * standard benchmark-decontamination signal (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", 2022; GPT-3 appendix C
+    * style n-gram overlap). Docs above `threshold` are contaminated and
+    * must be dropped from the held-out set (or the training set).
+    *
+    * Scale shape: the corpus side collapses to DISTINCT shingle hashes
+    * (one partial-aggregated pass over the training set — no doc ids, no
+    * posting lists), and the per-doc statistics are groupBy+join-back like
+    * the rest of the family, so a boilerplate shingle shared by 10^8
+    * training docs is ONE row on the build side. Shingling runs through
+    * the native codegen expression.
+    */
+  def contamination(
+      corpus: DataFrame,
+      target: DataFrame,
+      n: Int = 8,
+      threshold: Double = 0.8
+  )(implicit spark: SparkSession): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    def posts(df: DataFrame) = df.select(
+      col("doc_id"),
+      explode(graft.expressions.GraftFunctions.shingleHashes64(col("text"), n)).as("sh"))
+    val corpusShingles = posts(corpus).select(col("sh")).distinct()
+    val targetPosts = posts(target)
+    val totals = targetPosts.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = targetPosts
+      .join(corpusShingles, Seq("sh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("contaminated_shingles"))
+    totals
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_shingles"),
+        coalesce(col("contaminated_shingles"), lit(0L)).as("contaminated_shingles"),
+        round(
+          coalesce(col("contaminated_shingles"), lit(0L)).cast("double") / col("n_shingles"),
+          4).as("contamination_frac"))
+      .withColumn("is_contaminated", col("contamination_frac") >= threshold)
+  }
+
   /** Embedding cosine near-dup pairs, blocked by `label` (the cluster id the
     * table carries) — the blocking join keeps the pair space linear-ish; the
     * cosine is computed with codegen'd higher-order functions, in double

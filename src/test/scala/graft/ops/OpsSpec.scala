@@ -152,6 +152,28 @@ class DedupSpec extends AnyFunSuite {
     assert(rc.values.toSet == Set(0L), s"chain must collapse to one cluster: $rc")
   }
 
+  test("contamination: train/test n-gram overlap with planted cases") {
+    val train = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val test = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // exact copy -> 1.0
+      // first 10 tokens copied from train doc 0, last 5 unique: shingles
+      // (n=4, 12 windows) split 7 contaminated / 5 clean
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa uniq1 uniq2 uniq3 uniq4 uniq5"),
+      (12L, "entirely fresh held out content with no training overlap at all") // -> 0.0
+    ).toDF("doc_id", "text")
+    val r = Dedup.contamination(train, test, n = 4, threshold = 0.8)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(10L).getAs[Double]("contamination_frac") == 1.0)
+    assert(r(10L).getAs[Boolean]("is_contaminated"))
+    assert(r(11L).getAs[Long]("n_shingles") == 12)
+    assert(r(11L).getAs[Long]("contaminated_shingles") == 7)
+    assert(!r(11L).getAs[Boolean]("is_contaminated")) // 0.5833 < 0.8
+    assert(r(12L).getAs[Double]("contamination_frac") == 0.0)
+  }
+
   test("star-contraction clusters agree with label propagation") {
     val nodes = (0L to 6L).map(i => (i, s"text$i")).toDF("doc_id", "text")
     val pairs = Seq((0L, 1L, 1.0), (0L, 3L, 1.0), (2L, 5L, 1.0))
