@@ -119,6 +119,24 @@ object PostprocessProps extends Properties("Postprocess") {
       java.util.Arrays.equals(native, Dedup.shingleHashes(t, n))
     }
 
+  // arbitrary BMP text (multi-byte UTF-8, control chars, consecutive
+  // spaces); surrogates excluded — an unpaired surrogate has no UTF-8
+  // round-trip, so no byte-level contract exists to pin there
+  private val arbitraryBmp: Gen[String] = Gen.listOf(
+    Gen.frequency(
+      6 -> Gen.choose(0x20, 0x7e),
+      2 -> Gen.const(0x20),
+      2 -> Gen.choose(0x00a0, 0x2fff),
+      1 -> Gen.choose(0x4e00, 0x9fff),
+      1 -> Gen.choose(0x00, 0x1f))).map(_.map(_.toChar).mkString)
+
+  property("native shingle hashing equals the kernel on arbitrary BMP strings") =
+    forAll(arbitraryBmp, Gen.oneOf(1, 3, 4)) { (t, n) =>
+      val native = graft.expressions.ShingleImpl.hashes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), n).toLongArray()
+      java.util.Arrays.equals(native, Dedup.shingleHashes(t, n))
+    }
+
   property("shingle hashing is order-canonical and deterministic") =
     forAll(Gen.listOfN(20, word)) { ws =>
       val t = ws.mkString(" ")
