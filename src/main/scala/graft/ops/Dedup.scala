@@ -563,22 +563,21 @@ object Dedup {
     def posts(df: DataFrame) = df.select(
       col("doc_id"),
       explode(graft.expressions.GraftFunctions.shingleHashes64(col("text"), n)).as("sh"))
+    // one pass over the target: left-join the distinct corpus shingles with
+    // a hit marker, then count total vs non-null-marker rows in ONE per-doc
+    // aggregation — a totals/hits two-branch form would scan and re-shingle
+    // the whole held-out set twice (the branches share no reusable exchange)
     val corpusShingles = posts(corpus).select(col("sh")).distinct()
-    val targetPosts = posts(target)
-    val totals = targetPosts.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val hits = targetPosts
-      .join(corpusShingles, Seq("sh"), "left_semi")
+      .withColumn("__hit", lit(1))
+    posts(target)
+      .join(corpusShingles, Seq("sh"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("contaminated_shingles"))
-    totals
-      .join(hits, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        col("n_shingles"),
-        coalesce(col("contaminated_shingles"), lit(0L)).as("contaminated_shingles"),
-        round(
-          coalesce(col("contaminated_shingles"), lit(0L)).cast("double") / col("n_shingles"),
-          4).as("contamination_frac"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("contaminated_shingles"))
+      .withColumn(
+        "contamination_frac",
+        round(col("contaminated_shingles").cast("double") / col("n_shingles"), 4))
       .withColumn("is_contaminated", col("contamination_frac") >= threshold)
   }
 

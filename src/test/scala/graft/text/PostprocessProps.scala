@@ -112,12 +112,14 @@ object PostprocessProps extends Properties("Postprocess") {
       DictionarySignal.round4(r) == r
     }
 
+  private def shingleParity(t: String, n: Int): Boolean = {
+    val native = graft.expressions.ShingleImpl.hashes(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t), n).toLongArray()
+    java.util.Arrays.equals(native, Dedup.shingleHashes(t, n))
+  }
+
   property("native byte-range shingle hashing equals the string kernel") =
-    forAll(text, Gen.oneOf(1, 2, 4, 7)) { (t, n) =>
-      val native = graft.expressions.ShingleImpl.hashes(
-        org.apache.spark.unsafe.types.UTF8String.fromString(t), n).toLongArray()
-      java.util.Arrays.equals(native, Dedup.shingleHashes(t, n))
-    }
+    forAll(text, Gen.oneOf(1, 2, 4, 7))(shingleParity)
 
   // arbitrary BMP text (multi-byte UTF-8, control chars, consecutive
   // spaces); surrogates excluded — an unpaired surrogate has no UTF-8
@@ -131,11 +133,7 @@ object PostprocessProps extends Properties("Postprocess") {
       1 -> Gen.choose(0x00, 0x1f))).map(_.map(_.toChar).mkString)
 
   property("native shingle hashing equals the kernel on arbitrary BMP strings") =
-    forAll(arbitraryBmp, Gen.oneOf(1, 3, 4)) { (t, n) =>
-      val native = graft.expressions.ShingleImpl.hashes(
-        org.apache.spark.unsafe.types.UTF8String.fromString(t), n).toLongArray()
-      java.util.Arrays.equals(native, Dedup.shingleHashes(t, n))
-    }
+    forAll(arbitraryBmp, Gen.oneOf(1, 3, 4))(shingleParity)
 
   property("shingle hashing is order-canonical and deterministic") =
     forAll(Gen.listOfN(20, word)) { ws =>
