@@ -80,9 +80,13 @@ final class ParquetCommitStore(outputDir: String) extends CommitStore {
   * stand-in shims. Uses only the Spark DataFrameWriterV2 / catalog API, so
   * it compiles against plain Spark; at runtime it requires an Iceberg
   * catalog on the session (`spark.sql.catalog.<name>` = SparkCatalog +
-  * iceberg-spark-runtime on the classpath — NOT available in this sandbox,
-  * hence untested here; the contract tests run against
-  * [[ParquetCommitStore]]).
+  * iceberg-spark-runtime on the classpath — NOT available in this sandbox;
+  * the contract tests run against [[ParquetCommitStore]]). Probed against
+  * the built-in session catalog: `committedGroups` and the first-batch
+  * `create()` path work as written, and the replace path fails exactly at
+  * the V2 boundary ("Cannot write into v1 table") — i.e. the one untested
+  * behavior is `overwritePartitions` itself, which is Iceberg's own
+  * contract surface.
   *
   * What Iceberg buys over the stand-in: each of the two writes is an
   * ATOMIC snapshot commit (no torn partition dirs, no `_temporary`
