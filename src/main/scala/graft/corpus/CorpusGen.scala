@@ -327,4 +327,30 @@ $footerBlock
     val numPart = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
     spark.range(0, n, 1, numPart).map(i => genRow(seed, i))
   }
+
+  /** Spliced mixed-engine PDF row: one clean single-column page followed by
+    * `jitterPages` jittered pages in a single payload. The doc-level gate
+    * flags the doc (the jittered pages dominate), the per-page gate passes
+    * page 0, and the heavy stage splices fast + re-segmented pages ->
+    * engine `mixed`. Deterministic from (seed, idx); urls carry the raw idx
+    * so fixture ids beyond the standard corpus never collide.
+    */
+  def splicedRow(seed: Long, idx: Long, jitterPages: Int = 8): RawPage = {
+    // class-14 source index -> clean single-column pdf; class-13 source ->
+    // jittered payload (distinct derived indices keep contents independent)
+    val clean = genRow(seed, idx * 20 + 14)
+    val jit = jitteredPdfPayload(seed, idx * 20 + 13, pages = jitterPages)
+    val header = "%PDF-GRAFT 1.0\n".getBytes(StandardCharsets.UTF_8)
+    RawPage(
+      url(seed, idx),
+      new Timestamp(Epoch + idx * 1000L),
+      clean.html ++ jit.drop(header.length),
+      "",
+      "en")
+  }
+
+  def splicedPages(spark: SparkSession, from: Long, n: Long, seed: Long = DefaultSeed): Dataset[RawPage] = {
+    import spark.implicits._
+    spark.range(from, from + n, 1, 2).map(i => splicedRow(seed, i))
+  }
 }

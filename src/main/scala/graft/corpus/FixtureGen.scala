@@ -18,6 +18,9 @@ import graft.job.ExtractionJob
   */
 object FixtureGen {
   val Rows = 100L
+  // spliced mixed-engine PDFs (ids Rows..Rows+SplicedRows-1): one clean
+  // page + jittered pages -> per-page selective heavy splice -> `mixed`
+  val SplicedRows = 3L
 
   def main(args: Array[String]): Unit = {
     val out = Paths.get(
@@ -30,6 +33,7 @@ object FixtureGen {
     spark.sparkContext.setLogLevel("WARN")
 
     val pages = CorpusGen.pages(spark, Rows).toDF()
+      .unionByName(CorpusGen.splicedPages(spark, Rows, SplicedRows).toDF())
     val cfg = ExtractionJob.JobConfig(numGroups = 8, numPartitions = 4, diagnostics = true)
     val results = ExtractionJob.extract(pages, cfg).collect().sortBy(_.url)
 

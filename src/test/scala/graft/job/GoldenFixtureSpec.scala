@@ -22,6 +22,8 @@ class GoldenFixtureSpec extends AnyFunSuite {
 
   private lazy val results = {
     val pages = CorpusGen.pages(spark, FixtureGen.Rows).toDF()
+      .unionByName(CorpusGen.splicedPages(
+        spark, FixtureGen.Rows, FixtureGen.SplicedRows).toDF())
     val cfg = ExtractionJob.JobConfig(numGroups = 8, numPartitions = 4, diagnostics = true)
     ExtractionJob.extract(pages, cfg).collect()
       .map(r => r.url.substring(r.url.lastIndexOf('/') + 1).toLong -> r)
@@ -31,7 +33,7 @@ class GoldenFixtureSpec extends AnyFunSuite {
   test("extracted text is byte-identical to the frozen fixtures") {
     assert(Files.exists(fixtureDir.resolve("extracted")), "fixtures missing — run FixtureGen once")
     var compared = 0
-    (0L until FixtureGen.Rows).foreach { idx =>
+    (0L until (FixtureGen.Rows + FixtureGen.SplicedRows)).foreach { idx =>
       val expected = Files.readAllBytes(fixtureDir.resolve(s"extracted/doc_$idx.txt"))
       val actual = results(idx).extracted_text.getBytes(StandardCharsets.UTF_8)
       assert(
@@ -39,7 +41,10 @@ class GoldenFixtureSpec extends AnyFunSuite {
         s"doc_$idx bytes differ: expected ${expected.length}B, got ${actual.length}B")
       compared += 1
     }
-    assert(compared == FixtureGen.Rows)
+    assert(compared == FixtureGen.Rows + FixtureGen.SplicedRows)
+    // the spliced docs pin the mixed engine under the golden discipline
+    assert((FixtureGen.Rows until FixtureGen.Rows + FixtureGen.SplicedRows)
+      .forall(i => results(i).engine == "mixed"))
   }
 
   test("engine, flags, scores and spans match the frozen metadata") {
