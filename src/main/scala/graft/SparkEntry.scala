@@ -486,20 +486,38 @@ object SparkEntry {
              (CASE WHEN contains(' ' || lower(flat) || ' ', ' with ') THEN 1 ELSE 0 END)
                AS stop_hits
            FROM base),
+         -- zero-divisor guards mirror the Spark perWord/perLine definition
+         -- (ratio = 0.0 for empty/wordless docs), so the oracle stays
+         -- corpus-independent rather than relying on the fixtures never
+         -- containing a zero-word document
+         g AS (
+           SELECT *,
+             CASE WHEN word_count > 0 THEN char_count::DOUBLE / word_count
+                  ELSE 0.0 END AS g_mean_word_len,
+             CASE WHEN word_count > 0
+                  THEN (hash_count + ellipsis_count)::DOUBLE / word_count
+                  ELSE 0.0 END AS g_symbol_ratio,
+             CASE WHEN word_count > 0 THEN alpha_words::DOUBLE / word_count
+                  ELSE 0.0 END AS g_alpha_word_frac,
+             CASE WHEN n_lines > 0 THEN bullet_lines::DOUBLE / n_lines
+                  ELSE 0.0 END AS g_bullet_frac,
+             CASE WHEN n_lines > 0 THEN ellipsis_lines::DOUBLE / n_lines
+                  ELSE 0.0 END AS g_ellipsis_frac
+           FROM m),
          r AS (
            SELECT doc_id, word_count,
-             char_count::DOUBLE / word_count AS mean_word_len,
-             (hash_count + ellipsis_count)::DOUBLE / word_count AS symbol_ratio,
-             alpha_words::DOUBLE / word_count AS alpha_word_frac,
+             g_mean_word_len AS mean_word_len,
+             g_symbol_ratio AS symbol_ratio,
+             g_alpha_word_frac AS alpha_word_frac,
              stop_hits,
              (word_count BETWEEN 50 AND 100000) AS r_word_count,
-             (char_count::DOUBLE / word_count BETWEEN 3.0 AND 10.0) AS r_mean_word_len,
-             ((hash_count + ellipsis_count)::DOUBLE / word_count < 0.1) AS r_symbol_ratio,
-             (bullet_lines::DOUBLE / n_lines <= 0.9) AS r_bullet_lines,
-             (ellipsis_lines::DOUBLE / n_lines <= 0.3) AS r_ellipsis_lines,
-             (alpha_words::DOUBLE / word_count >= 0.8) AS r_alpha_words,
+             (g_mean_word_len BETWEEN 3.0 AND 10.0) AS r_mean_word_len,
+             (g_symbol_ratio < 0.1) AS r_symbol_ratio,
+             (g_bullet_frac <= 0.9) AS r_bullet_lines,
+             (g_ellipsis_frac <= 0.3) AS r_ellipsis_lines,
+             (g_alpha_word_frac >= 0.8) AS r_alpha_words,
              (stop_hits >= 2) AS r_stopwords
-           FROM m)
+           FROM g)
          SELECT doc_id, word_count::BIGINT AS word_count,
            round(mean_word_len, 4) AS mean_word_len,
            round(symbol_ratio, 4) AS symbol_ratio,

@@ -155,9 +155,23 @@ object MinHashImpl {
     * band b's key chains mix64 over its signature slice from a
     * band-seeded FNV init — identical to the loop previously inlined in
     * `Dedup.minhashPairs`.
+    *
+    * The signature length must be a positive multiple of `nBands`: a
+    * non-divisible length would silently ignore the trailing signature
+    * entries, and nBands > length would make rowsPerBand 0 so EVERY
+    * document gets the same per-band keys — turning LSH candidate
+    * generation into a full cross join. `minhash_bands` is a public SQL
+    * function reachable with arbitrary arguments, so both degenerate
+    * shapes fail loudly here instead of computing garbage keys.
     */
   def bands(sig: ArrayData, nBands: Int): ArrayData = {
     val s = sig.toLongArray()
+    if (s.length < nBands || s.length % nBands != 0) {
+      throw new IllegalArgumentException(
+        s"minhash_bands: signature length ${s.length} must be a positive " +
+          s"multiple of the band count $nBands (rows-per-band would be " +
+          s"${s.length / nBands} with ${s.length % nBands} entries ignored)")
+    }
     val rowsPerBand = s.length / nBands
     val out = new Array[Long](nBands)
     var b = 0

@@ -141,6 +141,33 @@ object Dedup {
       .withColumn("is_duplicate", col(idCol) =!= col("canonical_id"))
   }
 
+  /** Skinny form of [[markDuplicates]]: returns only
+    * `(idCol, canonical_id, is_duplicate)` with the text column pruned
+    * BEFORE any exchange. The annotating form's contract ("every input
+    * column survives") forces the probe side of the join-back to carry the
+    * full `text` payload through the `__text_hash` shuffle — at web scale
+    * that is the corpus's entire text width through one exchange. Here both
+    * join sides derive from a `(id, md5)` projection, so the two shuffles
+    * move ~50-byte rows and the caller re-attaches whatever columns it
+    * needs with a join on `idCol` (or simply filters ids): two narrow
+    * shuffles instead of one corpus-wide one, and `text` stays columnar at
+    * rest. Same null-text sentinel semantics as the annotating form.
+    */
+  def markDuplicatesIds(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val hashed = docs.select(
+      col(idCol),
+      coalesce(md5(col(textCol)), lit("null-text")).as("__text_hash"))
+    val canon = hashed
+      .groupBy(col("__text_hash"))
+      .agg(min(col(idCol)).as("canonical_id"))
+    hashed
+      .join(canon, Seq("__text_hash"))
+      .select(
+        col(idCol),
+        col("canonical_id"),
+        (col(idCol) =!= col("canonical_id")).as("is_duplicate"))
+  }
+
   /** Exact all-pairs n-gram Jaccard >= threshold via shingle postings:
     * explode (shingle, doc) -> self-join on shingle -> per-pair common count
     * -> |A|+|B|-common denominator. Only docs sharing a shingle ever meet,
@@ -552,6 +579,13 @@ object Dedup {
     * the rest of the family, so a boilerplate shingle shared by 10^8
     * training docs is ONE row on the build side. Shingling runs through
     * the native codegen expression.
+    *
+    * Hashed-universe approximation: overlap is computed over 64-bit shingle
+    * HASHES, not shingle strings, so a hash collision between a training
+    * shingle and an unrelated held-out shingle counts as contamination.
+    * At ~2^-64 per pair the effect is negligible at any realistic corpus
+    * size, but the signal is hash-based, not the literal Lee-et-al string
+    * n-gram overlap — same kernel contract as [[ngramJaccardPairs]].
     */
   def contamination(
       corpus: DataFrame,

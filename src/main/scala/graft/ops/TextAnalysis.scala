@@ -270,8 +270,13 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(k)
     // the rank window runs over the k already-selected rows (one tiny
-    // partition by construction), never over the corpus
+    // partition by construction), never over the corpus. The constant
+    // partitionBy(lit(0)) keeps those k rows in one window partition with
+    // identical ranks while making the partition spec non-empty — an empty
+    // spec fires a "No Partition Defined for Window operation" WARN per
+    // plan execution, dozens per bench run, burying real driver-log signal
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0))
       .orderBy(col("cnt").desc, col("token").asc)
     counts
       .withColumn("rank", row_number().over(w).cast("int"))

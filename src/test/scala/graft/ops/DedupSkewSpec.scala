@@ -49,6 +49,48 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(r.filter(!_.getAs[Boolean]("is_duplicate")).length == 101)
   }
 
+  test("markDuplicatesIds: text is pruned before the exchange and values match the annotating form") {
+    val skinny = Dedup.markDuplicatesIds(skewed)
+    noWindow(skinny)
+    // the annotating form must carry text through the join-back shuffle (its
+    // contract), the skinny form must NOT: text absent from every scan leaf
+    // means it cannot appear in any exchange either
+    val leaves = skinny.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty)
+    leaves.foreach { leaf =>
+      assert(!leaf.output.exists(_.name == "text"),
+        s"text must be pruned from the skinny path's scan, got: ${leaf.output}")
+    }
+    assert(skinny.queryExecution.executedPlan.toString.contains("partial_min"))
+    assert(skinny.columns.toSeq == Seq("doc_id", "canonical_id", "is_duplicate"))
+    val s = skinny.collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("canonical_id"), x.getAs[Boolean]("is_duplicate"))).toMap
+    val full = Dedup.markDuplicates(skewed).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("canonical_id"), x.getAs[Boolean]("is_duplicate"))).toMap
+    assert(s == full)
+  }
+
+  test("markDuplicatesIds keeps and groups null-text rows like the annotating form") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true)))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(0L, "alpha"),
+      org.apache.spark.sql.Row(1L, null),
+      org.apache.spark.sql.Row(2L, null),
+      org.apache.spark.sql.Row(3L, "alpha"))
+    val docs = spark.createDataFrame(rows, schema)
+    val r = Dedup.markDuplicatesIds(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("canonical_id"), x.getAs[Boolean]("is_duplicate"))).toMap
+    assert(r.size == 4, s"null-text rows must survive: $r")
+    assert(r(1L) == ((1L, false)) && r(2L) == ((1L, true)))
+    assert(r(3L) == ((0L, true)))
+  }
+
   test("markDuplicates keeps and groups null-text rows (join must not drop null keys)") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(

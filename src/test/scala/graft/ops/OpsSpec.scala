@@ -198,8 +198,17 @@ class DedupSpec extends AnyFunSuite {
 
   test("iterative CC uses reliable checkpoints when a checkpoint dir is set") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    // the session (and its SparkContext) is shared across every suite in the
+    // forked JVM, and setCheckpointDir has no public unset — leaving it set
+    // while deleting the dir would silently switch every LATER iterative test
+    // from localCheckpoint to reliable checkpoints rooted at a deleted path,
+    // making test behavior order-dependent. Restore the exact prior state in
+    // finally; private[spark] members are public in bytecode, so reflection
+    // reaches the setter.
+    val sc = spark.sparkContext
+    val prevCkptDir = sc.getCheckpointDir
     try {
-      spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
+      sc.setCheckpointDir(dir.getAbsolutePath)
       val nodes = (0L to 5L).map(i => (i, s"t$i")).toDF("doc_id", "text")
       val pairs = Seq((0L, 1L, 1.0), (1L, 2L, 1.0)).toDF("a_id", "b_id", "jaccard")
       val r = Dedup.dupClustersStar(nodes, pairs)
@@ -209,8 +218,11 @@ class DedupSpec extends AnyFunSuite {
       val wrote = java.nio.file.Files.walk(dir.toPath).filter(_.toFile.isFile).count()
       assert(wrote > 0, "expected reliable checkpoint files under the checkpoint dir")
     } finally {
-      // the session is shared across suites: later iterative tests simply
-      // keep using reliable checkpoints rooted here (correctness-neutral)
+      sc.getClass
+        .getMethod("checkpointDir_$eq", classOf[Option[_]])
+        .invoke(sc, prevCkptDir)
+      assert(sc.getCheckpointDir == prevCkptDir,
+        "checkpoint-dir state must be restored for suite isolation")
       org.apache.commons.io.FileUtils.deleteQuietly(dir)
       ()
     }
