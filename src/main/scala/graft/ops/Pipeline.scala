@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fused single-pass corpus preparation (VERDICT r3 "Next round" #6).
+  *
+  * A composed corpus-prep run (quality gate → exact dedup → split) written
+  * as three independent operators scans the corpus once per operator —
+  * three full reads of the text column at web scale. Everything except the
+  * dedup group-min is row-local, so the whole composition collapses to ONE
+  * scan + ONE shuffle:
+  *
+  *   - per row, compute the row-local columns in a single projection:
+  *     gopher keep ([[TextAnalysis.gopherKeep]]), deterministic split
+  *     ([[Pipeline.splitName]]), whitespace token count, exact-dup key
+  *     (md5 of text, null-text sentinel as in [[Dedup.markDuplicates]]);
+  *   - group by the text hash and take the canonical row per group with
+  *     `min_by(struct(...), id)` — partial-aggregated (map-side combine),
+  *     so a mega-duplicate key arrives at the reducer as one pre-combined
+  *     row per map partition, never as a row-per-copy hot key.
+  *
+  * The output has one row per UNIQUE text: the canonical document (minimum
+  * id in its exact-duplicate group) with its row-local columns and the
+  * group's duplicate count. No join-back, no second scan, no persist.
+  */
+object Pipeline {
+
+  /** Deterministic md5 4-hex-digit bucket (uniform 0..99) of an id column —
+    * physical-partitioning-independent, reproducible anywhere md5 exists.
+    */
+  def splitBucket(id: Column): Column = {
+    val h = md5(id.cast("string"))
+    def hexVal(i: Int) = {
+      val a = ascii(substring(h, i, 1))
+      a - lit(48) - lit(39) * (a >= 97).cast("int")
+    }
+    (hexVal(1) * lit(4096) + hexVal(2) * lit(256) + hexVal(3) * lit(16) + hexVal(4)) % lit(100)
+  }
+
+  /** 80/10/10 train/val/test assignment from [[splitBucket]]. */
+  def splitName(id: Column): Column =
+    when(splitBucket(id) < 80, "train")
+      .when(splitBucket(id) < 90, "val")
+      .otherwise("test")
+
+  /** One-pass gate + dedup + split. Output columns:
+    * `(doc_id, keep, split, ws_tokens, dup_count)` — one row per unique
+    * text, `doc_id` the canonical (minimum) id of the group, `keep` the
+    * gopher gate of the canonical row, `dup_count` the group size.
+    * Downstream: `.filter(col("keep"))` is the prepared corpus;
+    * ws_tokens of a null-text group is the raw tokenizer value and is
+    * gated out by `keep = false` (gopher rejects empty text).
+    */
+  def prepare(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val id = col(idCol)
+    val text = col(textCol)
+    docs
+      .select(
+        id.as("__id"),
+        coalesce(md5(text), lit("null-text")).as("__text_hash"),
+        TextAnalysis.gopherKeep(text).as("__keep"),
+        splitName(id).as("__split"),
+        TextAnalysis.tokenCount(text).cast("long").as("__ws_tokens"))
+      .groupBy(col("__text_hash"))
+      .agg(
+        min_by(
+          struct(
+            col("__id"),
+            col("__keep"),
+            col("__split"),
+            col("__ws_tokens")),
+          col("__id")).as("c"),
+        count(lit(1)).as("dup_count"))
+      .select(
+        col("c.__id").as(idCol),
+        col("c.__keep").as("keep"),
+        col("c.__split").as("split"),
+        col("c.__ws_tokens").as("ws_tokens"),
+        col("dup_count"))
+  }
+
+  /** The per-split rollup of the prepared corpus: documents that pass the
+    * gopher gate and are the canonical copy of their exact-dup group,
+    * counted and token-summed per train/val/test split.
+    */
+  def prepareRollup(docs: DataFrame): DataFrame =
+    prepare(docs)
+      .filter(col("keep"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("total_ws_tokens"))
+}

@@ -192,11 +192,27 @@ object TextAnalysis {
     * thresholds are the published ones.
     */
   def gopherRules(docs: DataFrame): DataFrame = {
-    // null text reads as empty: every count is 0, r_word_count is false, so
-    // keep is false (never null — three-valued logic would otherwise leak
-    // nulls through the conjunction and a filter(keep) would drop the row
-    // silently rather than explicitly rejecting it)
-    val t = coalesce(col("text"), lit(""))
+    val cols = gopherColumns(col("text"))
+    docs.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** Just the gopher `keep` conjunction over a text column — the fused
+    * single-pass pipeline ([[Pipeline.prepare]]) composes this into one
+    * projection with the dedup key and split so the corpus is scanned
+    * once. Derives from the same builder as [[gopherRules]], so the two
+    * entry points cannot drift.
+    */
+  def gopherKeep(textCol: Column): Column =
+    gopherColumns(textCol).last match { case (_, c) => c }
+
+  /** All gopher output columns (name -> column, `keep` last) from a text
+    * column. null text reads as empty: every count is 0, r_word_count is
+    * false, so keep is false (never null — three-valued logic would
+    * otherwise leak nulls through the conjunction and a filter(keep) would
+    * drop the row silently rather than explicitly rejecting it).
+    */
+  private def gopherColumns(textCol: Column): Seq[(String, Column)] = {
+    val t = coalesce(textCol, lit(""))
     val flat = regexp_replace(t, "\n", " ")
     val words = regexp_extract_all(t, lit("[^ \n]+"), lit(0))
     val wordCount = size(words)
@@ -233,22 +249,22 @@ object TextAnalysis {
     val rAlpha = perWord(alphaWords) >= 0.8
     val rStop = stopHits >= 2
 
-    docs.select(
-      col("doc_id"),
-      wordCount.cast("long").as("word_count"),
-      round(meanWordLen, 4).as("mean_word_len"),
-      round(symbolRatio, 4).as("symbol_ratio"),
-      round(perWord(alphaWords), 4).as("alpha_word_frac"),
-      stopHits.cast("int").as("stop_hits"),
-      rWordCount.as("r_word_count"),
-      rMeanLen.as("r_mean_word_len"),
-      rSymbol.as("r_symbol_ratio"),
-      rBullet.as("r_bullet_lines"),
-      rEllipsis.as("r_ellipsis_lines"),
-      rAlpha.as("r_alpha_words"),
-      rStop.as("r_stopwords"),
-      (rWordCount && rMeanLen && rSymbol && rBullet && rEllipsis && rAlpha && rStop)
-        .as("keep"))
+    Seq(
+      "word_count" -> wordCount.cast("long"),
+      "mean_word_len" -> round(meanWordLen, 4),
+      "symbol_ratio" -> round(symbolRatio, 4),
+      "alpha_word_frac" -> round(perWord(alphaWords), 4),
+      "stop_hits" -> stopHits.cast("int"),
+      "r_word_count" -> rWordCount,
+      "r_mean_word_len" -> rMeanLen,
+      "r_symbol_ratio" -> rSymbol,
+      "r_bullet_lines" -> rBullet,
+      "r_ellipsis_lines" -> rEllipsis,
+      "r_alpha_words" -> rAlpha,
+      "r_stopwords" -> rStop,
+      "keep" ->
+        (rWordCount && rMeanLen && rSymbol && rBullet && rEllipsis && rAlpha && rStop)
+    )
   }
 
   /** Corpus top-k token frequency, fully distributed — the formulation to

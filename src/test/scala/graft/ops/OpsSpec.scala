@@ -326,6 +326,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall=$recall") // multi-probe sign-LSH, 6 planes
   }
 
+  test("multi-table LSH reaches high recall where one table cannot") {
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") < 20, 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // 6 tables x 3 planes: a true neighbor is missed only if it collides in
+    // NO table, so recall decays exponentially in table count — the dial
+    // the diffuse-corpus driver queries run with
+    val lsh = Similarity.lshTopK(emb, col("vec_id") < 20, 5, planes = 3, nTables = 6)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall=$recall")
+    // candidate dedup across tables: ranks stay unique per query
+    val ranked = Similarity.lshTopK(emb, col("vec_id") < 20, 5, planes = 3, nTables = 6)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank")))
+    assert(ranked.distinct.length == ranked.length)
+  }
+
   test("IVF top-k achieves high recall vs brute force on clustered data") {
     val brute = Similarity.bruteForceTopK(emb, col("vec_id") < 20, 5)
       .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class PipelineSpec extends AnyFunSuite {
+  private implicit lazy val spark: org.apache.spark.sql.SparkSession = SparkTestBase.spark
+  import spark.implicits._
+
+  private val passText =
+    ("the reading of history and language must be that we have " +
+      "reason to work with the question of meaning and truth today ") * 3
+
+  private lazy val docs = Seq(
+    (0L, passText),                       // passes gopher, canonical of {0, 7}
+    (1L, passText + "tail variation one"), // passes gopher, unique
+    (2L, "too short"),                     // fails gopher (word count)
+    (3L, null.asInstanceOf[String]),       // null text -> sentinel group
+    (4L, null.asInstanceOf[String]),       // second null: 3 is canonical
+    (5L, "short junk"),                    // fails gopher, unique
+    (6L, "short junk"),                    // exact dup of 5
+    (7L, passText)                         // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("prepare: one row per unique text, canonical id, dup counts, gate") {
+    val r = Pipeline.prepare(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Boolean]("keep"), x.getAs[Long]("dup_count")))).toMap
+    assert(r.keySet == Set(0L, 1L, 2L, 3L, 5L)) // canonical ids only
+    assert(r(0L) == ((true, 2L)))  // {0, 7}
+    assert(r(1L) == ((true, 1L)))
+    assert(r(2L) == ((false, 1L)))
+    assert(r(3L) == ((false, 2L))) // null-text sentinel groups {3, 4}
+    assert(r(5L) == ((false, 2L))) // {5, 6}
+  }
+
+  test("prepareRollup matches the unfused three-operator composition") {
+    val unfused = {
+      val kept = TextAnalysis.gopherRules(docs).filter(col("keep")).select("doc_id")
+      val survivors = Dedup.markDuplicates(docs)
+        .filter(!col("is_duplicate")).select("doc_id")
+      docs.join(kept, Seq("doc_id")).join(survivors, Seq("doc_id"))
+        .select(Pipeline.splitName(col("doc_id")).as("split"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ws_tokens"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("total_ws_tokens"))
+    }
+    val a = Pipeline.prepareRollup(docs).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    val b = unfused.collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("prepare plan: exactly one corpus scan and a partial-aggregated min_by") {
+    val parquetDir = java.nio.file.Files.createTempDirectory("graft-pipe").toFile
+    try {
+      docs.write.mode("overwrite").parquet(parquetDir.getAbsolutePath)
+      val fromDisk = spark.read.parquet(parquetDir.getAbsolutePath)
+      val plan = Pipeline.prepareRollup(fromDisk).queryExecution
+      // the fusion claim: the previous composition scanned documents three
+      // times (gopherRules, markDuplicates, final join); the fused plan
+      // must read the corpus exactly once
+      val scans = plan.optimizedPlan.collectLeaves()
+      assert(scans.length == 1, s"expected ONE corpus scan, got:\n${plan.optimizedPlan}")
+      // and the dedup group-min must be partial-aggregated (map-side
+      // combine), so a mega-duplicate key never ships row-per-copy
+      val executed = plan.executedPlan.toString
+      assert(executed.contains("partial_min_by") || executed.contains("partial_min"),
+        s"expected a partial min_by aggregate in:\n$executed")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(parquetDir)
+      ()
+    }
+  }
+
+  test("splitName is deterministic and covers all three splits at scale") {
+    val ids = spark.range(0, 2000).select(col("id").as("doc_id"))
+    val dist = ids.select(Pipeline.splitName(col("doc_id")).as("s"))
+      .groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dist.keySet == Set("train", "val", "test"))
+    // 80/10/10 within generous tolerance on 2000 ids
+    assert(dist("train") > 1400 && dist("train") < 1800, dist.toString)
+    assert(dist("val") > 100 && dist("test") > 100, dist.toString)
+  }
+}
