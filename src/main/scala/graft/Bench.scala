@@ -51,7 +51,13 @@ object Bench {
       val second = first.flatMap(_ => once())
       val best = first.map(a => second.fold(a)(math.min(a, _)))
       if (best.isEmpty) failed += name // marked, never silent
-      (name, best.getOrElse(-1.0), first.getOrElse(-1.0).max(second.getOrElse(-1.0)))
+      // a SECOND run that dies after a clean first run must stay visible
+      // too: max reads -1 and the spread flags it noisy, so the artifact
+      // can never masquerade as two consistent burst-free samples
+      val max =
+        if (first.isDefined && second.isEmpty) -1.0
+        else first.getOrElse(-1.0).max(second.getOrElse(-1.0))
+      (name, best.getOrElse(-1.0), max)
     }
     val qs = results
       .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
@@ -63,7 +69,8 @@ object Bench {
     // ratio exceeds 3 was measured during a burst and adjudicates itself.
     val spread = results
       .map { case (k, mn, mx) =>
-        val noisy = mn > 0 && mx / mn > 3.0
+        // noisy: burst spread (max/min > 3) OR a crashed second run (mx<0)
+        val noisy = mn > 0 && (mx < 0 || mx / mn > 3.0)
         "\"" + k + "\":" + f"""{"min":$mn%.3f,"max":$mx%.3f,"noisy":$noisy}"""
       }
       .mkString("{", ",", "}")

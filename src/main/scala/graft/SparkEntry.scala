@@ -39,8 +39,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     implicit val s: SparkSession = spark
     val corpus = CorpusGen.pages(spark, 1000).toDF()
+    // driver contract default; overridable so the flagship runs anywhere
+    // (carried-wrong #4 from r1-r3 verdicts)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_ENTRY_SF_DIR", "/root/testdata/sf0.001")
     val docsAsPages = spark.read
-      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .parquet(s"$sfDir/documents.parquet")
       .select(
         concat(lit("https://docs.example/"), col("doc_id")).as("url"),
         lit(new java.sql.Timestamp(CorpusGen.Epoch)).as("warc_ts"),

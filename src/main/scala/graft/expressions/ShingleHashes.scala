@@ -166,6 +166,10 @@ object MinHashImpl {
     */
   def bands(sig: ArrayData, nBands: Int): ArrayData = {
     val s = sig.toLongArray()
+    if (nBands <= 0) {
+      throw new IllegalArgumentException(
+        s"minhash_bands: band count must be positive, got $nBands")
+    }
     if (s.length < nBands || s.length % nBands != 0) {
       throw new IllegalArgumentException(
         s"minhash_bands: signature length ${s.length} must be a positive " +

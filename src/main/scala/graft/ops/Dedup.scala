@@ -101,6 +101,19 @@ object Dedup {
 
   // ---------- DataFrame operators -------------------------------------------
 
+  /** Exact-dup grouping key: md5 of the text with a non-colliding sentinel
+    * for null text (not 32 hex chars, so it can never equal a real md5).
+    * Null text would otherwise hash to null and an inner equi-join would
+    * silently DROP those rows (null keys never match); the sentinel groups
+    * them like the SQL oracle's window formulation does. ONE definition,
+    * shared by [[markDuplicates]], [[markDuplicatesIds]] and
+    * [[Pipeline.prepare]] — their mutual equivalence (and the
+    * q_pipeline_compose oracle) depends on all three using the identical
+    * key.
+    */
+  def textHashKey(textCol: Column): Column =
+    coalesce(md5(textCol), lit("null-text"))
+
   /** Exact dedup: one hash aggregation on md5(text). Survivor = min doc_id.
     * At 10^12 rows this is a single shuffle on a 16-byte key with partial
     * aggregation — the cheapest possible formulation.
@@ -125,13 +138,8 @@ object Dedup {
     * is one row per hash, so duplicating it across splits is free).
     */
   def markDuplicates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // null text hashes to null, and an inner equi-join would silently DROP
-    // those rows (null keys never match). The window formulation — and the
-    // SQL oracle — groups all nulls into one partition, so a non-colliding
-    // sentinel (not 32 hex chars, can't equal a real md5) reproduces that:
-    // null-text rows dedup against each other and survive the join.
-    val hashed = docs.withColumn(
-      "__text_hash", coalesce(md5(col(textCol)), lit("null-text")))
+    // null-text sentinel semantics: see [[textHashKey]]
+    val hashed = docs.withColumn("__text_hash", textHashKey(col(textCol)))
     val canon = hashed
       .groupBy(col("__text_hash"))
       .agg(min(col(idCol)).as("canonical_id"))
@@ -156,7 +164,7 @@ object Dedup {
   def markDuplicatesIds(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val hashed = docs.select(
       col(idCol),
-      coalesce(md5(col(textCol)), lit("null-text")).as("__text_hash"))
+      textHashKey(col(textCol)).as("__text_hash"))
     val canon = hashed
       .groupBy(col("__text_hash"))
       .agg(min(col(idCol)).as("canonical_id"))

@@ -61,7 +61,7 @@ object Pipeline {
     docs
       .select(
         id.as("__id"),
-        coalesce(md5(text), lit("null-text")).as("__text_hash"),
+        Dedup.textHashKey(text).as("__text_hash"),
         TextAnalysis.gopherKeep(text).as("__keep"),
         splitName(id).as("__split"),
         TextAnalysis.tokenCount(text).cast("long").as("__ws_tokens"))

@@ -300,18 +300,22 @@ object Similarity {
         (b +: (0 until planes).map(p => b ^ (1 << p))).map((t, _))
       }
     }
-    val e = withNorm(embeddings)
+    val base = withNorm(embeddings)
+    val e = base
       .withColumn("tb", explode(bucketsUdf(col("v"))))
       .withColumn("table", col("tb._1"))
       .withColumn("bucket", col("tb._2"))
       .drop("tb")
-    val queries = e
+    // queries derive from the PRE-explode frame: one probesUdf evaluation
+    // per query row, whose output (table, bucket) tuples are distinct by
+    // construction (tables distinct; within a table the center and its
+    // hamming-1 neighbors are distinct), so no probe-side dedup is needed
+    val queries = base
       .filter(queryFilter)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("norm").as("q_norm"),
         explode(probesUdf(col("v"))).as("tb"))
       .select(col("q_id"), col("q_v"), col("q_norm"),
         col("tb._1").as("table"), col("tb._2").as("bucket"))
-      .dropDuplicates("q_id", "table", "bucket")
     val candidates = e
       .join(broadcast(queries), Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))

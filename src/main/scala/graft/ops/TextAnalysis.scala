@@ -203,7 +203,9 @@ object TextAnalysis {
     * entry points cannot drift.
     */
   def gopherKeep(textCol: Column): Column =
-    gopherColumns(textCol).last match { case (_, c) => c }
+    gopherColumns(textCol)
+      .collectFirst { case ("keep", c) => c }
+      .getOrElse(throw new IllegalStateException("gopherColumns lost its keep column"))
 
   /** All gopher output columns (name -> column, `keep` last) from a text
     * column. null text reads as empty: every count is 0, r_word_count is
@@ -285,17 +287,18 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(k)
-    // the rank window runs over the k already-selected rows (one tiny
-    // partition by construction), never over the corpus. The constant
-    // partitionBy(lit(0)) keeps those k rows in one window partition with
-    // identical ranks while making the partition spec non-empty — an empty
-    // spec fires a "No Partition Defined for Window operation" WARN per
-    // plan execution, dozens per bench run, burying real driver-log signal
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0))
-      .orderBy(col("cnt").desc, col("token").asc)
+    // rank WITHOUT a window: an empty-partition window fires a "No
+    // Partition Defined" WARN per execution (dozens per bench run, burying
+    // real driver-log signal), and a constant partitionBy(lit(0)) is
+    // folded away by the optimizer, bringing the warning straight back.
+    // Instead the k already-selected rows are coalesced to one partition,
+    // re-sorted there, and ranked by position: monotonically_increasing_id
+    // on partition 0 is 0..n-1 in row order, so over a single sorted
+    // partition it IS the (deterministic) dense row number.
     counts
-      .withColumn("rank", row_number().over(w).cast("int"))
+      .coalesce(1)
+      .sortWithinPartitions(col("cnt").desc, col("token").asc)
+      .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
       .select(col("rank"), col("token"), col("cnt"))
   }
 
