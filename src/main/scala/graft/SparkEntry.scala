@@ -118,6 +118,28 @@ object SparkEntry {
           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
           approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
     }),
+    // the sketch's driver-checked accuracy gate (same pattern as
+    // q_ann_recall): exact cardinalities are oracle-recomputable, and the
+    // booleans assert the HLL++ estimate sits within 3x its configured 2%
+    // relative-error target — an estimator regression flips them and fails
+    // the hash compare, converting the sketch from unmeasured to gated
+    "q_approx_distinct_gate" -> ((s, dir) => {
+      s.read.parquet(t(dir, "lineitem"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("a_o"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("a_p"))
+        .select(
+          col("l_returnflag"),
+          col("exact_orders"),
+          col("exact_parts"),
+          (abs(col("a_o") - col("exact_orders")).cast("double") /
+            col("exact_orders") <= 0.06).as("orders_within_tol"),
+          (abs(col("a_p") - col("exact_parts")).cast("double") /
+            col("exact_parts") <= 0.06).as("parts_within_tol"))
+    }),
     "q_distinct_count" -> ((s, dir) => {
       // distinct-aggregation surface (url-dedup counting shape at scale;
       // approx_count_distinct is the 10^12-row variant, exact here for the oracle)
@@ -613,6 +635,16 @@ object SparkEntry {
          count(DISTINCT l_orderkey) AS n_orders,
          count(DISTINCT l_partkey) AS n_parts,
          count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
+    // exact cardinalities recomputed; the tolerance booleans assert the
+    // HLL++ estimate accuracy (3x the configured 2% rsd), so an estimator
+    // regression on the Spark side fails the hash compare
+    "q_approx_distinct_gate" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_orderkey)::BIGINT AS exact_orders,
+         count(DISTINCT l_partkey)::BIGINT AS exact_parts,
+         true AS orders_within_tol,
+         true AS parts_within_tol
          FROM lineitem GROUP BY l_returnflag""",
     "q_explode_tokens" ->
       """SELECT word, count(*) AS cnt
