@@ -1,0 +1,181 @@
+package graft.corpus
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+
+/** Spec-conformant real-PDF writer (ISO 32000 subset) for exercising
+  * [[graft.extract.PdfContainer]] with genuine container bytes: a proper
+  * object graph, classic xref table with byte-exact offsets, trailer,
+  * Flate-compressed or plain content streams, direct or indirect /Length,
+  * literal (with escapes) and hex strings, single or array /Contents, and a
+  * nested /Pages tree with inherited /MediaBox.
+  *
+  * Layout model: 10pt Courier (600/1000 em => 6 units/char — the same
+  * advance the layout pipeline's CharWidth assumes), positioned with Tm/Td,
+  * so generated documents drive the identical column-segmentation and
+  * reading-order code paths as the synthetic layout stream.
+  */
+object RealPdf {
+
+  final case class TextRun(x: Double, y: Double, text: String)
+
+  /** One page of positioned runs; `y` is in the DOWNWARD convention of the
+    * layout pipeline ([[graft.extract.PdfExtractor.Run]]) and is flipped
+    * into PDF's upward axis at write time, so round-trip expectations read
+    * naturally.
+    */
+  final case class PageSpec(
+      width: Int = 612,
+      height: Int = 792,
+      runs: Seq[TextRun] = Nil,
+      compress: Boolean = false,
+      splitContents: Boolean = false,
+      indirectLength: Boolean = false,
+      hexStrings: Boolean = false)
+
+  private def escLiteral(s: String): String =
+    s.flatMap {
+      case '('  => "\\("
+      case ')'  => "\\)"
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case c    => c.toString
+    }
+
+  private def hexOf(s: String): String =
+    s.getBytes(StandardCharsets.ISO_8859_1).map("%02X".format(_)).mkString
+
+  private def contentOps(p: PageSpec): String = {
+    val sb = new StringBuilder
+    sb.append("BT\n/F1 10 Tf\n12 TL\n")
+    p.runs.foreach { r =>
+      val pdfY = p.height - r.y // downward spec -> upward PDF axis
+      sb.append(f"1 0 0 1 ${r.x}%.1f ${pdfY}%.1f Tm\n")
+      if (p.hexStrings) sb.append(s"<${hexOf(r.text)}> Tj\n")
+      else sb.append(s"(${escLiteral(r.text)}) Tj\n")
+    }
+    sb.append("ET")
+    sb.toString
+  }
+
+  private def deflate(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(b); d.finish()
+    val out = new ByteArrayOutputStream()
+    val chunk = new Array[Byte](8192)
+    while (!d.finished()) out.write(chunk, 0, d.deflate(chunk))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Serialize a document. `nestedKids = true` wraps pages in an
+    * intermediate /Pages node (inherited /MediaBox exercised when a page
+    * omits its own).
+    */
+  def document(pages: Seq[PageSpec], nestedKids: Boolean = false): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def ascii(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (objNum, offset)
+
+    var nextObj = 1
+    def alloc(): Int = { val n = nextObj; nextObj += 1; n }
+
+    val catalogNum = alloc()
+    val pagesNum = alloc()
+    val fontNum = alloc()
+    val innerPagesNum = if (nestedKids) alloc() else -1
+
+    // per page: page obj + content obj(s) + optional length obj(s)
+    final case class PagePlan(
+        pageNum: Int,
+        contentNums: Seq[Int],
+        lengthNums: Seq[Int],
+        spec: PageSpec)
+    val plans = pages.map { p =>
+      val pageNum = alloc()
+      val nStreams = if (p.splitContents) 2 else 1
+      val contentNums = Seq.fill(nStreams)(alloc())
+      val lengthNums = if (p.indirectLength) Seq.fill(nStreams)(alloc()) else Nil
+      PagePlan(pageNum, contentNums, lengthNums, p)
+    }
+
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets += ((num, out.size()))
+      ascii(s"$num 0 obj\n")
+      body
+      ascii("\nendobj\n")
+    }
+
+    ascii("%PDF-1.4\n%âãÏÓ\n") // binary-marker comment line
+
+    obj(catalogNum) {
+      ascii(s"<< /Type /Catalog /Pages $pagesNum 0 R >>")
+    }
+    val kidRefs =
+      if (nestedKids) s"[$innerPagesNum 0 R]"
+      else plans.map(p => s"${p.pageNum} 0 R").mkString("[", " ", "]")
+    obj(pagesNum) {
+      val count = plans.length
+      // top node carries the inheritable MediaBox when nesting
+      val mb = if (nestedKids) " /MediaBox [0 0 612 792]" else ""
+      ascii(s"<< /Type /Pages /Kids $kidRefs /Count $count$mb >>")
+    }
+    if (nestedKids) obj(innerPagesNum) {
+      val kids = plans.map(p => s"${p.pageNum} 0 R").mkString("[", " ", "]")
+      ascii(s"<< /Type /Pages /Parent $pagesNum 0 R /Kids $kids /Count ${plans.length} >>")
+    }
+    obj(fontNum) {
+      ascii("<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>")
+    }
+
+    plans.foreach { plan =>
+      val p = plan.spec
+      // page dict: omit MediaBox when nesting (inherits from the top node)
+      val mb = if (nestedKids) "" else s" /MediaBox [0 0 ${p.width} ${p.height}]"
+      val contents =
+        if (plan.contentNums.length == 1) s"${plan.contentNums.head} 0 R"
+        else plan.contentNums.map(n => s"$n 0 R").mkString("[", " ", "]")
+      val parent = if (nestedKids) innerPagesNum else pagesNum
+      obj(plan.pageNum) {
+        ascii(
+          s"<< /Type /Page /Parent $parent 0 R$mb /Contents $contents " +
+            s"/Resources << /Font << /F1 $fontNum 0 R >> >> >>")
+      }
+      val opsAll = contentOps(p)
+      val parts: Seq[String] =
+        if (p.splitContents) {
+          // split roughly in half at an operator boundary: token halves of a
+          // split content stream are concatenated by the reader
+          val lines = opsAll.split("\n")
+          val mid = lines.length / 2
+          Seq(lines.take(mid).mkString("\n"), lines.drop(mid).mkString("\n"))
+        } else Seq(opsAll)
+      parts.zipWithIndex.foreach { case (part, i) =>
+        val raw = part.getBytes(StandardCharsets.ISO_8859_1)
+        val body = if (p.compress) deflate(raw) else raw
+        val filter = if (p.compress) " /Filter /FlateDecode" else ""
+        val lenField =
+          if (p.indirectLength) s"${plan.lengthNums(i)} 0 R" else body.length.toString
+        obj(plan.contentNums(i)) {
+          ascii(s"<< /Length $lenField$filter >>\nstream\n")
+          out.write(body)
+          ascii("\nendstream")
+        }
+        if (p.indirectLength) obj(plan.lengthNums(i)) {
+          ascii(body.length.toString)
+        }
+      }
+    }
+
+    // classic xref
+    val xrefOff = out.size()
+    val byNum = offsets.sortBy(_._1)
+    ascii(s"xref\n0 ${nextObj}\n")
+    ascii("0000000000 65535 f \n")
+    byNum.foreach { case (_, off) => ascii(f"$off%010d 00000 n \n") }
+    ascii(
+      s"trailer\n<< /Size $nextObj /Root $catalogNum 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+}

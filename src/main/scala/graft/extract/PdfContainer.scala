@@ -1,0 +1,610 @@
+package graft.extract
+
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+/** Minimal real-PDF (ISO 32000 subset) container reader.
+  *
+  * Rounds 1-3 parsed only the deterministic `%PDF-GRAFT` layout stream and
+  * documented the real container as an environment-imposed boundary (no PDF
+  * library ships here — and none is needed for this subset). This reader
+  * shrinks that boundary to the exotic corners: it parses the actual PDF
+  * object syntax from bytes and feeds the SAME positioned-run page model
+  * ([[PdfExtractor.Page]]) that the layout pipeline (column segmentation,
+  * reading-order sweep, per-page selective heavy reprocessing) already
+  * consumes. Supported, because this is what text-bearing web PDFs are made
+  * of (reference consumes the same structures via PyMuPDF,
+  * processor.py:76-83):
+  *
+  *   - classic cross-reference tables (incl. /Prev chains) with a lenient
+  *     fallback: if the xref is truncated/corrupt — common in crawled
+  *     PDFs — objects are recovered by a linear `N G obj` scan (the B8
+  *     lenient-parse discipline applied to the container itself);
+  *   - the full object syntax: dictionaries, arrays, names (incl. #xx
+  *     escapes), literal strings (escapes, octal, line continuations),
+  *     hex strings, numbers, booleans, null, indirect references,
+  *     comments, streams with direct or INDIRECT /Length;
+  *   - /FlateDecode via java.util.zip (the compression real generators
+  *     emit); unfiltered streams; unsupported filters fail loudly per page;
+  *   - the page tree (/Root -> /Pages -> /Kids recursion, cycle-guarded)
+  *     with inheritable /MediaBox;
+  *   - the text-showing operator set: BT/ET, Tf, Td, TD, TL, T*, Tm, Tj,
+  *     TJ (with kerning adjustments), ' and ". Positions come from the
+  *     text matrix; PDF's upward y axis is flipped into the downward
+  *     [[PdfExtractor.Run]] convention.
+  *
+  * Out of scope (fail loudly, contained as per-row failure rows): encrypted
+  * documents, xref streams / object streams (PDF 1.5 compressed xref),
+  * non-Flate filters, CID/composite fonts with ToUnicode CMaps (strings
+  * decode as Latin-1, exact for the Standard/WinAnsi printable range).
+  */
+object PdfContainer {
+
+  // ---- tokens / objects -----------------------------------------------------
+
+  sealed trait Obj
+  case object PNull extends Obj
+  final case class PBool(v: Boolean) extends Obj
+  final case class PNum(v: Double) extends Obj { def toInt: Int = v.toInt }
+  final case class PStr(bytes: Array[Byte]) extends Obj
+  final case class PName(v: String) extends Obj
+  final case class PArr(v: Vector[Obj]) extends Obj
+  final case class PDict(v: Map[String, Obj]) extends Obj {
+    def get(k: String): Option[Obj] = v.get(k)
+  }
+  final case class PRef(num: Int, gen: Int) extends Obj
+  final case class PStream(dict: PDict, raw: Array[Byte]) extends Obj
+
+  final case class PdfError(reason: String) extends Exception(reason)
+
+  private def isWs(b: Byte): Boolean =
+    b == 0x00 || b == 0x09 || b == 0x0a || b == 0x0c || b == 0x0d || b == 0x20
+  private def isDelim(b: Byte): Boolean =
+    b == '(' || b == ')' || b == '<' || b == '>' || b == '[' || b == ']' ||
+      b == '{' || b == '}' || b == '/' || b == '%'
+
+  /** Byte-level lexer/parser with a cursor; one instance per document or
+    * content stream.
+    */
+  private final class Lexer(val buf: Array[Byte], var pos: Int) {
+    def atEnd: Boolean = pos >= buf.length
+    def peek: Byte = buf(pos)
+
+    def skipWs(): Unit = {
+      var go = true
+      while (go && !atEnd) {
+        if (isWs(buf(pos))) pos += 1
+        else if (buf(pos) == '%') { // comment to EOL
+          while (!atEnd && buf(pos) != '\n' && buf(pos) != '\r') pos += 1
+        } else go = false
+      }
+    }
+
+    def token(): String = {
+      skipWs()
+      if (atEnd) throw PdfError("eof")
+      val b = buf(pos)
+      if (isDelim(b)) {
+        if (b == '<' && pos + 1 < buf.length && buf(pos + 1) == '<') { pos += 2; "<<" }
+        else if (b == '>' && pos + 1 < buf.length && buf(pos + 1) == '>') { pos += 2; ">>" }
+        else { pos += 1; b.toChar.toString }
+      } else {
+        val start = pos
+        while (!atEnd && !isWs(buf(pos)) && !isDelim(buf(pos))) pos += 1
+        new String(buf, start, pos - start, StandardCharsets.US_ASCII)
+      }
+    }
+
+    def peekToken(): String = { val p = pos; val t = token(); pos = p; t }
+
+    /** One object at the cursor. `resolveLen` resolves an indirect /Length
+      * when reading a stream body (null in content-stream context, where
+      * streams cannot occur).
+      */
+    def obj(resolveLen: PRef => Obj): Obj = {
+      val t = token()
+      t match {
+        case "<<" =>
+          val m = Map.newBuilder[String, Obj]
+          var done = false
+          while (!done) {
+            skipWs()
+            if (peekToken() == ">>") { token(); done = true }
+            else {
+              val k = obj(resolveLen) match {
+                case PName(n) => n
+                case other    => throw PdfError(s"dict_key_not_name:$other")
+              }
+              m += k -> obj(resolveLen)
+            }
+          }
+          val dict = PDict(m.result())
+          // stream?
+          skipWs()
+          val save = pos
+          if (!atEnd && peekToken() == "stream") {
+            token()
+            // EOL after `stream`: CRLF or LF
+            if (!atEnd && buf(pos) == '\r') pos += 1
+            if (!atEnd && buf(pos) == '\n') pos += 1
+            val len = dict.get("Length") match {
+              case Some(PNum(n)) => n.toInt
+              case Some(r: PRef) =>
+                if (resolveLen == null) throw PdfError("indirect_length_in_content")
+                resolveLen(r) match {
+                  case PNum(n) => n.toInt
+                  case other   => throw PdfError(s"bad_indirect_length:$other")
+                }
+              case other => throw PdfError(s"missing_stream_length:$other")
+            }
+            if (len < 0 || pos + len > buf.length) throw PdfError("stream_overruns_buffer")
+            val raw = java.util.Arrays.copyOfRange(buf, pos, pos + len)
+            pos += len
+            skipWs()
+            val end = token()
+            if (end != "endstream") throw PdfError(s"missing_endstream:$end")
+            PStream(dict, raw)
+          } else { pos = save; dict }
+        case "[" =>
+          val items = Vector.newBuilder[Obj]
+          var done = false
+          while (!done) {
+            skipWs()
+            if (peekToken() == "]") { token(); done = true }
+            else items += obj(resolveLen)
+          }
+          PArr(items.result())
+        case "/" =>
+          // name: chars follow the solidus immediately (no ws skip)
+          val start = pos
+          while (!atEnd && !isWs(buf(pos)) && !isDelim(buf(pos))) pos += 1
+          PName(decodeName(new String(buf, start, pos - start, StandardCharsets.US_ASCII)))
+        case "(" => PStr(literalString())
+        case "<" => PStr(hexString())
+        case "true"  => PBool(true)
+        case "false" => PBool(false)
+        case "null"  => PNull
+        case num if num.nonEmpty && (num.charAt(0).isDigit || num.charAt(0) == '+' || num.charAt(0) == '-' || num.charAt(0) == '.') =>
+          // `N G R` indirect reference lookahead
+          val save = pos
+          if (isIntToken(num)) {
+            try {
+              val t2 = token()
+              if (isIntToken(t2) && peekToken() == "R") {
+                token()
+                return PRef(num.toInt, t2.toInt)
+              }
+            } catch { case PdfError(_) => () }
+            pos = save
+          }
+          PNum(java.lang.Double.parseDouble(num))
+        case other => throw PdfError(s"unexpected_token:$other")
+      }
+    }
+
+    private def isIntToken(s: String): Boolean =
+      s.nonEmpty && s.forall(_.isDigit)
+
+    private def decodeName(s: String): String = {
+      if (!s.contains('#')) return s
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '#' && i + 2 < s.length) {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(s.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
+
+    /** Literal string: cursor is just past `(`. Balanced parens, escapes,
+      * octal, line continuations (ISO 32000-1 §7.3.4.2).
+      */
+    private def literalString(): Array[Byte] = {
+      val out = mutable.ArrayBuilder.make[Byte]
+      var depth = 1
+      while (depth > 0) {
+        if (atEnd) throw PdfError("unterminated_string")
+        val b = buf(pos); pos += 1
+        b match {
+          case '(' => depth += 1; out += b
+          case ')' => depth -= 1; if (depth > 0) out += b
+          case '\\' =>
+            if (atEnd) throw PdfError("unterminated_escape")
+            val e = buf(pos); pos += 1
+            e match {
+              case 'n' => out += '\n'.toByte
+              case 'r' => out += '\r'.toByte
+              case 't' => out += '\t'.toByte
+              case 'b' => out += '\b'.toByte
+              case 'f' => out += '\f'.toByte
+              case '(' | ')' | '\\' => out += e
+              case '\r' => if (!atEnd && buf(pos) == '\n') pos += 1 // continuation
+              case '\n' => () // continuation
+              case d if d >= '0' && d <= '7' =>
+                var v = d - '0'
+                var k = 0
+                while (k < 2 && !atEnd && buf(pos) >= '0' && buf(pos) <= '7') {
+                  v = v * 8 + (buf(pos) - '0'); pos += 1; k += 1
+                }
+                out += v.toByte
+              case other => out += other // spec: backslash ignored
+            }
+          case _ => out += b
+        }
+      }
+      out.result()
+    }
+
+    /** Hex string: cursor just past `<`. Whitespace allowed; odd final digit
+      * pads with 0.
+      */
+    private def hexString(): Array[Byte] = {
+      val out = mutable.ArrayBuilder.make[Byte]
+      var hi = -1
+      var done = false
+      while (!done) {
+        if (atEnd) throw PdfError("unterminated_hex_string")
+        val b = buf(pos); pos += 1
+        if (b == '>') {
+          if (hi >= 0) out += (hi << 4).toByte
+          done = true
+        } else if (!isWs(b)) {
+          val v = Character.digit(b.toChar, 16)
+          if (v < 0) throw PdfError(s"bad_hex_digit:${b.toChar}")
+          if (hi < 0) hi = v
+          else { out += ((hi << 4) | v).toByte; hi = -1 }
+        }
+      }
+      out.result()
+    }
+  }
+
+  // ---- document -------------------------------------------------------------
+
+  private final class Doc(buf: Array[Byte]) {
+    private val offsets: Map[Int, Int] = xrefOffsets()
+    private val cache = mutable.Map.empty[Int, Obj]
+
+    /** Object offsets from the classic xref table chain; on ANY structural
+      * failure, fall back to a linear `N G obj` scan (lenient crawled-PDF
+      * discipline; the offsets in a truncated incremental update are often
+      * still intact in the body).
+      */
+    private def xrefOffsets(): Map[Int, Int] =
+      try classicXref()
+      catch { case _: Exception => scanOffsets() }
+
+    private def classicXref(): Map[Int, Int] = {
+      val tail = new String(
+        buf,
+        math.max(0, buf.length - 256),
+        math.min(256, buf.length),
+        StandardCharsets.US_ASCII)
+      val ix = tail.lastIndexOf("startxref")
+      if (ix < 0) throw PdfError("no_startxref")
+      val after = tail.substring(ix + "startxref".length).trim
+      val off = after.takeWhile(_.isDigit)
+      if (off.isEmpty) throw PdfError("bad_startxref")
+      val out = mutable.Map.empty[Int, Int]
+      var next = off.toInt
+      val seen = mutable.Set.empty[Int]
+      while (next >= 0) {
+        if (next >= buf.length || !seen.add(next)) throw PdfError("bad_xref_offset")
+        val lx = new Lexer(buf, next)
+        if (lx.token() != "xref") throw PdfError("not_a_classic_xref")
+        var trailerDict: PDict = null
+        while (trailerDict == null) {
+          val t = lx.token()
+          if (t == "trailer") {
+            trailerDict = lx.obj(null) match {
+              case d: PDict => d
+              case other    => throw PdfError(s"bad_trailer:$other")
+            }
+          } else {
+            val start = t.toInt
+            val count = lx.token().toInt
+            var i = 0
+            while (i < count) {
+              val o = lx.token().toInt
+              val _gen = lx.token().toInt
+              val kind = lx.token()
+              // earlier (later-applied) xref sections win: only add if absent
+              if (kind == "n" && !out.contains(start + i)) out(start + i) = o
+              i += 1
+            }
+          }
+        }
+        next = trailerDict.get("Prev") match {
+          case Some(PNum(p)) => p.toInt
+          case _             => -1
+        }
+      }
+      if (out.isEmpty) throw PdfError("empty_xref")
+      out.toMap
+    }
+
+    /** Fallback: find every `N G obj` header in the body. */
+    private def scanOffsets(): Map[Int, Int] = {
+      val out = mutable.Map.empty[Int, Int]
+      val s = new String(buf, StandardCharsets.ISO_8859_1)
+      val m = java.util.regex.Pattern
+        .compile("(?m)^(\\d+)\\s+(\\d+)\\s+obj\\b")
+        .matcher(s)
+      while (m.find()) out(m.group(1).toInt) = m.start()
+      if (out.isEmpty) throw PdfError("no_objects_found")
+      out.toMap
+    }
+
+    def resolve(o: Obj): Obj = o match {
+      case PRef(num, _) =>
+        cache.getOrElseUpdate(
+          num, {
+            val off = offsets.getOrElse(num, throw PdfError(s"missing_object:$num"))
+            val lx = new Lexer(buf, off)
+            val n = lx.token(); val g = lx.token(); val kw = lx.token()
+            if (!n.forall(_.isDigit) || !g.forall(_.isDigit) || kw != "obj")
+              throw PdfError(s"bad_object_header:$num")
+            lx.obj(r => resolve(r))
+          })
+      case other => other
+    }
+
+    def trailerRoot(): PDict = {
+      // robust root discovery: prefer the trailer; fall back to the first
+      // object whose /Type is /Catalog (scan mode has no trailer)
+      val viaTrailer =
+        try {
+          val tail = new String(
+            buf,
+            math.max(0, buf.length - 2048),
+            math.min(2048, buf.length),
+            StandardCharsets.ISO_8859_1)
+          val ti = tail.lastIndexOf("trailer")
+          if (ti < 0) None
+          else {
+            val lx = new Lexer(buf, math.max(0, buf.length - 2048) + ti)
+            lx.token() // "trailer"
+            lx.obj(r => resolve(r)) match {
+              case d: PDict =>
+                d.get("Root").map(r =>
+                  resolve(r) match {
+                    case c: PDict => c
+                    case other    => throw PdfError(s"bad_catalog:$other")
+                  })
+              case _ => None
+            }
+          }
+        } catch { case _: Exception => None }
+      viaTrailer.getOrElse {
+        offsets.keys.toSeq.sorted.iterator
+          .map(n => try resolve(PRef(n, 0)) catch { case _: Exception => PNull })
+          .collectFirst {
+            case d: PDict if d.get("Type").contains(PName("Catalog")) => d
+          }
+          .getOrElse(throw PdfError("no_catalog"))
+      }
+    }
+
+    /** Page dicts in document order via the /Kids tree (cycle-guarded). */
+    def pages(): Vector[(PDict, PDict)] = { // (pageDict, inheritedAttrs)
+      val root = trailerRoot()
+      val top = resolve(root.get("Pages").getOrElse(throw PdfError("no_pages"))) match {
+        case d: PDict => d
+        case other    => throw PdfError(s"bad_pages:$other")
+      }
+      val out = Vector.newBuilder[(PDict, PDict)]
+      val seen = mutable.Set.empty[Obj]
+      def walk(node: PDict, inherited: Map[String, Obj], depth: Int): Unit = {
+        if (depth > 64) throw PdfError("page_tree_too_deep")
+        val inh = inherited ++ node.v.view.filterKeys(_ == "MediaBox").toMap
+        resolve(node.get("Type").getOrElse(PNull)) match {
+          case PName("Page") => out += ((node, PDict(inh)))
+          case _ =>
+            val kids = resolve(node.get("Kids").getOrElse(PArr(Vector.empty))) match {
+              case PArr(v) => v
+              case other   => throw PdfError(s"bad_kids:$other")
+            }
+            kids.foreach { k =>
+              if (!seen.add(k)) throw PdfError("page_tree_cycle")
+              resolve(k) match {
+                case d: PDict => walk(d, inh, depth + 1)
+                case other    => throw PdfError(s"bad_kid:$other")
+              }
+            }
+        }
+      }
+      walk(top, Map.empty, 0)
+      out.result()
+    }
+
+    def contentBytes(page: PDict): Array[Byte] = {
+      def one(o: Obj): Array[Byte] = resolve(o) match {
+        case PStream(dict, raw) => decodeStream(dict, raw, resolve)
+        case other              => throw PdfError(s"bad_content_stream:$other")
+      }
+      resolve(page.get("Contents").getOrElse(PNull)) match {
+        case PNull       => Array.emptyByteArray
+        case PArr(parts) =>
+          // parts of a split content stream concatenate with whitespace
+          // between them (a token may not span streams)
+          val bufs = parts.map(one)
+          val total = bufs.map(_.length + 1).sum
+          val out = new Array[Byte](total)
+          var p = 0
+          bufs.foreach { b =>
+            System.arraycopy(b, 0, out, p, b.length); p += b.length
+            out(p) = '\n'; p += 1
+          }
+          out
+        case s: PStream => decodeStream(s.dict, s.raw, resolve)
+        case other      => throw PdfError(s"bad_contents:$other")
+      }
+    }
+  }
+
+  private def decodeStream(dict: PDict, raw: Array[Byte], resolve: Obj => Obj): Array[Byte] =
+    resolve(dict.get("Filter").getOrElse(PNull)) match {
+      case PNull               => raw
+      case PName("FlateDecode") => inflate(raw)
+      case PArr(Vector())      => raw
+      case PArr(Vector(PName("FlateDecode"))) => inflate(raw)
+      case other               => throw PdfError(s"unsupported_filter:$other")
+    }
+
+  private def inflate(raw: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(raw)
+      val out = new java.io.ByteArrayOutputStream(math.max(64, raw.length * 4))
+      val chunk = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(chunk)
+        if (n == 0 && inf.needsInput()) throw PdfError("flate_truncated")
+        out.write(chunk, 0, n)
+        if (out.size() > (64 << 20)) throw PdfError("flate_bomb") // containment
+      }
+      out.toByteArray
+    } catch {
+      case _: java.util.zip.DataFormatException => throw PdfError("flate_corrupt")
+    } finally inf.end()
+  }
+
+  // ---- content-stream text extraction --------------------------------------
+
+  /** Nominal char advance in text-space units per point of font size for the
+    * fixed-pitch fonts the generator embeds (Courier: 600/1000 em).
+    */
+  private val FixedPitchEm = 0.6
+
+  private def runsOf(content: Array[Byte], pageW: Double, pageH: Double): Vector[PdfExtractor.Run] = {
+    val lx = new Lexer(content, 0)
+    val stack = mutable.ArrayBuffer.empty[Obj]
+    val runs = Vector.newBuilder[PdfExtractor.Run]
+    var fs = 12.0 // font size
+    var leading = 14.4
+    // text-space origin (Tm translation + Td accumulation); y up
+    var tx = 0.0
+    var ty = 0.0
+    var lineX = 0.0 // line start for T*/TD
+    var cursorX = 0.0
+
+    def emit(bytes: Array[Byte]): Unit = {
+      val text = new String(bytes, StandardCharsets.ISO_8859_1)
+      if (text.nonEmpty) {
+        runs += PdfExtractor.Run(
+          math.round(cursorX).toInt,
+          math.round(pageH - ty).toInt, // flip to downward-y
+          text)
+        cursorX += text.length * fs * FixedPitchEm
+      }
+    }
+
+    def num(o: Obj): Double = o match {
+      case PNum(v) => v
+      case other   => throw PdfError(s"operand_not_number:$other")
+    }
+
+    while (!lx.atEnd) {
+      lx.skipWs()
+      if (!lx.atEnd) {
+        val b = lx.peek
+        if (b == '(' || b == '<' || b == '[' || b == '/' || b.toChar.isDigit || b == '+' || b == '-' || b == '.') {
+          stack += lx.obj(null)
+        } else {
+          val op = lx.token()
+          op match {
+            case "BT" => tx = 0; ty = 0; lineX = 0; cursorX = 0; stack.clear()
+            case "ET" => stack.clear()
+            case "Tf" =>
+              if (stack.nonEmpty) fs = num(stack.last)
+              stack.clear()
+            case "TL" =>
+              if (stack.nonEmpty) leading = num(stack.last)
+              stack.clear()
+            case "Td" | "TD" =>
+              if (stack.length >= 2) {
+                tx += num(stack(stack.length - 2))
+                ty += num(stack.last)
+                if (op == "TD") leading = -num(stack.last)
+                lineX = tx; cursorX = tx
+              }
+              stack.clear()
+            case "Tm" =>
+              if (stack.length >= 6) {
+                tx = num(stack(stack.length - 2))
+                ty = num(stack.last)
+                lineX = tx; cursorX = tx
+              }
+              stack.clear()
+            case "T*" =>
+              ty -= leading; cursorX = lineX; stack.clear()
+            case "Tj" =>
+              stack.lastOption.foreach { case PStr(s) => emit(s); case _ => () }
+              stack.clear()
+            case "'" =>
+              ty -= leading; cursorX = lineX
+              stack.lastOption.foreach { case PStr(s) => emit(s); case _ => () }
+              stack.clear()
+            case "\"" =>
+              ty -= leading; cursorX = lineX
+              stack.lastOption.foreach { case PStr(s) => emit(s); case _ => () }
+              stack.clear()
+            case "TJ" =>
+              stack.lastOption.foreach {
+                case PArr(items) =>
+                  items.foreach {
+                    case PStr(s) => emit(s)
+                    case PNum(adj) => cursorX -= adj / 1000.0 * fs
+                    case _ => ()
+                  }
+                case _ => ()
+              }
+              stack.clear()
+            case _ => stack.clear() // any other operator: operands consumed
+          }
+        }
+      }
+    }
+    val _ = pageW
+    runs.result()
+  }
+
+  /** Parse a real-PDF payload into the layout pipeline's page model.
+    * Any structural error is contained as a `Left(reason)` failure row.
+    */
+  def parsePages(payload: Array[Byte]): Either[String, Vector[PdfExtractor.Page]] =
+    try {
+      graft.util.StepBudget.tick(payload.length.toLong) // B3 row work budget
+      val doc = new Doc(payload)
+      val pages = doc.pages().map { case (page, inherited) =>
+        val mb = doc.resolve(
+          page.get("MediaBox").orElse(inherited.get("MediaBox")).getOrElse(PNull))
+        val (w, h) = mb match {
+          case PArr(Vector(a, b, c, d)) =>
+            def n(o: Obj) = doc.resolve(o) match {
+              case PNum(v) => v
+              case other   => throw PdfError(s"bad_mediabox_entry:$other")
+            }
+            (n(c) - n(a), n(d) - n(b))
+          case _ => (612.0, 792.0)
+        }
+        val content = doc.contentBytes(page)
+        graft.util.StepBudget.tick(content.length.toLong)
+        PdfExtractor.Page(
+          math.round(w).toInt,
+          math.round(h).toInt,
+          runsOf(content, w, h))
+      }
+      if (pages.isEmpty) Left("pdf_no_pages") else Right(pages)
+    } catch {
+      // the row work budget must propagate: the extractor turns it into a
+      // `timeout:step_budget` failure row (B3), never a parse error
+      case e: graft.util.StepBudget.Exceeded => throw e
+      case PdfError(reason)                  => Left(s"pdf_$reason")
+      case _: StackOverflowError             => Left("pdf_structure_too_deep")
+      case e: Exception => Left(s"pdf_parse_error:${e.getClass.getSimpleName}")
+    }
+}

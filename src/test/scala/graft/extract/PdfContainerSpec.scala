@@ -1,0 +1,166 @@
+package graft.extract
+
+import java.nio.charset.StandardCharsets
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.RealPdf
+import graft.corpus.RealPdf.{PageSpec, TextRun}
+
+class PdfContainerSpec extends AnyFunSuite {
+
+  private def line(y: Int, text: String, x: Int = 72) = TextRun(x, y, text)
+
+  test("real-container round trip: literal strings, escapes, reading order") {
+    val pdf = RealPdf.document(Seq(PageSpec(runs = Seq(
+      line(100, "First line with (parens) and back\\slash."),
+      line(112, "Second line."),
+      line(160, "New paragraph after a gap.")))))
+    assert(new String(pdf.take(8), StandardCharsets.US_ASCII).startsWith("%PDF-1."))
+    val ex = PdfExtractor.extract(pdf)
+    assert(ex.isRight, ex)
+    val text = ex.toOption.get.text
+    assert(text ==
+      "First line with (parens) and back\\slash.\nSecond line.\n\nNew paragraph after a gap.")
+  }
+
+  test("hex strings, Flate compression, indirect /Length, split /Contents") {
+    val runs = Seq(
+      line(100, "Compressed hex content line one."),
+      line(112, "Line two of the stream."),
+      line(124, "Line three keeps going."),
+      line(136, "Line four ends it."))
+    for (
+      compress <- Seq(false, true);
+      split <- Seq(false, true);
+      indirect <- Seq(false, true);
+      hex <- Seq(false, true)
+    ) {
+      val pdf = RealPdf.document(Seq(PageSpec(
+        runs = runs,
+        compress = compress,
+        splitContents = split,
+        indirectLength = indirect,
+        hexStrings = hex)))
+      val ex = PdfExtractor.extract(pdf)
+      assert(ex.isRight, s"compress=$compress split=$split indirect=$indirect hex=$hex: $ex")
+      assert(ex.toOption.get.text ==
+        "Compressed hex content line one.\nLine two of the stream.\nLine three keeps going.\nLine four ends it.",
+        s"compress=$compress split=$split indirect=$indirect hex=$hex")
+    }
+  }
+
+  test("two-column page segments and reads left column before right") {
+    val runs = Seq(
+      TextRun(72, 100, "Left top."),
+      TextRun(72, 112, "Left bottom."),
+      TextRun(350, 100, "Right top."),
+      TextRun(350, 112, "Right bottom."))
+    val pdf = RealPdf.document(Seq(PageSpec(runs = runs)))
+    val ex = PdfExtractor.extract(pdf).toOption.get
+    assert(ex.columns.map(_._1) == Vector("pdf-p0-col0", "pdf-p0-col1"))
+    assert(ex.columns(0)._2 == "Left top.\nLeft bottom.")
+    assert(ex.columns(1)._2 == "Right top.\nRight bottom.")
+  }
+
+  test("multi-page nested /Kids tree with inherited /MediaBox") {
+    val pdf = RealPdf.document(
+      Seq(
+        PageSpec(runs = Seq(line(100, "Page one."))),
+        PageSpec(runs = Seq(line(100, "Page two.")), compress = true)),
+      nestedKids = true)
+    val pages = PdfExtractor.parse(pdf).toOption.get
+    assert(pages.length == 2)
+    assert(pages.forall(p => p.width == 612 && p.height == 792)) // inherited
+    val ex = PdfExtractor.extract(pdf).toOption.get
+    assert(ex.columns.map(_._1) == Vector("pdf-p0-col0", "pdf-p1-col0"))
+    assert(ex.text == "Page one.\n\nPage two.")
+  }
+
+  test("TJ kerning adjustments within a line keep word geometry joinable") {
+    // hand-write a content stream using TJ with kern adjustments: the two
+    // halves of "Hyphen" abut exactly (advance-aware heavy join rejoins
+    // them), while the -500 kern opens a half-em visible gap -> space
+    val content =
+      "BT /F1 10 Tf 1 0 0 1 72 692 Tm [(Hyp)(hen)] TJ ET\n" +
+        "BT /F1 10 Tf 1 0 0 1 72 680 Tm [(word) -500 (gap)] TJ ET"
+    val pdf = handBuilt(content)
+    val pages = PdfExtractor.parse(pdf).toOption.get
+    assert(pages.length == 1)
+    val runs = pages.head.runs.sortBy(r => (r.y, r.x))
+    assert(runs.map(_.text) == Vector("Hyp", "hen", "word", "gap"))
+    // abutting halves: second starts exactly at first's advance end
+    assert(runs(1).x == runs(0).x + 3 * 6)
+    // heavy sweep: same-line abutting runs join without a space; kerned gap
+    // becomes a space
+    val heavy = PdfExtractor.heavyExtract(pdf).toOption.get.text
+    assert(heavy == "Hyphen\nword gap")
+  }
+
+  test("Td/TD/T*/' operators advance lines like Tm positioning") {
+    val content =
+      "BT /F1 10 Tf 14 TL 1 0 0 1 72 700 Tm (Line A) Tj T* (Line B) Tj ET\n" +
+        "BT /F1 10 Tf 14 TL 1 0 0 1 72 660 Tm (Line C) Tj (and D) ' ET"
+    val pdf = handBuilt(content)
+    val text = PdfExtractor.extract(pdf).toOption.get.text
+    assert(text == "Line A\nLine B\n\nLine C\nand D") // 26pt gap > 1.5x median advance = paragraph break
+  }
+
+  test("lenient fallback: truncated xref recovers objects by body scan") {
+    val pdf = RealPdf.document(Seq(PageSpec(runs = Seq(line(100, "Survivor text.")))))
+    val s = new String(pdf, StandardCharsets.ISO_8859_1)
+    val cut = s.lastIndexOf("xref")
+    // corrupt the startxref offset instead of removing the tail entirely
+    val broken = (s.substring(0, cut) + "xref\n0 1\ngarbage\n" +
+      s.substring(s.lastIndexOf("trailer"))).getBytes(StandardCharsets.ISO_8859_1)
+    val ex = PdfExtractor.extract(broken)
+    assert(ex.isRight, ex)
+    assert(ex.toOption.get.text == "Survivor text.")
+  }
+
+  test("malformed containers fail loudly and contained, never crash") {
+    val garbage = "%PDF-1.4\nnot a real pdf at all".getBytes(StandardCharsets.US_ASCII)
+    assert(PdfExtractor.parse(garbage).isLeft)
+    val truncated = RealPdf.document(Seq(PageSpec(runs = Seq(line(100, "x"))))).take(60)
+    assert(PdfExtractor.parse(truncated).isLeft)
+    val unsupportedFilter = handBuilt("(x) Tj").map(identity) // valid...
+    val s = new String(unsupportedFilter, StandardCharsets.ISO_8859_1)
+      .replace("<< /Length", "<< /Filter /LZWDecode /Length")
+    val r = PdfExtractor.parse(s.getBytes(StandardCharsets.ISO_8859_1))
+    assert(r.isLeft)
+    assert(r.swap.toOption.get.contains("unsupported_filter"))
+  }
+
+  test("the full extraction engine consumes a real-container payload") {
+    val pdf = RealPdf.document(Seq(PageSpec(runs = (0 until 30).map(i =>
+      line(100 + 12 * i, s"Paragraph sentence number $i with plain words.")))))
+    val row = graft.model.RawPage(
+      url = "https://real.example/doc.pdf",
+      warc_ts = new java.sql.Timestamp(graft.corpus.CorpusGen.Epoch),
+      html = pdf,
+      text = null,
+      lang = "en")
+    val doc = Extractor.fastExtract(row, Extractor.Config())
+    assert(doc.success, s"error=${doc.error} engine=${doc.engine} text=${doc.extracted_text.take(80)}")
+    assert(doc.extracted_text.contains("Paragraph sentence number 0"))
+    assert(doc.spans.exists(_.kind.startsWith("pdf-p0-col")))
+  }
+
+  /** Minimal single-page doc around a hand-written content stream. */
+  private def handBuilt(content: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    ascii("%PDF-1.4\n")
+    def obj(body: String): Unit = { offs += out.size(); ascii(body); ascii("\nendobj\n") }
+    obj("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>")
+    obj("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>")
+    obj("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    obj(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream")
+    val xref = out.size()
+    ascii(s"xref\n0 5\n0000000000 65535 f \n")
+    offs.foreach(o => ascii(f"$o%010d 00000 n \n"))
+    ascii(s"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+}
