@@ -46,12 +46,19 @@ object RealPdf {
   private def hexOf(s: String): String =
     s.getBytes(StandardCharsets.ISO_8859_1).map("%02X".format(_)).mkString
 
+  /** Locale-independent decimal formatting: f"$x%.1f" uses the JVM default
+    * FORMAT locale and would emit "72,0" (an invalid PDF number token)
+    * under e.g. de_DE.
+    */
+  private def num1(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.1f", Double.box(x))
+
   private def contentOps(p: PageSpec): String = {
     val sb = new StringBuilder
     sb.append("BT\n/F1 10 Tf\n12 TL\n")
     p.runs.foreach { r =>
       val pdfY = p.height - r.y // downward spec -> upward PDF axis
-      sb.append(f"1 0 0 1 ${r.x}%.1f ${pdfY}%.1f Tm\n")
+      sb.append(s"1 0 0 1 ${num1(r.x)} ${num1(pdfY)} Tm\n")
       if (p.hexStrings) sb.append(s"<${hexOf(r.text)}> Tj\n")
       else sb.append(s"(${escLiteral(r.text)}) Tj\n")
     }

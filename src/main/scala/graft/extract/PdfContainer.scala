@@ -289,6 +289,10 @@ object PdfContainer {
       val off = after.takeWhile(_.isDigit)
       if (off.isEmpty) throw PdfError("bad_startxref")
       val out = mutable.Map.empty[Int, Int]
+      // tombstones: an object marked FREE in a newer section must not be
+      // resurrected by a stale 'n' entry from an older /Prev section
+      // (ISO 32000-1 §7.5.4 — newest update wins, including deletions)
+      val dead = mutable.Set.empty[Int]
       var next = off.toInt
       val seen = mutable.Set.empty[Int]
       while (next >= 0) {
@@ -308,11 +312,15 @@ object PdfContainer {
             val count = lx.token().toInt
             var i = 0
             while (i < count) {
+              val num = start + i
               val o = lx.token().toInt
               val _gen = lx.token().toInt
               val kind = lx.token()
-              // earlier (later-applied) xref sections win: only add if absent
-              if (kind == "n" && !out.contains(start + i)) out(start + i) = o
+              // earlier (later-applied) xref sections win: only add if the
+              // number is neither resolved nor tombstoned yet
+              if (!out.contains(num) && !dead.contains(num)) {
+                if (kind == "n") out(num) = o else dead += num
+              }
               i += 1
             }
           }
@@ -326,14 +334,23 @@ object PdfContainer {
       out.toMap
     }
 
-    /** Fallback: find every `N G obj` header in the body. */
+    /** Fallback: find every `N G obj` header in the body. First match per
+      * object number wins — a later line-anchored `N G obj` byte pattern
+      * INSIDE a compressed stream must not hijack the genuine object's
+      * offset (the genuine header precedes its own stream data; a stream
+      * earlier in the file shadowing a later object is the residual risk,
+      * and resolving it fails loudly rather than silently).
+      */
     private def scanOffsets(): Map[Int, Int] = {
       val out = mutable.Map.empty[Int, Int]
       val s = new String(buf, StandardCharsets.ISO_8859_1)
       val m = java.util.regex.Pattern
         .compile("(?m)^(\\d+)\\s+(\\d+)\\s+obj\\b")
         .matcher(s)
-      while (m.find()) out(m.group(1).toInt) = m.start()
+      while (m.find()) {
+        val num = m.group(1).toInt
+        if (!out.contains(num)) out(num) = m.start()
+      }
       if (out.isEmpty) throw PdfError("no_objects_found")
       out.toMap
     }
@@ -462,7 +479,14 @@ object PdfContainer {
       val chunk = new Array[Byte](8192)
       while (!inf.finished()) {
         val n = inf.inflate(chunk)
-        if (n == 0 && inf.needsInput()) throw PdfError("flate_truncated")
+        graft.util.StepBudget.tick(math.max(1, n).toLong) // B3: bounded loop work
+        if (n == 0) {
+          // inflate() also returns 0 when a preset dictionary is required
+          // (zlib FDICT bit) — without this check the loop would spin
+          // forever with finished()==false and needsInput()==false
+          if (inf.needsDictionary()) throw PdfError("flate_needs_dictionary")
+          if (inf.needsInput()) throw PdfError("flate_truncated")
+        }
         out.write(chunk, 0, n)
         if (out.size() > (64 << 20)) throw PdfError("flate_bomb") // containment
       }
@@ -479,26 +503,37 @@ object PdfContainer {
     */
   private val FixedPitchEm = 0.6
 
-  private def runsOf(content: Array[Byte], pageW: Double, pageH: Double): Vector[PdfExtractor.Run] = {
+  /** A positioned run in PDF user space (y up), carrying the effective font
+    * size so the page can be normalized to the layout pipeline's advance
+    * model after all runs are known.
+    */
+  private final case class RawRun(x: Double, yUp: Double, fs: Double, text: String)
+
+  private def runsOf(content: Array[Byte]): Vector[RawRun] = {
     val lx = new Lexer(content, 0)
     val stack = mutable.ArrayBuffer.empty[Obj]
-    val runs = Vector.newBuilder[PdfExtractor.Run]
-    var fs = 12.0 // font size
+    val runs = Vector.newBuilder[RawRun]
+    var fs = 12.0 // Tf font size
     var leading = 14.4
-    // text-space origin (Tm translation + Td accumulation); y up
+    // text matrix: only axis-aligned scale + translation supported. a/d
+    // scale positions and advances (a generator folding the size into Tm —
+    // '24 0 0 24 x y Tm' with '/F1 1 Tf' — is common); rotation/skew
+    // (b or c nonzero) is out of subset and fails LOUDLY rather than
+    // emitting silently scrambled geometry.
+    var ma = 1.0
+    var md = 1.0
     var tx = 0.0
     var ty = 0.0
-    var lineX = 0.0 // line start for T*/TD
+    var lineX = 0.0 // line start for T*/TD/'/"
     var cursorX = 0.0
+
+    def effSize: Double = fs * ((ma + md) / 2) // axis-aligned: ma==md in practice
 
     def emit(bytes: Array[Byte]): Unit = {
       val text = new String(bytes, StandardCharsets.ISO_8859_1)
       if (text.nonEmpty) {
-        runs += PdfExtractor.Run(
-          math.round(cursorX).toInt,
-          math.round(pageH - ty).toInt, // flip to downward-y
-          text)
-        cursorX += text.length * fs * FixedPitchEm
+        runs += RawRun(cursorX, ty, effSize, text)
+        cursorX += text.length * fs * FixedPitchEm * ma
       }
     }
 
@@ -516,7 +551,9 @@ object PdfContainer {
         } else {
           val op = lx.token()
           op match {
-            case "BT" => tx = 0; ty = 0; lineX = 0; cursorX = 0; stack.clear()
+            case "BT" =>
+              ma = 1.0; md = 1.0; tx = 0; ty = 0; lineX = 0; cursorX = 0
+              stack.clear()
             case "ET" => stack.clear()
             case "Tf" =>
               if (stack.nonEmpty) fs = num(stack.last)
@@ -526,39 +563,47 @@ object PdfContainer {
               stack.clear()
             case "Td" | "TD" =>
               if (stack.length >= 2) {
-                tx += num(stack(stack.length - 2))
-                ty += num(stack.last)
+                // translation in TEXT space: scaled by the matrix diagonals
+                tx += num(stack(stack.length - 2)) * ma
+                ty += num(stack.last) * md
                 if (op == "TD") leading = -num(stack.last)
                 lineX = tx; cursorX = tx
               }
               stack.clear()
             case "Tm" =>
               if (stack.length >= 6) {
+                val a = num(stack(stack.length - 6))
+                val bC = num(stack(stack.length - 5))
+                val c = num(stack(stack.length - 4))
+                val d = num(stack(stack.length - 3))
+                if (math.abs(bC) > 1e-9 || math.abs(c) > 1e-9)
+                  throw PdfError("rotated_text_unsupported")
+                ma = a; md = d
                 tx = num(stack(stack.length - 2))
                 ty = num(stack.last)
                 lineX = tx; cursorX = tx
               }
               stack.clear()
             case "T*" =>
-              ty -= leading; cursorX = lineX; stack.clear()
+              ty -= leading * md; cursorX = lineX; stack.clear()
             case "Tj" =>
               stack.lastOption.foreach { case PStr(s) => emit(s); case _ => () }
               stack.clear()
             case "'" =>
-              ty -= leading; cursorX = lineX
+              ty -= leading * md; cursorX = lineX
               stack.lastOption.foreach { case PStr(s) => emit(s); case _ => () }
               stack.clear()
             case "\"" =>
-              ty -= leading; cursorX = lineX
+              ty -= leading * md; cursorX = lineX
               stack.lastOption.foreach { case PStr(s) => emit(s); case _ => () }
               stack.clear()
             case "TJ" =>
               stack.lastOption.foreach {
                 case PArr(items) =>
                   items.foreach {
-                    case PStr(s) => emit(s)
-                    case PNum(adj) => cursorX -= adj / 1000.0 * fs
-                    case _ => ()
+                    case PStr(s)   => emit(s)
+                    case PNum(adj) => cursorX -= adj / 1000.0 * fs * ma
+                    case _         => ()
                   }
                 case _ => ()
               }
@@ -568,8 +613,47 @@ object PdfContainer {
         }
       }
     }
-    val _ = pageW
     runs.result()
+  }
+
+  /** Map PDF-space runs into the layout pipeline's page model:
+    *   - shift by the /MediaBox lower-left corner (cropped pages carry a
+    *     nonzero origin) and flip y downward;
+    *   - normalize the whole page by the DOMINANT font size (weighted by
+    *     character count) so one char advances CharWidth px — the advance
+    *     model the downstream heavy sweep joins runs with. Mixed-size runs
+    *     off the dominant size keep proportional geometry; exact per-glyph
+    *     metrics for proportional fonts are out of subset (the reference
+    *     gets them from PyMuPDF).
+    */
+  private def toPage(
+      raw: Vector[RawRun],
+      llx: Double,
+      lly: Double,
+      w: Double,
+      h: Double): PdfExtractor.Page = {
+    val dominant: Double =
+      if (raw.isEmpty) 10.0
+      else
+        raw
+          .groupBy(_.fs)
+          .view
+          .mapValues(_.map(_.text.length).sum)
+          .maxBy { case (sz, chars) => (chars, -sz) }
+          ._1
+    val scale =
+      if (dominant <= 0) 1.0
+      else PdfExtractor.CharWidth / (dominant * FixedPitchEm)
+    val runs = raw.map { r =>
+      PdfExtractor.Run(
+        math.round((r.x - llx) * scale).toInt,
+        math.round((h - (r.yUp - lly)) * scale).toInt, // flip to downward-y
+        r.text)
+    }
+    PdfExtractor.Page(
+      math.max(1, math.round(w * scale).toInt),
+      math.max(1, math.round(h * scale).toInt),
+      runs)
   }
 
   /** Parse a real-PDF payload into the layout pipeline's page model.
@@ -577,26 +661,25 @@ object PdfContainer {
     */
   def parsePages(payload: Array[Byte]): Either[String, Vector[PdfExtractor.Page]] =
     try {
-      graft.util.StepBudget.tick(payload.length.toLong) // B3 row work budget
+      // NOTE: no payload-length tick here — PdfExtractor.parse charged the
+      // payload before routing; double-charging would make real containers
+      // pay twice the budget of synthetic ones for the same bytes (B3)
       val doc = new Doc(payload)
       val pages = doc.pages().map { case (page, inherited) =>
         val mb = doc.resolve(
           page.get("MediaBox").orElse(inherited.get("MediaBox")).getOrElse(PNull))
-        val (w, h) = mb match {
+        val (llx, lly, w, h) = mb match {
           case PArr(Vector(a, b, c, d)) =>
             def n(o: Obj) = doc.resolve(o) match {
               case PNum(v) => v
               case other   => throw PdfError(s"bad_mediabox_entry:$other")
             }
-            (n(c) - n(a), n(d) - n(b))
-          case _ => (612.0, 792.0)
+            (n(a), n(b), n(c) - n(a), n(d) - n(b))
+          case _ => (0.0, 0.0, 612.0, 792.0)
         }
         val content = doc.contentBytes(page)
         graft.util.StepBudget.tick(content.length.toLong)
-        PdfExtractor.Page(
-          math.round(w).toInt,
-          math.round(h).toInt,
-          runsOf(content, w, h))
+        toPage(runsOf(content), llx, lly, w, h)
       }
       if (pages.isEmpty) Left("pdf_no_pages") else Right(pages)
     } catch {

@@ -49,18 +49,31 @@ object PdfExtractor {
     def text: String = columns.map(_._2).mkString("\n\n")
   }
 
+  private def hasBytePrefix(payload: Array[Byte], prefix: String): Boolean = {
+    if (payload.length < prefix.length) return false
+    var i = 0
+    while (i < prefix.length) {
+      if (payload(i) != prefix.charAt(i).toByte) return false
+      i += 1
+    }
+    true
+  }
+
   def parse(payload: Array[Byte]): Either[String, Vector[Page]] = {
     graft.util.StepBudget.tick(payload.length.toLong) // B3 row work budget
-    val s = new String(payload, StandardCharsets.UTF_8)
-    // container routing: the deterministic %PDF-GRAFT layout stream (the
-    // corpus generator's format) parses below; any other %PDF- header is a
-    // REAL container and goes through the ISO 32000 subset reader, which
-    // produces the same positioned-run page model (PdfContainer scaladoc
-    // lists the supported subset and the loud-failure boundaries)
-    if (!s.startsWith("%PDF-GRAFT")) {
-      if (s.startsWith("%PDF-")) return PdfContainer.parsePages(payload)
+    // container routing ON BYTES (a real container is mostly binary; a full
+    // lossy UTF-8 decode just to sniff the header would allocate a
+    // payload-sized replacement-char string per call): the deterministic
+    // %PDF-GRAFT layout stream (the corpus generator's format) parses
+    // below; any other %PDF- header is a REAL container and goes through
+    // the ISO 32000 subset reader, which produces the same positioned-run
+    // page model (PdfContainer scaladoc lists the supported subset and the
+    // loud-failure boundaries)
+    if (!hasBytePrefix(payload, "%PDF-GRAFT")) {
+      if (hasBytePrefix(payload, "%PDF-")) return PdfContainer.parsePages(payload)
       return Left("unsupported_pdf_container")
     }
+    val s = new String(payload, StandardCharsets.UTF_8)
     val pages = Vector.newBuilder[Page]
     var width = 612
     var height = 792

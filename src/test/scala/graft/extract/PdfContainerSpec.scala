@@ -146,6 +146,92 @@ class PdfContainerSpec extends AnyFunSuite {
     assert(doc.spans.exists(_.kind.startsWith("pdf-p0-col")))
   }
 
+  test("font size folded into Tm normalizes to the pipeline advance model") {
+    // '/F1 1 Tf' with '24 0 0 24 x y Tm': effective size 24; the two
+    // abutting halves advance at 24*0.6 units/char in PDF space and must
+    // still rejoin without a space after page normalization
+    val content =
+      "BT /F1 1 Tf 1 0 0 1 0 0 Tm 24 0 0 24 72 600 Tm [(Hyp)(hen)] TJ ET"
+    val pdf = handBuilt(content)
+    val heavy = PdfExtractor.heavyExtract(pdf).toOption.get.text
+    assert(heavy == "Hyphen")
+  }
+
+  test("non-10pt Tf font sizes normalize to the pipeline advance model") {
+    val content =
+      "BT /F1 18 Tf 1 0 0 1 72 600 Tm [(Sp)(lit)] TJ ET\n" +
+        "BT /F1 18 Tf 1 0 0 1 72 580 Tm [(word) -500 (gap)] TJ ET"
+    val pdf = handBuilt(content)
+    val heavy = PdfExtractor.heavyExtract(pdf).toOption.get.text
+    assert(heavy == "Split\nword gap")
+  }
+
+  test("rotated text fails loudly instead of emitting scrambled geometry") {
+    val content = "BT /F1 10 Tf 0 1 -1 0 72 600 Tm (rotated) Tj ET"
+    val r = PdfExtractor.parse(handBuilt(content))
+    assert(r.isLeft)
+    assert(r.swap.toOption.get.contains("rotated_text_unsupported"))
+  }
+
+  test("nonzero /MediaBox origin shifts into page-local coordinates") {
+    // cropped page: box [0 400 612 792] -> height 392; text at PDF y 700
+    // is 92 below the top edge -> downward y 92, not negative
+    val content = "BT /F1 10 Tf 1 0 0 1 72 700 Tm (Cropped.) Tj ET"
+    val pdf = handBuiltWithBox(content, "[0 400 612 792]")
+    val pages = PdfExtractor.parse(pdf).toOption.get
+    assert(pages.head.height == 392)
+    val run = pages.head.runs.head
+    assert(run.y == 92, run)
+    assert(run.x == 72, run)
+    assert(PdfExtractor.extract(pdf).toOption.get.text == "Cropped.")
+  }
+
+  test("zlib FDICT stream is contained, not an infinite loop") {
+    // zlib header with the preset-dictionary bit set: 0x78 0xBB + 4-byte
+    // dict id; Inflater returns 0 with needsDictionary()==true forever
+    val body = Array[Byte](0x78.toByte, 0xBB.toByte, 1, 2, 3, 4, 0, 0, 0, 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    ascii("%PDF-1.4\n")
+    def obj(b: => Unit): Unit = { offs += out.size(); b; ascii("\nendobj\n") }
+    obj(ascii("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>"))
+    obj(ascii("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>"))
+    obj(ascii("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"))
+    obj {
+      ascii(s"4 0 obj\n<< /Length ${body.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(body)
+      ascii("\nendstream")
+    }
+    val xref = out.size()
+    ascii("xref\n0 5\n0000000000 65535 f \n")
+    offs.foreach(o => ascii(f"$o%010d 00000 n \n"))
+    ascii(s"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    val r = PdfExtractor.parse(out.toByteArray)
+    assert(r.isLeft)
+    assert(
+      r.swap.toOption.get.contains("flate_needs_dictionary") ||
+        r.swap.toOption.get.contains("flate_corrupt"),
+      r)
+  }
+
+  private def handBuiltWithBox(content: String, mediaBox: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    ascii("%PDF-1.4\n")
+    def obj(body: String): Unit = { offs += out.size(); ascii(body); ascii("\nendobj\n") }
+    obj("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>")
+    obj(s"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox $mediaBox >>")
+    obj("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    obj(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream")
+    val xref = out.size()
+    ascii(s"xref\n0 5\n0000000000 65535 f \n")
+    offs.foreach(o => ascii(f"$o%010d 00000 n \n"))
+    ascii(s"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** Minimal single-page doc around a hand-written content stream. */
   private def handBuilt(content: String): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
