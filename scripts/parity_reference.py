@@ -47,7 +47,7 @@ sys.path.insert(0, "/root/reference/src")
 
 from scholardoc_ocr.dictionary import DictionarySignal  # noqa: E402
 from scholardoc_ocr.postprocess import postprocess  # noqa: E402
-from scholardoc_ocr.quality import _GarbledSignal  # noqa: E402
+from scholardoc_ocr.quality import QualityAnalyzer, _GarbledSignal  # noqa: E402
 
 COUNT_KEYS = [
     ("c_unicode", "unicode_normalizations"),
@@ -64,8 +64,9 @@ def main() -> int:
     df = pads.dataset(in_dir).to_table().to_pandas()
     garbled = _GarbledSignal(threshold=0.85, max_samples=10)
     dictionary = DictionarySignal()
+    analyzer = QualityAnalyzer(threshold=0.85, max_samples=10)
 
-    kernels = ["post_text", "post_counts", "garbled", "dictionary"]
+    kernels = ["post_text", "post_counts", "garbled", "dictionary", "composite"]
     mismatches: dict[str, list[str]] = {k: [] for k in kernels}
     checked = 0
 
@@ -107,6 +108,13 @@ def main() -> int:
                 f"{g.details['total_words']}, issues={g.details['sample_issues']}) "
                 f"spark=(score={row.g_score}, n={row.g_count}/{row.g_total}, "
                 f"issues={g_issues})"
+            )
+
+        qa = analyzer.analyze(text)  # confidence_data=None: two-signal path
+        if qa.score != row.qa_score or bool(qa.flagged) != bool(row.qa_flagged):
+            mismatches["composite"].append(
+                f"{row.id}: ref=(score={qa.score}, flagged={qa.flagged}) "
+                f"spark=(score={row.qa_score}, flagged={row.qa_flagged})"
             )
 
         d = dictionary.score(text)
@@ -162,6 +170,8 @@ def main() -> int:
         f" sample_issues list | **{len(mismatches['garbled'])}** |",
         "| dictionary signal | score (exact float), known/structured/garbled/"
         f"total | **{len(mismatches['dictionary'])}** |",
+        "| composite quality (A4) | weighted composite score (exact float) +"
+        f" flagged (floors) | **{len(mismatches['composite'])}** |",
         "",
         f"**Verdict: {'PASS — 0 mismatches' if n_bad == 0 else f'FAIL — {n_bad} mismatches'}**",
         "",

@@ -27,7 +27,9 @@ final case class ParityRow(
     d_known: Int,
     d_structured: Int,
     d_garbled: Int,
-    d_total: Int
+    d_total: Int,
+    qa_score: Double,
+    qa_flagged: Boolean
 )
 
 /** Reference-as-oracle parity export (VERDICT r3 "Next round" #1).
@@ -213,6 +215,9 @@ object ParityExport {
     val (post, counts) = Postprocess.apply(t)
     val g = GarbledSignal.score(t)
     val d = DictionarySignal.score(t, words)
+    // composite quality (A4): no confidence signal — the pure two-signal
+    // path the reference's analyze(text) takes with confidence_data=None
+    val qa = graft.text.QualityAnalyzer(words = words).analyzeWith(t, None)
     ParityRow(
       id = id,
       text = t,
@@ -229,7 +234,9 @@ object ParityExport {
       d_known = d.knownCount,
       d_structured = d.unknownStructured,
       d_garbled = d.unknownGarbled,
-      d_total = d.total
+      d_total = d.total,
+      qa_score = qa.score,
+      qa_flagged = qa.flagged
     )
   }
 
