@@ -353,4 +353,67 @@ $footerBlock
     import spark.implicits._
     spark.range(from, from + n, 1, 2).map(i => splicedRow(seed, i))
   }
+
+  /** Row carrying a REAL ISO 32000 container ([[RealPdf]] writer): the
+    * deterministic paragraphs are laid out as 10pt fixed-pitch lines
+    * (12-unit leading, double-leading paragraph gaps, ~60-char wrap; page
+    * idx%3==1 is two-column, idx%3==2 is Flate-compressed with hex strings
+    * and split /Contents) — so the PdfContainer front-end, not the
+    * synthetic layout stream, feeds the extraction pipeline end to end.
+    */
+  def realPdfRow(seed: Long, idx: Long): RawPage = {
+    val paras = cleanParagraphs(seed, idx, int(seed, idx, 600, 3, 4))
+    def wrap(p: String): Seq[String] = {
+      val words = p.split(" ")
+      val lines = Vector.newBuilder[String]
+      val cur = new StringBuilder
+      words.foreach { w =>
+        if (cur.nonEmpty && cur.length + 1 + w.length > 60) {
+          lines += cur.toString; cur.clear()
+        }
+        if (cur.nonEmpty) cur.append(' ')
+        cur.append(w)
+      }
+      if (cur.nonEmpty) lines += cur.toString
+      lines.result()
+    }
+    val variant = (idx % 3).toInt
+    val specs: Seq[RealPdf.PageSpec] = variant match {
+      case 1 =>
+        // two columns: paragraphs split across x=72 and x=330 origins
+        val (left, right) = paras.splitAt(math.max(1, paras.length / 2))
+        def col(ps: Seq[String], x: Int): Seq[RealPdf.TextRun] = {
+          var y = 90
+          ps.flatMap { p =>
+            val ls = wrap(p).map { l => val r = RealPdf.TextRun(x, y, l); y += 12; r }
+            y += 12 // paragraph gap
+            ls
+          }
+        }
+        Seq(RealPdf.PageSpec(runs = col(left, 72) ++ col(right, 330)))
+      case _ =>
+        var y = 90
+        val runs = paras.flatMap { p =>
+          val ls = wrap(p).map { l => val r = RealPdf.TextRun(72, y, l); y += 12; r }
+          y += 12
+          ls
+        }
+        Seq(RealPdf.PageSpec(
+          runs = runs,
+          compress = variant == 2,
+          hexStrings = variant == 2,
+          splitContents = variant == 2))
+    }
+    RawPage(
+      url(seed, idx),
+      new Timestamp(Epoch + idx * 1000L),
+      RealPdf.document(specs, nestedKids = variant == 2),
+      "",
+      "en")
+  }
+
+  def realPdfPages(spark: SparkSession, from: Long, n: Long, seed: Long = DefaultSeed): Dataset[RawPage] = {
+    import spark.implicits._
+    spark.range(from, from + n, 1, 2).map(i => realPdfRow(seed, i))
+  }
 }

@@ -21,6 +21,10 @@ object FixtureGen {
   // spliced mixed-engine PDFs (ids Rows..Rows+SplicedRows-1): one clean
   // page + jittered pages -> per-page selective heavy splice -> `mixed`
   val SplicedRows = 3L
+  // REAL ISO 32000 containers (ids Rows+SplicedRows..+RealPdfRows-1):
+  // single-column / two-column / Flate+hex+split variants through the
+  // PdfContainer front-end (round 4)
+  val RealPdfRows = 3L
 
   def main(args: Array[String]): Unit = {
     val out = Paths.get(
@@ -34,6 +38,8 @@ object FixtureGen {
 
     val pages = CorpusGen.pages(spark, Rows).toDF()
       .unionByName(CorpusGen.splicedPages(spark, Rows, SplicedRows).toDF())
+      .unionByName(
+        CorpusGen.realPdfPages(spark, Rows + SplicedRows, RealPdfRows).toDF())
     val cfg = ExtractionJob.JobConfig(numGroups = 8, numPartitions = 4, diagnostics = true)
     val results = ExtractionJob.extract(pages, cfg).collect().sortBy(_.url)
 

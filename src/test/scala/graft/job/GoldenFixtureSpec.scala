@@ -20,10 +20,15 @@ class GoldenFixtureSpec extends AnyFunSuite {
 
   private val fixtureDir = Paths.get("src/test/resources/fixtures")
 
+  private val AllRows =
+    FixtureGen.Rows + FixtureGen.SplicedRows + FixtureGen.RealPdfRows
+
   private lazy val results = {
     val pages = CorpusGen.pages(spark, FixtureGen.Rows).toDF()
       .unionByName(CorpusGen.splicedPages(
         spark, FixtureGen.Rows, FixtureGen.SplicedRows).toDF())
+      .unionByName(CorpusGen.realPdfPages(
+        spark, FixtureGen.Rows + FixtureGen.SplicedRows, FixtureGen.RealPdfRows).toDF())
     val cfg = ExtractionJob.JobConfig(numGroups = 8, numPartitions = 4, diagnostics = true)
     ExtractionJob.extract(pages, cfg).collect()
       .map(r => r.url.substring(r.url.lastIndexOf('/') + 1).toLong -> r)
@@ -33,7 +38,7 @@ class GoldenFixtureSpec extends AnyFunSuite {
   test("extracted text is byte-identical to the frozen fixtures") {
     assert(Files.exists(fixtureDir.resolve("extracted")), "fixtures missing — run FixtureGen once")
     var compared = 0
-    (0L until (FixtureGen.Rows + FixtureGen.SplicedRows)).foreach { idx =>
+    (0L until AllRows).foreach { idx =>
       val expected = Files.readAllBytes(fixtureDir.resolve(s"extracted/doc_$idx.txt"))
       val actual = results(idx).extracted_text.getBytes(StandardCharsets.UTF_8)
       assert(
@@ -41,10 +46,18 @@ class GoldenFixtureSpec extends AnyFunSuite {
         s"doc_$idx bytes differ: expected ${expected.length}B, got ${actual.length}B")
       compared += 1
     }
-    assert(compared == FixtureGen.Rows + FixtureGen.SplicedRows)
+    assert(compared == AllRows)
     // the spliced docs pin the mixed engine under the golden discipline
     assert((FixtureGen.Rows until FixtureGen.Rows + FixtureGen.SplicedRows)
       .forall(i => results(i).engine == "mixed"))
+    // the real-container docs pin the ISO 32000 front-end: pdf engine,
+    // successful extraction, nonempty pdf-col spans
+    val realFrom = FixtureGen.Rows + FixtureGen.SplicedRows
+    (realFrom until realFrom + FixtureGen.RealPdfRows).foreach { i =>
+      assert(results(i).success, s"doc_$i real-pdf success")
+      assert(results(i).spans.exists(_.kind.startsWith("pdf-p")), s"doc_$i spans")
+      assert(results(i).extracted_text.length > 100, s"doc_$i text length")
+    }
   }
 
   test("engine, flags, scores and spans match the frozen metadata") {
