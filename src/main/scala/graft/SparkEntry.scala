@@ -200,6 +200,10 @@ object SparkEntry {
     // Gopher Table-A1 document filter rules as pure Column arithmetic
     "q_gopher_filter" -> ((s, dir) =>
       TextAnalysis.gopherRules(s.read.parquet(t(dir, "documents")))),
+    "q_c4_filter" -> ((s, dir) =>
+      TextAnalysis.c4LineFilter(s.read.parquet(t(dir, "documents")))),
+    "q_pii_scrub" -> ((s, dir) =>
+      TextAnalysis.piiScrub(s.read.parquet(t(dir, "documents")))),
     // reference quality kernels over the documents table (rows-only checks:
     // regex/whitelist semantics aren't ANSI-SQL-expressible; the kernels'
     // correctness gate is the golden-fixture + unit suites)
@@ -743,6 +747,44 @@ object SparkEntry {
          LEFT JOIN line_stats l USING (doc_id)
          LEFT JOIN bg_stats b USING (doc_id)""",
     "q_gopher_filter" -> GopherOracleSql,
+    "q_c4_filter" ->
+      """WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+         l AS (
+           SELECT doc_id, t,
+             [regexp_replace(x, '[ \t\r]+$', '') for x in string_split(t, chr(10))] AS lines
+           FROM base),
+         k AS (
+           SELECT doc_id, t, len(lines) AS n_lines,
+             list_filter(lines, x ->
+               len(list_filter(string_split(x, ' '), w -> w <> '')) >= 5
+               AND regexp_matches(x, '[.!?"'']$')
+               AND NOT contains(lower(x), 'javascript')) AS kept
+           FROM l)
+         SELECT doc_id, n_lines::INT AS n_lines, len(kept)::INT AS kept_lines,
+           (len(kept) >= 3 AND NOT contains(t, '{')
+              AND NOT contains(lower(t), 'lorem ipsum')) AS keep,
+           CASE WHEN (len(kept) >= 3 AND NOT contains(t, '{')
+                        AND NOT contains(lower(t), 'lorem ipsum'))
+                THEN array_to_string(kept, chr(10)) ELSE '' END AS clean_text
+         FROM k""",
+    // identical RE2-compatible patterns, identical email -> phone -> ip
+    // replacement order (masks must not create new matches)
+    "q_pii_scrub" ->
+      """WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+         e AS (SELECT doc_id,
+             len(regexp_extract_all(t, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS emails,
+             regexp_replace(t, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+           FROM base),
+         p AS (SELECT doc_id, emails,
+             len(regexp_extract_all(t1, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS phones,
+             regexp_replace(t1, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS t2
+           FROM e),
+         i AS (SELECT doc_id, emails, phones,
+             len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ips,
+             regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t3
+           FROM p)
+         SELECT doc_id, emails::INT AS emails, phones::INT AS phones,
+           ips::INT AS ips, md5(t3) AS scrubbed_md5 FROM i""",
     "q_langid" -> {
       def cnt(m: String) =
         s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', '$m', ''))) / ${m.length}"

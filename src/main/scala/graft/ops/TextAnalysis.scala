@@ -311,6 +311,70 @@ object TextAnalysis {
       md5(lower(trim(col("text")))).as("fingerprint"),
       length(col("text")).cast("long").as("n_chars"))
 
+  /** C4-style line filtering (Raffel et al. 2020 §2.2, the other standard
+    * web-corpus gate next to [[gopherRules]]). Per line (split on '\n',
+    * right-trimmed): keep iff it has >= 5 whitespace words, ends in
+    * terminal punctuation (. ! ? " '), and does not contain "javascript"
+    * (case-insensitive). Per doc: `clean_text` = kept lines joined with
+    * '\n', and `keep` = at least 3 kept lines AND the raw text contains
+    * neither '{' nor "lorem ipsum" (case-insensitive). Pure Column
+    * arithmetic (higher-order functions over the split array — one narrow
+    * codegen'd pass, nothing shuffles), RE2-compatible so a DuckDB oracle
+    * reproduces it exactly. Null text = empty: zero kept lines, keep false.
+    */
+  def c4LineFilter(docs: DataFrame): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    // right-trim includes \r: lines of CRLF text keep a trailing \r after
+    // the \n split, and Java's '$' would match before it while RE2's would
+    // not — stripping it keeps the Spark and oracle regexes agreeing
+    val lines = transform(split(t, "\n"), l => regexp_replace(l, "[ \\t\\r]+$", ""))
+    val keptLines = filter(
+      lines,
+      l =>
+        size(filter(split(l, " "), w => w =!= "")) >= 5 &&
+          l.rlike("[.!?\"']$") &&
+          !lower(l).contains("javascript"))
+    val nKept = size(keptLines)
+    val docKeep = nKept >= 3 &&
+      !t.contains("{") &&
+      !lower(t).contains("lorem ipsum")
+    docs.select(
+      col("doc_id"),
+      size(lines).cast("int").as("n_lines"),
+      nKept.cast("int").as("kept_lines"),
+      docKeep.as("keep"),
+      when(docKeep, array_join(keptLines, "\n")).otherwise(lit("")).as("clean_text"))
+  }
+
+  /** PII scrubbing — counts and masks emails, North-American-style phone
+    * numbers and IPv4 addresses (the minimum a public-web corpus scrubs
+    * before training). Patterns are deliberately RE2-compatible (no
+    * lookaround) so the DuckDB oracle applies the IDENTICAL regexes;
+    * replacement order (email -> phone -> ip) is part of the contract
+    * since masks must not create new matches. One narrow codegen'd pass.
+    */
+  private val EmailRe = "[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    def countOf(c: Column, re: String): Column =
+      size(regexp_extract_all(c, lit(re), lit(0))).cast("int")
+    val emails = countOf(t, EmailRe)
+    val afterEmail = regexp_replace(t, EmailRe, "<EMAIL>")
+    val phones = countOf(afterEmail, PhoneRe)
+    val afterPhone = regexp_replace(afterEmail, PhoneRe, "<PHONE>")
+    val ips = countOf(afterPhone, Ipv4Re)
+    val scrubbed = regexp_replace(afterPhone, Ipv4Re, "<IP>")
+    docs.select(
+      col("doc_id"),
+      emails.as("emails"),
+      phones.as("phones"),
+      ips.as("ips"),
+      md5(scrubbed).as("scrubbed_md5"))
+  }
+
   /** URL canonicalization — the key a crawl pipeline dedups on BEFORE
     * content dedup (the same page is crawled under thousands of url
     * variants). Rules, applied in order:

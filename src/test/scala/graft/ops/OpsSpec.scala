@@ -426,6 +426,44 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(m == 2)
   }
 
+  test("c4LineFilter keeps terminal-punctuated >=5-word lines and gates docs") {
+    val good = (1 to 4).map(i => s"this line number $i has enough words to survive.").mkString("\n")
+    val df = Seq(
+      (1L, good), // 4 kept lines -> keep
+      (2L, good + "\nshort line.\nno terminal punctuation here at all five"), // extras dropped
+      (3L, good + "\nsome javascript heavy line with enough words here."), // js dropped
+      (4L, good.replace("words", "{words")), // curly brace -> doc dropped
+      (5L, good + "\nLorem Ipsum dolor sit amet consectetur adipiscing elit."), // lorem -> dropped
+      (6L, "one kept line with five words here.\nanother kept line with words here."), // only 2 kept
+      (7L, null.asInstanceOf[String]),
+      (8L, good.replace("\n", " \r\n")) // CRLF + trailing space: rtrim incl \r
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.c4LineFilter(df).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Int]("kept_lines"), x.getAs[Boolean]("keep"), x.getAs[String]("clean_text")))).toMap
+    assert(r(1L) == ((4, true, good)))
+    assert(r(2L)._1 == 4 && r(2L)._2)
+    assert(r(3L)._1 == 4 && r(3L)._2) // js line dropped, rest keeps the doc
+    assert(!r(4L)._2 && r(4L)._3 == "")
+    assert(!r(5L)._2)
+    assert(r(6L) == ((2, false, "")))
+    assert(r(7L) == ((0, false, "")))
+    assert(r(8L)._1 == 4 && r(8L)._2, r(8L).toString)
+  }
+
+  test("piiScrub counts and masks in email -> phone -> ip order") {
+    val df = Seq(
+      (1L, "mail a@b.com and c.d@e.org, call 555-123-4567, host 10.0.0.1"),
+      (2L, "no pii at all"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val r = TextAnalysis.piiScrub(df).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Int]("emails"), x.getAs[Int]("phones"), x.getAs[Int]("ips")))).toMap
+    assert(r(1L) == ((2, 1, 1)))
+    assert(r(2L) == ((0, 0, 0)))
+    assert(r(3L) == ((0, 0, 0)))
+  }
+
   test("langId predicts by marker majority with deterministic ties") {
     val df = Seq(
       (1L, "xx", "the cat and the dog of the house is here"),
