@@ -21,7 +21,8 @@ object FixtureGen {
   // spliced mixed-engine PDFs (ids Rows..Rows+SplicedRows-1): one clean
   // page + jittered pages -> per-page selective heavy splice -> `mixed`
   val SplicedRows = 3L
-  // REAL ISO 32000 containers (ids Rows+SplicedRows..+RealPdfRows-1):
+  // REAL ISO 32000 containers
+  // (ids Rows+SplicedRows..Rows+SplicedRows+RealPdfRows-1):
   // single-column / two-column / Flate+hex+split variants through the
   // PdfContainer front-end (round 4)
   val RealPdfRows = 3L

@@ -324,15 +324,17 @@ object TextAnalysis {
     */
   def c4LineFilter(docs: DataFrame): DataFrame = {
     val t = coalesce(col("text"), lit(""))
-    // right-trim includes \r: lines of CRLF text keep a trailing \r after
-    // the \n split, and Java's '$' would match before it while RE2's would
-    // not — stripping it keeps the Spark and oracle regexes agreeing
-    val lines = transform(split(t, "\n"), l => regexp_replace(l, "[ \\t\\r]+$", ""))
+    // right-trim includes \r (lines of CRLF text keep a trailing \r after
+    // the \n split), and BOTH Java patterns anchor with \z, not $: Java's
+    // '$' also matches before a final line terminator (\r, U+0085, U+2028,
+    // U+2029) while RE2's '$' means end-of-string only — '\z' is the
+    // Java spelling of RE2's '$', keeping the oracle exact
+    val lines = transform(split(t, "\n"), l => regexp_replace(l, "[ \\t\\r]+\\z", ""))
     val keptLines = filter(
       lines,
       l =>
         size(filter(split(l, " "), w => w =!= "")) >= 5 &&
-          l.rlike("[.!?\"']$") &&
+          l.rlike("[.!?\"']\\z") &&
           !lower(l).contains("javascript"))
     val nKept = size(keptLines)
     val docKeep = nKept >= 3 &&

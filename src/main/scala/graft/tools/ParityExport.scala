@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{Dataset, SparkSession}
 
 import graft.corpus.CorpusGen
-import graft.text.{DictionarySignal, GarbledSignal, Postprocess}
+import graft.text.{DictionarySignal, Postprocess}
 
 /** One exported row per input text: the three row-local kernel outputs that
   * `scripts/parity_reference.py` re-computes with the REAL reference Python
@@ -213,11 +213,13 @@ object ParityExport {
   def computeRow(id: String, text: String, words: Set[String]): ParityRow = {
     val t = if (text == null) "" else text
     val (post, counts) = Postprocess.apply(t)
-    val g = GarbledSignal.score(t)
-    val d = DictionarySignal.score(t, words)
     // composite quality (A4): no confidence signal — the pure two-signal
-    // path the reference's analyze(text) takes with confidence_data=None
+    // path the reference's analyze(text) takes with confidence_data=None.
+    // ONE analyzer pass supplies the garbled fields too (it runs both
+    // kernels internally); only the dictionary detail counts need the one
+    // extra direct call.
     val qa = graft.text.QualityAnalyzer(words = words).analyzeWith(t, None)
+    val d = DictionarySignal.score(t, words)
     ParityRow(
       id = id,
       text = t,
@@ -226,10 +228,10 @@ object ParityExport {
       c_dehyph = counts.getOrElse("dehyphenations", 0),
       c_parajoin = counts.getOrElse("paragraph_joins", 0),
       c_punct = counts.getOrElse("punctuation_fixes", 0),
-      g_score = g.score,
-      g_count = g.garbledCount,
-      g_total = g.totalWords,
-      g_issues = g.sampleIssues,
+      g_score = qa.signalScores("garbled"),
+      g_count = qa.garbledCount,
+      g_total = qa.totalWords,
+      g_issues = qa.sampleIssues,
       d_score = d.score,
       d_known = d.knownCount,
       d_structured = d.unknownStructured,

@@ -462,6 +462,13 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(1L) == ((2, 1, 1)))
     assert(r(2L) == ((0, 0, 0)))
     assert(r(3L) == ((0, 0, 0)))
+    // ORDER-sensitive case: the numeric local part is one email when email
+    // masks first; an ip-first pipeline would report (1 email, 1 ip). This
+    // pins the documented email -> phone -> ip order in-unit, not just via
+    // the oracle's scrubbed_md5.
+    val ordered = Seq((9L, "192.168.1.1@example.com")).toDF("doc_id", "text")
+    val o = TextAnalysis.piiScrub(ordered).collect().head
+    assert((o.getAs[Int]("emails"), o.getAs[Int]("phones"), o.getAs[Int]("ips")) == ((1, 0, 0)))
   }
 
   test("langId predicts by marker majority with deterministic ties") {
