@@ -215,6 +215,25 @@ class PdfContainerSpec extends AnyFunSuite {
       r)
   }
 
+  test("jittered baselines in a real container: heavy sweep recovers lines") {
+    // word runs of one visual line with ±1pt baseline jitter (within
+    // YTolerance after 10pt normalization) and x at the exact fixed-pitch
+    // advance: the fast exact-y sweep fragments them, the heavy y-tolerance
+    // clustering + advance-aware joining must reconstruct the line
+    val words = Seq("these", "words", "share", "one", "visual", "baseline")
+    val ops = new StringBuilder("BT /F1 10 Tf\n")
+    var x = 72.0
+    words.zipWithIndex.foreach { case (w, i) =>
+      val y = 600.0 + (if (i % 2 == 1) 1.0 else 0.0) // alternate ±1pt jitter
+      ops.append(s"1 0 0 1 ${x.toInt} ${y.toInt} Tm ($w) Tj\n")
+      x += (w.length + 1) * 6.0 // advance incl. the joining space
+    }
+    ops.append("ET")
+    val pdf = handBuilt(ops.toString)
+    val heavy = PdfExtractor.heavyExtract(pdf).toOption.get.text
+    assert(heavy == words.mkString(" "))
+  }
+
   private def handBuiltWithBox(content: String, mediaBox: String): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def ascii(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
