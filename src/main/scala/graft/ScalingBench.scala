@@ -112,19 +112,22 @@ object ScalingBench {
 
     // STRONG scaling on the IDENTICAL input — the literal reading of the
     // north rule ("the same job ... on the same input at two parallelism
-    // levels"). Shorter runs at high core counts are more exposed to the
-    // VM's throttle bursts (which is why the headline number is the
-    // duration-equalized weak measurement), so: interleaved reps, median.
+    // levels"). Two noise sources hit high core counts hardest: throttle
+    // bursts (short runs) and fixed per-job overheads (Spark job setup /
+    // stage scheduling is seconds-scale and does not parallelize — Amdahl
+    // on the measurement, not the operator). So the strong input is 3x the
+    // weak base (the 4N run still takes ~10 s), interleaved reps, median.
+    val strongRows = rows * 3
     val strongReps = 3
     val strongSamples =
       scala.collection.mutable.Map[Int, Vector[Double]]().withDefaultValue(Vector.empty)
     for (_ <- 1 to strongReps; c <- levels) {
-      val t = runOnce(c, rows)
-      strongSamples(c) = strongSamples(c) :+ (rows / t)
+      val t = runOnce(c, strongRows)
+      strongSamples(c) = strongSamples(c) :+ (strongRows / t)
     }
-    def strongWall(c: Int): Double = rows / median(strongSamples(c))
-    val s416 = Pair(4, 16, strongWall(4), strongWall(16), rows)
-    val s832 = Pair(8, 32, strongWall(8), strongWall(32), rows)
+    def strongWall(c: Int): Double = strongRows / median(strongSamples(c))
+    val s416 = Pair(4, 16, strongWall(4), strongWall(16), strongRows)
+    val s832 = Pair(8, 32, strongWall(8), strongWall(32), strongRows)
 
     // salted-input path (host-clustered-scan mode) over the MIXED-CASE
     // corpus — the measured proof that case-robust host canonicalization
@@ -169,13 +172,14 @@ object ScalingBench {
          |(workers, shuffle daemons and the collector compete for every
          |core; that overhead is what the 8 -> 32 number additionally pays).
          |
-         |## Strong scaling — the IDENTICAL $rows-doc input at every level
+         |## Strong scaling — the IDENTICAL $strongRows-doc input at every level
          |
          |The literal form of the north rule (same job, same input, two
-         |parallelism levels); median of $strongReps interleaved reps. High
-         |core counts run shorter here and are therefore more exposed to
-         |throttle bursts — the weak table above is the de-noised headline,
-         |this one is the letter-of-the-rule evidence.
+         |parallelism levels); median of $strongReps interleaved reps over a
+         |3x-base input so seconds-scale fixed job overheads and throttle
+         |bursts do not dominate the short high-core runs — the weak table
+         |above remains the de-noised headline, this one is the
+         |letter-of-the-rule evidence.
          |
          || cores N -> 4N | wall N / 4N (s) | docs/s N -> 4N | efficiency |
          ||---|---|---|---|

@@ -234,6 +234,32 @@ class PdfContainerSpec extends AnyFunSuite {
     assert(heavy == words.mkString(" "))
   }
 
+  test("container independence: same runs via %PDF-GRAFT and ISO 32000 extract byte-identically") {
+    // the spliced mixed-engine doc (one clean + 8 jittered pages): parse
+    // its synthetic payload to runs, re-serialize THE SAME runs as a real
+    // ISO 32000 container, and run both through the full extractor — text,
+    // engine (mixed) and spans must be byte-identical, proving the layout
+    // pipeline is genuinely container-independent on the hardest path
+    // (per-page selective heavy reprocessing)
+    val synth = graft.corpus.CorpusGen.splicedRow(42L, 0)
+    val pages = PdfExtractor.parse(synth.html).toOption.get
+    val real = RealPdf.document(pages.map(p =>
+      PageSpec(
+        width = p.width,
+        height = p.height,
+        runs = p.runs.map(r => TextRun(r.x, r.y, r.text)),
+        compress = true)))
+    val cfg = Extractor.Config()
+    val dSynth = Extractor.extractWithFallback(
+      synth.copy(html = synth.html), cfg)
+    val dReal = Extractor.extractWithFallback(synth.copy(html = real), cfg)
+    assert(dReal.success, String.valueOf(dReal.error))
+    assert(dReal.extracted_text == dSynth.extracted_text)
+    assert(dReal.engine == dSynth.engine)
+    assert(dSynth.engine == graft.model.Engines.Mixed)
+    assert(dReal.spans == dSynth.spans)
+  }
+
   private def handBuiltWithBox(content: String, mediaBox: String): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def ascii(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
