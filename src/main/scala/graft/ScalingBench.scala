@@ -115,9 +115,9 @@ object ScalingBench {
     // levels"). Two noise sources hit high core counts hardest: throttle
     // bursts (short runs) and fixed per-job overheads (Spark job setup /
     // stage scheduling is seconds-scale and does not parallelize — Amdahl
-    // on the measurement, not the operator). So the strong input is 3x the
-    // weak base (the 4N run still takes ~10 s), interleaved reps, median.
-    val strongRows = rows * 3
+    // on the measurement, not the operator). So the strong input is 6x the
+    // weak base (the 4N runs still take ~15+ s), interleaved reps, median.
+    val strongRows = rows * 6
     val strongReps = 3
     val strongSamples =
       scala.collection.mutable.Map[Int, Vector[Double]]().withDefaultValue(Vector.empty)
@@ -176,7 +176,7 @@ object ScalingBench {
          |
          |The literal form of the north rule (same job, same input, two
          |parallelism levels); median of $strongReps interleaved reps over a
-         |3x-base input so seconds-scale fixed job overheads and throttle
+         |6x-base input so seconds-scale fixed job overheads and throttle
          |bursts do not dominate the short high-core runs — the weak table
          |above remains the de-noised headline, this one is the
          |letter-of-the-rule evidence.
