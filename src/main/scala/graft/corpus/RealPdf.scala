@@ -80,10 +80,33 @@ object RealPdf {
     * intermediate /Pages node (inherited /MediaBox exercised when a page
     * omits its own).
     */
-  def document(pages: Seq[PageSpec], nestedKids: Boolean = false): Array[Byte] = {
+  /** Serialize a document.
+    *
+    *   - `nestedKids`: wrap pages in an intermediate /Pages node (inherited
+    *     /MediaBox exercised when a page omits its own).
+    *   - `xrefStream`: write a PDF 1.5 cross-reference STREAM (binary
+    *     W=[1 4 2] rows, trailer fields in the stream dict, no classic
+    *     table) — the modern writer default.
+    *   - `objStmPack`: pack the non-stream dictionary objects (catalog,
+    *     page tree, font, page dicts) into one /Type /ObjStm compressed
+    *     object stream, referenced by type-2 xref entries. Requires
+    *     `xrefStream` (a classic table cannot express type-2 entries).
+    *   - `xrefPredictor`: apply the PNG Up predictor (/Predictor 12) to
+    *     the xref stream data, as common writers do.
+    */
+  def document(
+      pages: Seq[PageSpec],
+      nestedKids: Boolean = false,
+      xrefStream: Boolean = false,
+      objStmPack: Boolean = false,
+      xrefPredictor: Boolean = false): Array[Byte] = {
+    require(!objStmPack || xrefStream, "objStmPack requires xrefStream")
+    require(!xrefPredictor || xrefStream, "xrefPredictor requires xrefStream")
     val out = new ByteArrayOutputStream()
     def ascii(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
     val offsets = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (objNum, offset)
+    // dict objects deferred into the ObjStm when packing: (num, body)
+    val packed = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
 
     var nextObj = 1
     def alloc(): Int = { val n = nextObj; nextObj += 1; n }
@@ -114,27 +137,30 @@ object RealPdf {
       ascii("\nendobj\n")
     }
 
-    ascii("%PDF-1.4\n%âãÏÓ\n") // binary-marker comment line
+    // a dictionary object: top-level normally, deferred into the ObjStm
+    // when packing (objects inside an ObjStm are direct, no header)
+    def dictObj(num: Int, body: String): Unit =
+      if (objStmPack) { packed += ((num, body)); () }
+      else obj(num)(ascii(body))
 
-    obj(catalogNum) {
-      ascii(s"<< /Type /Catalog /Pages $pagesNum 0 R >>")
-    }
+    ascii(s"%PDF-1.${if (xrefStream) "5" else "4"}\n%âãÏÓ\n") // binary marker
+
+    dictObj(catalogNum, s"<< /Type /Catalog /Pages $pagesNum 0 R >>")
     val kidRefs =
       if (nestedKids) s"[$innerPagesNum 0 R]"
       else plans.map(p => s"${p.pageNum} 0 R").mkString("[", " ", "]")
-    obj(pagesNum) {
-      val count = plans.length
-      // top node carries the inheritable MediaBox when nesting
-      val mb = if (nestedKids) " /MediaBox [0 0 612 792]" else ""
-      ascii(s"<< /Type /Pages /Kids $kidRefs /Count $count$mb >>")
-    }
-    if (nestedKids) obj(innerPagesNum) {
-      val kids = plans.map(p => s"${p.pageNum} 0 R").mkString("[", " ", "]")
-      ascii(s"<< /Type /Pages /Parent $pagesNum 0 R /Kids $kids /Count ${plans.length} >>")
-    }
-    obj(fontNum) {
-      ascii("<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>")
-    }
+    // top node carries the inheritable MediaBox when nesting
+    dictObj(
+      pagesNum,
+      s"<< /Type /Pages /Kids $kidRefs /Count ${plans.length}" +
+        (if (nestedKids) " /MediaBox [0 0 612 792]" else "") + " >>")
+    if (nestedKids)
+      dictObj(
+        innerPagesNum,
+        s"<< /Type /Pages /Parent $pagesNum 0 R /Kids " +
+          plans.map(p => s"${p.pageNum} 0 R").mkString("[", " ", "]") +
+          s" /Count ${plans.length} >>")
+    dictObj(fontNum, "<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>")
 
     plans.foreach { plan =>
       val p = plan.spec
@@ -144,11 +170,10 @@ object RealPdf {
         if (plan.contentNums.length == 1) s"${plan.contentNums.head} 0 R"
         else plan.contentNums.map(n => s"$n 0 R").mkString("[", " ", "]")
       val parent = if (nestedKids) innerPagesNum else pagesNum
-      obj(plan.pageNum) {
-        ascii(
-          s"<< /Type /Page /Parent $parent 0 R$mb /Contents $contents " +
-            s"/Resources << /Font << /F1 $fontNum 0 R >> >> >>")
-      }
+      dictObj(
+        plan.pageNum,
+        s"<< /Type /Page /Parent $parent 0 R$mb /Contents $contents " +
+          s"/Resources << /Font << /F1 $fontNum 0 R >> >> >>")
       val opsAll = contentOps(p)
       val parts: Seq[String] =
         if (p.splitContents) {
@@ -175,14 +200,93 @@ object RealPdf {
       }
     }
 
-    // classic xref
-    val xrefOff = out.size()
-    val byNum = offsets.sortBy(_._1)
-    ascii(s"xref\n0 ${nextObj}\n")
-    ascii("0000000000 65535 f \n")
-    byNum.foreach { case (_, off) => ascii(f"$off%010d 00000 n \n") }
-    ascii(
-      s"trailer\n<< /Size $nextObj /Root $catalogNum 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    // ObjStm: header of (num, offset) pairs, then the packed bodies
+    val stmLoc = scala.collection.mutable.Map.empty[Int, Int] // num -> idx in stm
+    val objStmNum = if (objStmPack) alloc() else -1
+    if (objStmPack) {
+      val bodies = packed.toVector
+      val bodyBlob = new StringBuilder
+      val pairs = new StringBuilder
+      bodies.zipWithIndex.foreach { case ((num, body), idx) =>
+        pairs.append(s"$num ${bodyBlob.length} ")
+        bodyBlob.append(body).append('\n')
+        stmLoc(num) = idx
+      }
+      val header = pairs.toString
+      val data = (header + bodyBlob.toString).getBytes(StandardCharsets.ISO_8859_1)
+      val z = deflate(data)
+      obj(objStmNum) {
+        ascii(
+          s"<< /Type /ObjStm /N ${bodies.length} /First ${header.length} " +
+            s"/Length ${z.length} /Filter /FlateDecode >>\nstream\n")
+        out.write(z)
+        ascii("\nendstream")
+      }
+    }
+
+    if (!xrefStream) {
+      // classic xref table + trailer
+      val xrefOff = out.size()
+      val byNum = offsets.sortBy(_._1)
+      ascii(s"xref\n0 ${nextObj}\n")
+      ascii("0000000000 65535 f \n")
+      byNum.foreach { case (_, off) => ascii(f"$off%010d 00000 n \n") }
+      ascii(
+        s"trailer\n<< /Size $nextObj /Root $catalogNum 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    } else {
+      // PDF 1.5 cross-reference stream: W=[1 4 2] binary rows for objects
+      // 0..Size-1 (type 0 free head, type 1 at-offset, type 2 in-ObjStm),
+      // trailer fields in the stream dict, optional PNG Up predictor
+      val xrefNum = alloc()
+      val xrefOff = out.size()
+      val size = nextObj
+      val offByNum = offsets.toMap
+      val columns = 7
+      val rows = new ByteArrayOutputStream()
+      def row(t: Int, f2: Int, f3: Int): Unit = {
+        rows.write(t)
+        rows.write((f2 >>> 24) & 0xff); rows.write((f2 >>> 16) & 0xff)
+        rows.write((f2 >>> 8) & 0xff); rows.write(f2 & 0xff)
+        rows.write((f3 >>> 8) & 0xff); rows.write(f3 & 0xff)
+      }
+      (0 until size).foreach { num =>
+        if (num == 0) row(0, 0, 65535)
+        else if (num == xrefNum) row(1, xrefOff, 0)
+        else if (stmLoc.contains(num)) row(2, objStmNum, stmLoc(num))
+        else row(1, offByNum.getOrElse(num, 0), 0)
+      }
+      val rawRows = rows.toByteArray
+      val (data, parms) =
+        if (!xrefPredictor) (rawRows, "")
+        else {
+          // PNG Up filter (type 2) per row: value - up
+          val nRows = rawRows.length / columns
+          val filtered = new ByteArrayOutputStream()
+          var r = 0
+          while (r < nRows) {
+            filtered.write(2)
+            var c = 0
+            while (c < columns) {
+              val cur = rawRows(r * columns + c) & 0xff
+              val up = if (r > 0) rawRows((r - 1) * columns + c) & 0xff else 0
+              filtered.write((cur - up) & 0xff)
+              c += 1
+            }
+            r += 1
+          }
+          (filtered.toByteArray,
+            s" /DecodeParms << /Predictor 12 /Columns $columns >>")
+        }
+      val z = deflate(data)
+      offsets += ((xrefNum, xrefOff))
+      ascii(s"$xrefNum 0 obj\n")
+      ascii(
+        s"<< /Type /XRef /Size $size /W [1 4 2] /Index [0 $size] " +
+          s"/Root $catalogNum 0 R /Length ${z.length} /Filter /FlateDecode$parms >>\nstream\n")
+      out.write(z)
+      ascii("\nendstream\nendobj\n")
+      ascii(s"startxref\n$xrefOff\n%%EOF\n")
+    }
     out.toByteArray
   }
 }

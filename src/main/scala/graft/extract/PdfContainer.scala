@@ -17,10 +17,15 @@ import scala.collection.mutable
   * of (reference consumes the same structures via PyMuPDF,
   * processor.py:76-83):
   *
-  *   - classic cross-reference tables (incl. /Prev chains) with a lenient
-  *     fallback: if the xref is truncated/corrupt — common in crawled
-  *     PDFs — objects are recovered by a linear `N G obj` scan (the B8
-  *     lenient-parse discipline applied to the container itself);
+  *   - BOTH cross-reference forms, mixed freely along the /Prev chain:
+  *     classic `xref` tables AND PDF 1.5+ cross-reference STREAMS (binary
+  *     W-width rows, /Index subsections, PNG predictors via /DecodeParms —
+  *     the modern writer default), plus /Type /ObjStm object streams
+  *     (type-2 entries; packed objects unpacked and cached per stream,
+  *     cycle-guarded). Lenient fallback: if the chain is truncated or
+  *     corrupt — common in crawled PDFs — objects are recovered by a
+  *     linear `N G obj` scan (the B8 lenient-parse discipline applied to
+  *     the container itself);
   *   - the full object syntax: dictionaries, arrays, names (incl. #xx
   *     escapes), literal strings (escapes, octal, line continuations),
   *     hex strings, numbers, booleans, null, indirect references,
@@ -35,9 +40,9 @@ import scala.collection.mutable
   *     [[PdfExtractor.Run]] convention.
   *
   * Out of scope (fail loudly, contained as per-row failure rows): encrypted
-  * documents, xref streams / object streams (PDF 1.5 compressed xref),
-  * non-Flate filters, CID/composite fonts with ToUnicode CMaps (strings
-  * decode as Latin-1, exact for the Standard/WinAnsi printable range).
+  * documents, non-Flate filters, TIFF predictor 2, CID/composite fonts
+  * with ToUnicode CMaps (strings decode as Latin-1, exact for the
+  * Standard/WinAnsi printable range).
   */
 object PdfContainer {
 
@@ -264,20 +269,29 @@ object PdfContainer {
 
   // ---- document -------------------------------------------------------------
 
-  private final class Doc(buf: Array[Byte]) {
-    private val offsets: Map[Int, Int] = xrefOffsets()
-    private val cache = mutable.Map.empty[Int, Obj]
+  /** Where an object lives: at a byte offset, or inside an object stream. */
+  private sealed trait Loc
+  private final case class AtOffset(off: Int) extends Loc
+  private final case class InObjStm(stm: Int, idx: Int) extends Loc
 
-    /** Object offsets from the classic xref table chain; on ANY structural
+  private final class Doc(buf: Array[Byte]) {
+    private var rootRef: Option[PRef] = None
+    private val offsets: Map[Int, Loc] = xrefOffsets()
+    private val cache = mutable.Map.empty[Int, Obj]
+    private val objStmInProgress = mutable.Set.empty[Int]
+
+    /** Object locations from the cross-reference chain — classic `xref`
+      * tables AND PDF 1.5+ xref STREAMS (the modern default), mixed freely
+      * along the /Prev chain as incremental updates do. On ANY structural
       * failure, fall back to a linear `N G obj` scan (lenient crawled-PDF
       * discipline; the offsets in a truncated incremental update are often
       * still intact in the body).
       */
-    private def xrefOffsets(): Map[Int, Int] =
-      try classicXref()
+    private def xrefOffsets(): Map[Int, Loc] =
+      try xrefChain()
       catch { case _: Exception => scanOffsets() }
 
-    private def classicXref(): Map[Int, Int] = {
+    private def xrefChain(): Map[Int, Loc] = {
       val tail = new String(
         buf,
         math.max(0, buf.length - 256),
@@ -288,7 +302,7 @@ object PdfContainer {
       val after = tail.substring(ix + "startxref".length).trim
       val off = after.takeWhile(_.isDigit)
       if (off.isEmpty) throw PdfError("bad_startxref")
-      val out = mutable.Map.empty[Int, Int]
+      val out = mutable.Map.empty[Int, Loc]
       // tombstones: an object marked FREE in a newer section must not be
       // resurrected by a stale 'n' entry from an older /Prev section
       // (ISO 32000-1 §7.5.4 — newest update wins, including deletions)
@@ -298,32 +312,12 @@ object PdfContainer {
       while (next >= 0) {
         if (next >= buf.length || !seen.add(next)) throw PdfError("bad_xref_offset")
         val lx = new Lexer(buf, next)
-        if (lx.token() != "xref") throw PdfError("not_a_classic_xref")
-        var trailerDict: PDict = null
-        while (trailerDict == null) {
-          val t = lx.token()
-          if (t == "trailer") {
-            trailerDict = lx.obj(null) match {
-              case d: PDict => d
-              case other    => throw PdfError(s"bad_trailer:$other")
-            }
-          } else {
-            val start = t.toInt
-            val count = lx.token().toInt
-            var i = 0
-            while (i < count) {
-              val num = start + i
-              val o = lx.token().toInt
-              val _gen = lx.token().toInt
-              val kind = lx.token()
-              // earlier (later-applied) xref sections win: only add if the
-              // number is neither resolved nor tombstoned yet
-              if (!out.contains(num) && !dead.contains(num)) {
-                if (kind == "n") out(num) = o else dead += num
-              }
-              i += 1
-            }
-          }
+        val trailerDict =
+          if (lx.peekToken() == "xref") classicSection(lx, out, dead)
+          else xrefStreamSection(lx, out, dead)
+        if (rootRef.isEmpty) trailerDict.get("Root") match {
+          case Some(r: PRef) => rootRef = Some(r)
+          case _             => ()
         }
         next = trailerDict.get("Prev") match {
           case Some(PNum(p)) => p.toInt
@@ -334,6 +328,113 @@ object PdfContainer {
       out.toMap
     }
 
+    /** One classic `xref` section at the lexer; returns the trailer dict. */
+    private def classicSection(
+        lx: Lexer,
+        out: mutable.Map[Int, Loc],
+        dead: mutable.Set[Int]): PDict = {
+      if (lx.token() != "xref") throw PdfError("not_a_classic_xref")
+      var trailerDict: PDict = null
+      while (trailerDict == null) {
+        val t = lx.token()
+        if (t == "trailer") {
+          trailerDict = lx.obj(null) match {
+            case d: PDict => d
+            case other    => throw PdfError(s"bad_trailer:$other")
+          }
+        } else {
+          val start = t.toInt
+          val count = lx.token().toInt
+          var i = 0
+          while (i < count) {
+            val num = start + i
+            val o = lx.token().toInt
+            val _gen = lx.token().toInt
+            val kind = lx.token()
+            // earlier (later-applied) xref sections win: only add if the
+            // number is neither resolved nor tombstoned yet
+            if (!out.contains(num) && !dead.contains(num)) {
+              if (kind == "n") out(num) = AtOffset(o) else dead += num
+            }
+            i += 1
+          }
+        }
+      }
+      trailerDict
+    }
+
+    /** One PDF 1.5 xref STREAM at the lexer: an indirect stream object with
+      * /Type /XRef whose data is fixed-width binary rows (/W widths,
+      * /Index subsections, optional PNG predictor via /DecodeParms).
+      * Entry types: 0 free (tombstone), 1 at-offset, 2 in-object-stream.
+      * Returns the stream dict (it carries the trailer fields). The stream
+      * is the BOOTSTRAP — its own /Length must be direct (no offsets map
+      * exists yet to resolve an indirect one).
+      */
+    private def xrefStreamSection(
+        lx: Lexer,
+        out: mutable.Map[Int, Loc],
+        dead: mutable.Set[Int]): PDict = {
+      val n = lx.token(); val g = lx.token(); val kw = lx.token()
+      if (!n.forall(_.isDigit) || !g.forall(_.isDigit) || kw != "obj")
+        throw PdfError("not_an_xref_stream")
+      val stream = lx.obj(_ => throw PdfError("indirect_length_in_xref_stream")) match {
+        case s: PStream => s
+        case other      => throw PdfError(s"xref_stream_not_a_stream:$other")
+      }
+      if (!stream.dict.get("Type").contains(PName("XRef")))
+        throw PdfError("xref_stream_wrong_type")
+      val data = decodeStream(stream.dict, stream.raw, identity)
+      val w = stream.dict.get("W") match {
+        case Some(PArr(Vector(PNum(a), PNum(b), PNum(c)))) => (a.toInt, b.toInt, c.toInt)
+        case other => throw PdfError(s"bad_xref_w:$other")
+      }
+      val size = stream.dict.get("Size") match {
+        case Some(PNum(s)) => s.toInt
+        case other         => throw PdfError(s"bad_xref_size:$other")
+      }
+      val index: Vector[(Int, Int)] = stream.dict.get("Index") match {
+        case Some(PArr(v)) =>
+          v.grouped(2).map {
+            case Vector(PNum(s), PNum(c)) => (s.toInt, c.toInt)
+            case other                    => throw PdfError(s"bad_xref_index:$other")
+          }.toVector
+        case None    => Vector((0, size))
+        case other   => throw PdfError(s"bad_xref_index:$other")
+      }
+      val rowW = w._1 + w._2 + w._3
+      if (rowW <= 0 || rowW > 32) throw PdfError("bad_xref_row_width")
+      var p = 0
+      def field(width: Int, default: Long): Long = {
+        if (width == 0) return default
+        var v = 0L
+        var k = 0
+        while (k < width) { v = (v << 8) | (data(p) & 0xffL); p += 1; k += 1 }
+        v
+      }
+      index.foreach { case (start, count) =>
+        var i = 0
+        while (i < count) {
+          if (p + rowW > data.length) throw PdfError("xref_stream_truncated")
+          val num = start + i
+          val tpe = field(w._1, 1L) // absent type field defaults to 1
+          val f2 = field(w._2, 0L)
+          val f3 = field(w._3, 0L)
+          if (!out.contains(num) && !dead.contains(num)) {
+            tpe match {
+              case 0 => dead += num
+              case 1 => out(num) = AtOffset(f2.toInt)
+              case 2 => out(num) = InObjStm(f2.toInt, f3.toInt)
+              case _ => () // spec: unknown types read as null references
+            }
+          }
+          val _ = f3
+          i += 1
+        }
+      }
+      stream.dict
+    }
+
     /** Fallback: find every `N G obj` header in the body. First match per
       * object number wins — a later line-anchored `N G obj` byte pattern
       * INSIDE a compressed stream must not hijack the genuine object's
@@ -341,15 +442,15 @@ object PdfContainer {
       * earlier in the file shadowing a later object is the residual risk,
       * and resolving it fails loudly rather than silently).
       */
-    private def scanOffsets(): Map[Int, Int] = {
-      val out = mutable.Map.empty[Int, Int]
+    private def scanOffsets(): Map[Int, Loc] = {
+      val out = mutable.Map.empty[Int, Loc]
       val s = new String(buf, StandardCharsets.ISO_8859_1)
       val m = java.util.regex.Pattern
         .compile("(?m)^(\\d+)\\s+(\\d+)\\s+obj\\b")
         .matcher(s)
       while (m.find()) {
         val num = m.group(1).toInt
-        if (!out.contains(num)) out(num) = m.start()
+        if (!out.contains(num)) out(num) = AtOffset(m.start())
       }
       if (out.isEmpty) throw PdfError("no_objects_found")
       out.toMap
@@ -358,21 +459,76 @@ object PdfContainer {
     def resolve(o: Obj): Obj = o match {
       case PRef(num, _) =>
         cache.getOrElseUpdate(
-          num, {
-            val off = offsets.getOrElse(num, throw PdfError(s"missing_object:$num"))
-            val lx = new Lexer(buf, off)
-            val n = lx.token(); val g = lx.token(); val kw = lx.token()
-            if (!n.forall(_.isDigit) || !g.forall(_.isDigit) || kw != "obj")
-              throw PdfError(s"bad_object_header:$num")
-            lx.obj(r => resolve(r))
+          num,
+          offsets.getOrElse(num, throw PdfError(s"missing_object:$num")) match {
+            case AtOffset(off) =>
+              val lx = new Lexer(buf, off)
+              val n = lx.token(); val g = lx.token(); val kw = lx.token()
+              if (!n.forall(_.isDigit) || !g.forall(_.isDigit) || kw != "obj")
+                throw PdfError(s"bad_object_header:$num")
+              lx.obj(r => resolve(r))
+            case InObjStm(stm, idx) =>
+              loadObjStm(stm)
+              cache.getOrElse(num, throw PdfError(s"objstm_$stm:missing_idx_$idx"))
           })
       case other => other
     }
 
+    /** Decode one /Type /ObjStm and cache EVERY object it holds: a header
+      * of /N (objnum, byte-offset) integer pairs, then the objects packed
+      * at /First + offset. Per spec an ObjStm cannot live inside another
+      * ObjStm — the in-progress guard turns such a cycle into a loud error
+      * instead of infinite recursion.
+      */
+    private def loadObjStm(stm: Int): Unit = {
+      if (cache.contains(-stm)) return // sentinel: stream already unpacked
+      if (!objStmInProgress.add(stm)) throw PdfError(s"objstm_cycle:$stm")
+      try {
+        val s = resolve(PRef(stm, 0)) match {
+          case st: PStream => st
+          case other       => throw PdfError(s"objstm_not_a_stream:$other")
+        }
+        if (!s.dict.get("Type").contains(PName("ObjStm")))
+          throw PdfError("objstm_wrong_type")
+        val data = decodeStream(s.dict, s.raw, resolve)
+        graft.util.StepBudget.tick(data.length.toLong)
+        val n = s.dict.get("N") match {
+          case Some(PNum(v)) => v.toInt
+          case other         => throw PdfError(s"bad_objstm_n:$other")
+        }
+        val first = s.dict.get("First") match {
+          case Some(PNum(v)) => v.toInt
+          case other         => throw PdfError(s"bad_objstm_first:$other")
+        }
+        val hx = new Lexer(data, 0)
+        val pairs = (0 until n).map { _ =>
+          val num = hx.token().toInt
+          val off = hx.token().toInt
+          (num, off)
+        }
+        pairs.foreach { case (num, off) =>
+          if (first + off < 0 || first + off >= data.length)
+            throw PdfError(s"objstm_offset_out_of_range:$num")
+          val ox = new Lexer(data, first + off)
+          // objects inside an ObjStm are direct (no header, no streams)
+          cache.getOrElseUpdate(num, ox.obj(r => resolve(r)))
+          ()
+        }
+        cache(-stm) = PNull // unpacked marker
+      } finally { objStmInProgress -= stm; () }
+    }
+
     def trailerRoot(): PDict = {
-      // robust root discovery: prefer the trailer; fall back to the first
-      // object whose /Type is /Catalog (scan mode has no trailer)
-      val viaTrailer =
+      // root discovery, strongest first: the /Root captured from the xref
+      // chain (classic trailer or xref-stream dict); a literal `trailer`
+      // token near EOF; the first object whose /Type is /Catalog (scan
+      // mode has neither)
+      val viaChain = rootRef.flatMap(r =>
+        try resolve(r) match {
+          case c: PDict => Some(c)
+          case _        => None
+        } catch { case _: Exception => None })
+      val viaTrailer = viaChain.orElse {
         try {
           val tail = new String(
             buf,
@@ -395,8 +551,9 @@ object PdfContainer {
             }
           }
         } catch { case _: Exception => None }
+      }
       viaTrailer.getOrElse {
-        offsets.keys.toSeq.sorted.iterator
+        offsets.keys.toSeq.filter(_ >= 0).sorted.iterator
           .map(n => try resolve(PRef(n, 0)) catch { case _: Exception => PNull })
           .collectFirst {
             case d: PDict if d.get("Type").contains(PName("Catalog")) => d
@@ -462,14 +619,72 @@ object PdfContainer {
     }
   }
 
-  private def decodeStream(dict: PDict, raw: Array[Byte], resolve: Obj => Obj): Array[Byte] =
-    resolve(dict.get("Filter").getOrElse(PNull)) match {
+  private def decodeStream(dict: PDict, raw: Array[Byte], resolve: Obj => Obj): Array[Byte] = {
+    val inflated = resolve(dict.get("Filter").getOrElse(PNull)) match {
       case PNull               => raw
       case PName("FlateDecode") => inflate(raw)
       case PArr(Vector())      => raw
       case PArr(Vector(PName("FlateDecode"))) => inflate(raw)
       case other               => throw PdfError(s"unsupported_filter:$other")
     }
+    // /DecodeParms PNG predictors (Predictor >= 10): standard on xref
+    // streams. TIFF predictor 2 is out of subset (loud).
+    resolve(dict.get("DecodeParms").orElse(dict.get("DP")).getOrElse(PNull)) match {
+      case PNull => inflated
+      case d: PDict =>
+        resolve(d.get("Predictor").getOrElse(PNull)) match {
+          case PNull | PNum(1) => inflated
+          case PNum(p) if p >= 10 =>
+            val columns = resolve(d.get("Columns").getOrElse(PNum(1))) match {
+              case PNum(c) if c >= 1 => c.toInt
+              case other             => throw PdfError(s"bad_predictor_columns:$other")
+            }
+            unfilterPng(inflated, columns)
+          case other => throw PdfError(s"unsupported_predictor:$other")
+        }
+      case other => throw PdfError(s"bad_decode_parms:$other")
+    }
+  }
+
+  /** Reverse the per-row PNG filters (ISO 32000 references PNG spec §9):
+    * each row is one filter-type byte + `columns` data bytes; filters
+    * None/Sub/Up/Average/Paeth, with bytes-per-pixel 1 (the PDF predictor
+    * case). Row count must divide evenly.
+    */
+  private def unfilterPng(data: Array[Byte], columns: Int): Array[Byte] = {
+    val rowLen = columns + 1
+    if (data.length % rowLen != 0) throw PdfError("png_predictor_row_misalignment")
+    val rows = data.length / rowLen
+    val out = new Array[Byte](rows * columns)
+    val prev = new Array[Byte](columns)
+    var r = 0
+    while (r < rows) {
+      val ft = data(r * rowLen) & 0xff
+      var c = 0
+      while (c < columns) {
+        val x = data(r * rowLen + 1 + c) & 0xff
+        val a = if (c > 0) out(r * columns + c - 1) & 0xff else 0 // left
+        val b = prev(c) & 0xff // up
+        val cc = if (c > 0) prev(c - 1) & 0xff else 0 // up-left
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + ((a + b) / 2)
+          case 4 =>
+            val pp = a + b - cc
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - cc)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc)
+          case other => throw PdfError(s"png_filter_unknown:$other")
+        }
+        out(r * columns + c) = (v & 0xff).toByte
+        c += 1
+      }
+      System.arraycopy(out, r * columns, prev, 0, columns)
+      r += 1
+    }
+    out
+  }
 
   private def inflate(raw: Array[Byte]): Array[Byte] = {
     val inf = new java.util.zip.Inflater()

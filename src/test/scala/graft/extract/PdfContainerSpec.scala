@@ -215,6 +215,46 @@ class PdfContainerSpec extends AnyFunSuite {
       r)
   }
 
+  test("PDF 1.5 xref streams, object streams and PNG predictor round trip") {
+    val runs = Seq(
+      line(100, "Modern container line one ends properly."),
+      line(112, "Second line of the modern file."),
+      line(124, "Third line to be safe here."))
+    for (
+      objStm <- Seq(false, true);
+      predictor <- Seq(false, true);
+      compress <- Seq(false, true)
+    ) {
+      val pdf = RealPdf.document(
+        Seq(PageSpec(runs = runs, compress = compress)),
+        xrefStream = true,
+        objStmPack = objStm,
+        xrefPredictor = predictor)
+      assert(new String(pdf.take(9), StandardCharsets.US_ASCII) == "%PDF-1.5\n")
+      // no classic table anywhere: the chain MUST go through the stream
+      assert(!new String(pdf, StandardCharsets.ISO_8859_1).contains("trailer"))
+      val ex = PdfExtractor.extract(pdf)
+      assert(ex.isRight, s"objStm=$objStm predictor=$predictor compress=$compress: $ex")
+      assert(ex.toOption.get.text ==
+        "Modern container line one ends properly.\nSecond line of the modern file.\nThird line to be safe here.",
+        s"objStm=$objStm predictor=$predictor compress=$compress")
+    }
+  }
+
+  test("xref-stream multi-page doc with nested kids and packed dicts") {
+    val pdf = RealPdf.document(
+      Seq(
+        PageSpec(runs = Seq(line(100, "Packed page one."))),
+        PageSpec(runs = Seq(line(100, "Packed page two.")), compress = true)),
+      nestedKids = true,
+      xrefStream = true,
+      objStmPack = true,
+      xrefPredictor = true)
+    val ex = PdfExtractor.extract(pdf).toOption.get
+    assert(ex.columns.map(_._1) == Vector("pdf-p0-col0", "pdf-p1-col0"))
+    assert(ex.text == "Packed page one.\n\nPacked page two.")
+  }
+
   test("jittered baselines in a real container: heavy sweep recovers lines") {
     // word runs of one visual line with ±1pt baseline jitter (within
     // YTolerance after 10pt normalization) and x at the exact fixed-pitch
