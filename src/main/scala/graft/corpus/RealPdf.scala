@@ -278,7 +278,6 @@ object RealPdf {
             s" /DecodeParms << /Predictor 12 /Columns $columns >>")
         }
       val z = deflate(data)
-      offsets += ((xrefNum, xrefOff))
       ascii(s"$xrefNum 0 obj\n")
       ascii(
         s"<< /Type /XRef /Size $size /W [1 4 2] /Index [0 $size] " +

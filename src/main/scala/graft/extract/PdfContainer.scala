@@ -289,7 +289,13 @@ object PdfContainer {
       */
     private def xrefOffsets(): Map[Int, Loc] =
       try xrefChain()
-      catch { case _: Exception => scanOffsets() }
+      catch {
+        // the row work budget must propagate (B3) — falling back to a
+        // whole-buffer regex scan with the budget already exhausted would
+        // be unbounded extra work exactly when containment should stop it
+        case e: graft.util.StepBudget.Exceeded => throw e
+        case _: Exception                      => scanOffsets()
+      }
 
     private def xrefChain(): Map[Int, Loc] = {
       val tail = new String(
@@ -313,8 +319,32 @@ object PdfContainer {
         if (next >= buf.length || !seen.add(next)) throw PdfError("bad_xref_offset")
         val lx = new Lexer(buf, next)
         val trailerDict =
-          if (lx.peekToken() == "xref") classicSection(lx, out, dead)
-          else xrefStreamSection(lx, out, dead)
+          if (lx.peekToken() == "xref") {
+            // HYBRID-reference support: a classic trailer may carry
+            // /XRefStm pointing at the xref stream that holds this
+            // update's type-2 (ObjStm) entries, while the classic table
+            // marks those objects free for pre-1.5 readers. The stream's
+            // entries take precedence over the classic section's, so the
+            // classic entries are collected locally, the stream applied
+            // globally FIRST, then the classic leftovers merged.
+            val localOut = mutable.Map.empty[Int, Loc]
+            val localDead = mutable.Set.empty[Int]
+            val t = classicSection(lx, localOut, localDead)
+            t.get("XRefStm") match {
+              case Some(PNum(so)) =>
+                val sx = new Lexer(buf, so.toInt)
+                xrefStreamSection(sx, out, dead)
+                ()
+              case _ => ()
+            }
+            localOut.foreach { case (num, loc) =>
+              if (!out.contains(num) && !dead.contains(num)) out(num) = loc
+            }
+            localDead.foreach { num =>
+              if (!out.contains(num) && !dead.contains(num)) dead += num
+            }
+            t
+          } else xrefStreamSection(lx, out, dead)
         if (rootRef.isEmpty) trailerDict.get("Root") match {
           case Some(r: PRef) => rootRef = Some(r)
           case _             => ()
@@ -425,10 +455,12 @@ object PdfContainer {
               case 0 => dead += num
               case 1 => out(num) = AtOffset(f2.toInt)
               case 2 => out(num) = InObjStm(f2.toInt, f3.toInt)
-              case _ => () // spec: unknown types read as null references
+              // spec (§7.5.8.3): unknown types read as the NULL object —
+              // they must SHADOW older /Prev entries like a tombstone,
+              // not fall through and let a superseded version win
+              case _ => dead += num
             }
           }
-          val _ = f3
           i += 1
         }
       }
@@ -509,10 +541,21 @@ object PdfContainer {
         pairs.foreach { case (num, off) =>
           if (first + off < 0 || first + off >= data.length)
             throw PdfError(s"objstm_offset_out_of_range:$num")
-          val ox = new Lexer(data, first + off)
-          // objects inside an ObjStm are direct (no header, no streams)
-          cache.getOrElseUpdate(num, ox.obj(r => resolve(r)))
-          ()
+          // only cache objects the CURRENT xref actually maps into this
+          // stream: an incremental update may have rewritten (or freed) a
+          // number that an older ObjStm still packs, and `resolve` checks
+          // the cache before the xref map — unconditional caching would
+          // let the stale packed copy shadow the newer version
+          val mappedHere = offsets.get(num).exists {
+            case InObjStm(s2, _) => s2 == stm
+            case _               => false
+          }
+          if (mappedHere) {
+            val ox = new Lexer(data, first + off)
+            // objects inside an ObjStm are direct (no header, no streams)
+            cache.getOrElseUpdate(num, ox.obj(r => resolve(r)))
+            ()
+          }
         }
         cache(-stm) = PNull // unpacked marker
       } finally { objStmInProgress -= stm; () }
@@ -527,7 +570,10 @@ object PdfContainer {
         try resolve(r) match {
           case c: PDict => Some(c)
           case _        => None
-        } catch { case _: Exception => None })
+        } catch {
+          case e: graft.util.StepBudget.Exceeded => throw e
+          case _: Exception                      => None
+        })
       val viaTrailer = viaChain.orElse {
         try {
           val tail = new String(
@@ -550,11 +596,19 @@ object PdfContainer {
               case _ => None
             }
           }
-        } catch { case _: Exception => None }
+        } catch {
+          case e: graft.util.StepBudget.Exceeded => throw e
+          case _: Exception                      => None
+        }
       }
       viaTrailer.getOrElse {
         offsets.keys.toSeq.filter(_ >= 0).sorted.iterator
-          .map(n => try resolve(PRef(n, 0)) catch { case _: Exception => PNull })
+          .map(n =>
+            try resolve(PRef(n, 0))
+            catch {
+              case e: graft.util.StepBudget.Exceeded => throw e
+              case _: Exception                      => PNull
+            })
           .collectFirst {
             case d: PDict if d.get("Type").contains(PName("Catalog")) => d
           }
@@ -628,13 +682,32 @@ object PdfContainer {
       case other               => throw PdfError(s"unsupported_filter:$other")
     }
     // /DecodeParms PNG predictors (Predictor >= 10): standard on xref
-    // streams. TIFF predictor 2 is out of subset (loud).
-    resolve(dict.get("DecodeParms").orElse(dict.get("DP")).getOrElse(PNull)) match {
+    // streams. TIFF predictor 2 is out of subset (loud). The parms may be
+    // a single dict or the array form paired with an array /Filter
+    // (ISO 32000-1 Table 5) — with one supported filter, the first
+    // non-null entry is the operative one.
+    val parmsObj =
+      resolve(dict.get("DecodeParms").orElse(dict.get("DP")).getOrElse(PNull)) match {
+        case PArr(items) =>
+          items.map(resolve).collectFirst { case d: PDict => d }.getOrElse(PNull)
+        case other => other
+      }
+    parmsObj match {
       case PNull => inflated
       case d: PDict =>
         resolve(d.get("Predictor").getOrElse(PNull)) match {
           case PNull | PNum(1) => inflated
           case PNum(p) if p >= 10 =>
+            // bytes-per-pixel != 1 would change the PNG left-neighbor
+            // stride: reject loudly rather than reconstruct garbage
+            resolve(d.get("Colors").getOrElse(PNum(1))) match {
+              case PNum(1) => ()
+              case other   => throw PdfError(s"unsupported_predictor_colors:$other")
+            }
+            resolve(d.get("BitsPerComponent").getOrElse(PNum(8))) match {
+              case PNum(8) => ()
+              case other   => throw PdfError(s"unsupported_predictor_bpc:$other")
+            }
             val columns = resolve(d.get("Columns").getOrElse(PNum(1))) match {
               case PNum(c) if c >= 1 => c.toInt
               case other             => throw PdfError(s"bad_predictor_columns:$other")

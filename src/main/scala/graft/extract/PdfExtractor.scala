@@ -10,11 +10,12 @@ import java.nio.charset.StandardCharsets
   * positioned-run page model here:
   *
   *   - REAL containers (`%PDF-1.x`): [[PdfContainer]], a from-scratch
-  *     ISO 32000 subset reader (classic xref incl. lenient body-scan
-  *     recovery, full object syntax, FlateDecode, page tree, the
-  *     text-showing operator set) — no PDF library ships in this
-  *     environment and none is needed for that subset; exotic features
-  *     (encryption, xref/object streams, CID fonts) fail loudly as
+  *     ISO 32000 subset reader (classic xref AND PDF 1.5+ xref streams /
+  *     object streams with PNG predictors, incl. hybrid files and lenient
+  *     body-scan recovery; full object syntax; FlateDecode; page tree;
+  *     the text-showing operator set) — no PDF library ships in this
+  *     environment and none is needed for that subset; out-of-subset
+  *     features (encryption, non-Flate filters, CID fonts) fail loudly as
   *     contained failure rows.
   *   - the deterministic `%PDF-GRAFT` synthetic layout stream produced by
   *     the corpus generator (FIXTURES.md §1), kept as the high-volume

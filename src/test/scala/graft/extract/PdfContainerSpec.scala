@@ -241,6 +241,78 @@ class PdfContainerSpec extends AnyFunSuite {
     }
   }
 
+  test("hybrid-reference file: classic trailer /XRefStm supplies the packed entries") {
+    // Acrobat-compat hybrid: a classic table (which cannot express the
+    // packed objects) plus a trailer /XRefStm pointing at the real xref
+    // stream; the stream's entries must take precedence
+    val pdf = RealPdf.document(
+      Seq(PageSpec(runs = Seq(line(100, "Hybrid referenced text line.")))),
+      xrefStream = true,
+      objStmPack = true)
+    val s = new String(pdf, StandardCharsets.ISO_8859_1)
+    val sxAt = s.lastIndexOf("startxref")
+    val streamOff = s.substring(sxAt + "startxref".length).trim.takeWhile(_.isDigit)
+    val base = s.substring(0, sxAt)
+    val classicOff = base.length
+    val hybrid = (base +
+      s"xref\n0 1\n0000000000 65535 f \n" +
+      s"trailer\n<< /Size 99 /Root 1 0 R /XRefStm $streamOff >>\n" +
+      s"startxref\n$classicOff\n%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+    val ex = PdfExtractor.extract(hybrid)
+    assert(ex.isRight, ex)
+    assert(ex.toOption.get.text == "Hybrid referenced text line.")
+  }
+
+  test("incremental update wins over a stale ObjStm copy of the same object") {
+    // base file packs the page dict (object 4) in an ObjStm; the appended
+    // update rewrites object 4 at a top-level offset (new /Contents 8) and
+    // chains back via /Prev. Resolving the page tree unpacks the old
+    // ObjStm — its stale copy of object 4 must NOT shadow the newer
+    // at-offset version (newest update wins)
+    val base0 = RealPdf.document(
+      Seq(PageSpec(runs = Seq(line(100, "Old text before the update.")))),
+      xrefStream = true,
+      objStmPack = true)
+    val s0 = new String(base0, StandardCharsets.ISO_8859_1)
+    val sxAt = s0.lastIndexOf("startxref")
+    val prevOff = s0.substring(sxAt + "startxref".length).trim.takeWhile(_.isDigit)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base0)
+    def ascii(t: String): Unit = out.write(t.getBytes(StandardCharsets.ISO_8859_1))
+    val newPageOff = out.size()
+    ascii("4 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Contents 8 0 R /Resources << /Font << /F1 3 0 R >> >> >>\nendobj\n")
+    val newContent = "BT /F1 10 Tf 1 0 0 1 72 692 Tm (New text after the update.) Tj ET"
+    val newContentOff = out.size()
+    ascii(s"8 0 obj\n<< /Length ${newContent.length} >>\nstream\n$newContent\nendstream\nendobj\n")
+    // update xref stream (object 9): sections [4 1] and [8 2], W=[1 4 2]
+    val rows = new java.io.ByteArrayOutputStream()
+    def row(t: Int, f2: Int, f3: Int): Unit = {
+      rows.write(t)
+      rows.write((f2 >>> 24) & 0xff); rows.write((f2 >>> 16) & 0xff)
+      rows.write((f2 >>> 8) & 0xff); rows.write(f2 & 0xff)
+      rows.write((f3 >>> 8) & 0xff); rows.write(f3 & 0xff)
+    }
+    val updateXrefOff = out.size()
+    row(1, newPageOff, 0) // object 4 -> new offset
+    row(1, newContentOff, 0) // object 8
+    row(1, updateXrefOff, 0) // object 9 (this stream)
+    val d = new java.util.zip.Deflater()
+    d.setInput(rows.toByteArray); d.finish()
+    val zbuf = new Array[Byte](1024)
+    val zOut = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) zOut.write(zbuf, 0, d.deflate(zbuf))
+    d.end()
+    val z = zOut.toByteArray
+    ascii(s"9 0 obj\n<< /Type /XRef /Size 10 /W [1 4 2] /Index [4 1 8 2] " +
+      s"/Root 1 0 R /Prev $prevOff /Length ${z.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(z)
+    ascii(s"\nendstream\nendobj\nstartxref\n$updateXrefOff\n%%EOF\n")
+    val ex = PdfExtractor.extract(out.toByteArray)
+    assert(ex.isRight, ex)
+    assert(ex.toOption.get.text == "New text after the update.", ex.toOption.get.text)
+  }
+
   test("xref-stream multi-page doc with nested kids and packed dicts") {
     val pdf = RealPdf.document(
       Seq(
