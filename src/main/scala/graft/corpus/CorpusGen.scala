@@ -361,7 +361,31 @@ $footerBlock
     * and split /Contents) — so the PdfContainer front-end, not the
     * synthetic layout stream, feeds the extraction pipeline end to end.
     */
-  def realPdfRow(seed: Long, idx: Long): RawPage = {
+  def realPdfRow(seed: Long, idx: Long): RawPage =
+    RawPage(
+      url(seed, idx),
+      new Timestamp(Epoch + idx * 1000L),
+      RealPdf.document(realPdfSpecs(seed, idx), nestedKids = idx % 3 == 2),
+      "",
+      "en")
+
+  /** Same deterministic layouts serialized as a MODERN container: PDF 1.5
+    * cross-reference stream + packed object stream + PNG Up predictor —
+    * the form most real-world writers emit today.
+    */
+  def modernPdfRow(seed: Long, idx: Long): RawPage =
+    RawPage(
+      url(seed, idx),
+      new Timestamp(Epoch + idx * 1000L),
+      RealPdf.document(
+        realPdfSpecs(seed, idx),
+        xrefStream = true,
+        objStmPack = true,
+        xrefPredictor = true),
+      "",
+      "en")
+
+  private def realPdfSpecs(seed: Long, idx: Long): Seq[RealPdf.PageSpec] = {
     val paras = cleanParagraphs(seed, idx, int(seed, idx, 600, 3, 4))
     def wrap(p: String): Seq[String] = {
       val words = p.split(" ")
@@ -404,16 +428,16 @@ $footerBlock
           hexStrings = variant == 2,
           splitContents = variant == 2))
     }
-    RawPage(
-      url(seed, idx),
-      new Timestamp(Epoch + idx * 1000L),
-      RealPdf.document(specs, nestedKids = variant == 2),
-      "",
-      "en")
+    specs
   }
 
   def realPdfPages(spark: SparkSession, from: Long, n: Long, seed: Long = DefaultSeed): Dataset[RawPage] = {
     import spark.implicits._
     spark.range(from, from + n, 1, 2).map(i => realPdfRow(seed, i))
+  }
+
+  def modernPdfPages(spark: SparkSession, from: Long, n: Long, seed: Long = DefaultSeed): Dataset[RawPage] = {
+    import spark.implicits._
+    spark.range(from, from + n, 1, 2).map(i => modernPdfRow(seed, i))
   }
 }

@@ -26,6 +26,9 @@ object FixtureGen {
   // single-column / two-column / Flate+hex+split variants through the
   // PdfContainer front-end (round 4)
   val RealPdfRows = 3L
+  // MODERN container (id Rows+SplicedRows+RealPdfRows): PDF 1.5 xref
+  // stream + packed ObjStm + PNG Up predictor
+  val ModernPdfRows = 1L
 
   def main(args: Array[String]): Unit = {
     val out = Paths.get(
@@ -41,6 +44,9 @@ object FixtureGen {
       .unionByName(CorpusGen.splicedPages(spark, Rows, SplicedRows).toDF())
       .unionByName(
         CorpusGen.realPdfPages(spark, Rows + SplicedRows, RealPdfRows).toDF())
+      .unionByName(
+        CorpusGen.modernPdfPages(
+          spark, Rows + SplicedRows + RealPdfRows, ModernPdfRows).toDF())
     val cfg = ExtractionJob.JobConfig(numGroups = 8, numPartitions = 4, diagnostics = true)
     val results = ExtractionJob.extract(pages, cfg).collect().sortBy(_.url)
 

@@ -21,7 +21,8 @@ class GoldenFixtureSpec extends AnyFunSuite {
   private val fixtureDir = Paths.get("src/test/resources/fixtures")
 
   private val AllRows =
-    FixtureGen.Rows + FixtureGen.SplicedRows + FixtureGen.RealPdfRows
+    FixtureGen.Rows + FixtureGen.SplicedRows + FixtureGen.RealPdfRows +
+      FixtureGen.ModernPdfRows
 
   private lazy val results = {
     val pages = CorpusGen.pages(spark, FixtureGen.Rows).toDF()
@@ -29,6 +30,10 @@ class GoldenFixtureSpec extends AnyFunSuite {
         spark, FixtureGen.Rows, FixtureGen.SplicedRows).toDF())
       .unionByName(CorpusGen.realPdfPages(
         spark, FixtureGen.Rows + FixtureGen.SplicedRows, FixtureGen.RealPdfRows).toDF())
+      .unionByName(CorpusGen.modernPdfPages(
+        spark,
+        FixtureGen.Rows + FixtureGen.SplicedRows + FixtureGen.RealPdfRows,
+        FixtureGen.ModernPdfRows).toDF())
     val cfg = ExtractionJob.JobConfig(numGroups = 8, numPartitions = 4, diagnostics = true)
     ExtractionJob.extract(pages, cfg).collect()
       .map(r => r.url.substring(r.url.lastIndexOf('/') + 1).toLong -> r)
@@ -53,7 +58,7 @@ class GoldenFixtureSpec extends AnyFunSuite {
     // the real-container docs pin the ISO 32000 front-end: pdf engine,
     // successful extraction, nonempty pdf-col spans
     val realFrom = FixtureGen.Rows + FixtureGen.SplicedRows
-    (realFrom until realFrom + FixtureGen.RealPdfRows).foreach { i =>
+    (realFrom until realFrom + FixtureGen.RealPdfRows + FixtureGen.ModernPdfRows).foreach { i =>
       assert(results(i).success, s"doc_$i real-pdf success")
       assert(results(i).spans.exists(_.kind.startsWith("pdf-p")), s"doc_$i spans")
       assert(results(i).extracted_text.length > 100, s"doc_$i text length")
