@@ -11,7 +11,7 @@ import graft.job.ExtractionJob
   *
   * {{{
   * spark-submit --class graft.Main <jar> \
-  *   --input <parquet/iceberg path | synth:<rows>> \
+  *   --input <parquet/iceberg path | synth:<rows> | warc:<path-glob>> \
   *   --output <dir> \
   *   [--threshold 0.85] [--diagnostics] [--force-heavy]
   *   [--max-bytes 524288] [--groups 64] [--groups-per-commit 16]
@@ -102,6 +102,10 @@ object Main {
     val pages =
       if (args.input.startsWith("synth:"))
         CorpusGen.pages(spark, args.input.stripPrefix("synth:").toLong).toDF()
+      else if (args.input.startsWith("warc:"))
+        // raw Common-Crawl-style archives: stream-decoded per file into the
+        // standard page table shape (graft.sources.Warc)
+        graft.sources.Warc.toTable(spark, args.input.stripPrefix("warc:"))
       else spark.read.parquet(args.input)
 
     val cfg = ExtractionJob.JobConfig(

@@ -1,0 +1,288 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, EOFException, InputStream}
+import java.nio.charset.StandardCharsets
+import java.sql.Timestamp
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model.RawPage
+
+/** WARC (ISO 28500) source — the container Common Crawl actually ships, so
+  * a crawl pipeline can start from raw `.warc` / `.warc.gz` files instead
+  * of assuming the page table already exists.
+  *
+  * Supported: WARC/1.0 and /1.1 records (version line, named headers,
+  * Content-Length-framed payload, CRLF record separators); `response`
+  * records carry an HTTP response whose body becomes the page payload
+  * (status line + headers are stripped; chunked transfer encoding is
+  * de-chunked); `conversion` records are taken as already-extracted text;
+  * all other record types (request, metadata, warcinfo, revisit) are
+  * skipped. Gzip inputs use the Common Crawl layout — one gzip member per
+  * record, concatenated — which `GZIPInputStream` reads transparently as a
+  * multi-member stream. Malformed records are CONTAINED: parsing resumes
+  * at the next `WARC/` magic and the per-file error count is reported, so
+  * one truncated record cannot poison a 1 GB archive (the same B4/B8
+  * lenient discipline as the extraction kernels).
+  *
+  * Scale shape: `toTable` reads via `sparkContext.binaryFiles`, which
+  * hands each archive to ONE task as a STREAM (`PortableDataStream`) —
+  * records are decoded incrementally, never a whole decompressed archive
+  * in memory. This is the north star's sanctioned "forced binary-parse
+  * inner loop" RDD use; everything downstream is the normal DataFrame
+  * pipeline. Parallelism = number of archive files (Common Crawl segments
+  * are ~1 GB each, thousands per crawl — ample), and the output is
+  * url-hash-keyed by the extraction job exactly like table input.
+  */
+object Warc {
+
+  final case class WarcRecord(
+      warcType: String,
+      targetUri: String,
+      date: Timestamp,
+      contentType: String,
+      payload: Array[Byte])
+
+  final case class ParseResult(records: Vector[WarcRecord], errors: Int)
+
+  private val WarcMagic = "WARC/".getBytes(StandardCharsets.US_ASCII)
+
+  /** Reads exactly `n` bytes or throws EOF — payloads are length-framed. */
+  private def readFully(in: InputStream, n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var done = 0
+    while (done < n) {
+      val r = in.read(out, done, n - done)
+      if (r < 0) throw new EOFException(s"warc payload truncated at $done/$n")
+      done += r
+    }
+    out
+  }
+
+  /** One header line up to LF (CR stripped); None at EOF. */
+  private def readLine(in: InputStream): Option[String] = {
+    val sb = new java.lang.StringBuilder(96)
+    var b = in.read()
+    if (b < 0) return None
+    while (b >= 0 && b != '\n') {
+      if (b != '\r') sb.append(b.toChar)
+      b = in.read()
+    }
+    Some(sb.toString)
+  }
+
+  /** ISO-8601 WARC-Date -> Timestamp (epoch millis; no wall clock). */
+  private def parseDate(s: String): Timestamp =
+    try new Timestamp(java.time.Instant.parse(s.trim).toEpochMilli)
+    catch { case _: Exception => new Timestamp(0L) }
+
+  /** Strip the HTTP envelope from a `response` payload: status line +
+    * headers end at the first blank line; a `Transfer-Encoding: chunked`
+    * body is de-chunked (length-prefixed hex chunks).
+    */
+  private def httpBody(payload: Array[Byte]): Array[Byte] = {
+    // find CRLFCRLF (tolerate LFLF)
+    var i = 0
+    var headerEnd = -1
+    while (headerEnd < 0 && i < payload.length - 1) {
+      if (payload(i) == '\n' &&
+        (i + 1 < payload.length && payload(i + 1) == '\n')) headerEnd = i + 2
+      else if (payload(i) == '\n' && i + 2 < payload.length &&
+        payload(i + 1) == '\r' && payload(i + 2) == '\n') headerEnd = i + 3
+      i += 1
+    }
+    if (headerEnd < 0) return payload // no envelope: raw body
+    val head = new String(payload, 0, headerEnd, StandardCharsets.ISO_8859_1)
+    val body = java.util.Arrays.copyOfRange(payload, headerEnd, payload.length)
+    if (!head.toLowerCase.contains("transfer-encoding: chunked")) body
+    else {
+      // de-chunk: hex length CRLF data CRLF ... 0 CRLF CRLF
+      val out = new java.io.ByteArrayOutputStream(body.length)
+      var p = 0
+      var ok = true
+      while (ok) {
+        var lineEnd = p
+        while (lineEnd < body.length && body(lineEnd) != '\n') lineEnd += 1
+        if (lineEnd >= body.length) ok = false
+        else {
+          val lenStr = new String(body, p, lineEnd - p, StandardCharsets.US_ASCII)
+            .trim.takeWhile(c => Character.digit(c, 16) >= 0)
+          val len = if (lenStr.isEmpty) -1 else Integer.parseInt(lenStr, 16)
+          if (len <= 0) ok = false
+          else {
+            val start = lineEnd + 1
+            if (start + len > body.length) { ok = false }
+            else {
+              out.write(body, start, len)
+              p = start + len
+              // skip trailing CRLF
+              if (p < body.length && body(p) == '\r') p += 1
+              if (p < body.length && body(p) == '\n') p += 1
+            }
+          }
+        }
+      }
+      out.toByteArray
+    }
+  }
+
+  /** LAZY record iterator over a (possibly multi-member-gzip) WARC stream:
+    * one record is decoded per `next()`, so a 1 GB archive never
+    * materializes in task memory. Contained errors: on any malformed
+    * record the stream resyncs at the next `WARC/` magic and `onError` is
+    * invoked. The caller owns closing `raw` once the iterator is drained.
+    */
+  def recordIterator(raw: InputStream, onError: () => Unit = () => ()): Iterator[WarcRecord] =
+    new Iterator[WarcRecord] {
+      private val in0 = new BufferedInputStream(raw, 1 << 16)
+      private val in: InputStream = {
+        in0.mark(2)
+        val m1 = in0.read(); val m2 = in0.read()
+        in0.reset()
+        new BufferedInputStream(
+          if (m1 == 0x1f && m2 == 0x8b) new GZIPInputStream(in0, 1 << 16) else in0,
+          1 << 16)
+      }
+
+      private def resync(): Boolean = {
+        // scan forward for the next "WARC/" magic
+        var matched = 0
+        var b = in.read()
+        while (b >= 0) {
+          if (b == WarcMagic(matched)) {
+            matched += 1
+            if (matched == WarcMagic.length) return true
+          } else matched = if (b == WarcMagic(0)) 1 else 0
+          b = in.read()
+        }
+        false
+      }
+
+      private var atRecord: Boolean = {
+        val first = readLine(in)
+        first.exists(_.startsWith("WARC/")) || (first.isDefined && resync())
+      }
+      private var pending: WarcRecord = null
+
+      /** Decode forward until a keepable record or stream end. */
+      private def advance(): Unit = {
+        while (pending == null && atRecord) {
+          graft.util.StepBudget.tick(64L)
+          try {
+            val headers = scala.collection.mutable.Map.empty[String, String]
+            var line = readLine(in).getOrElse(throw new EOFException("warc headers truncated"))
+            while (line.nonEmpty) {
+              val c = line.indexOf(':')
+              if (c > 0)
+                headers(line.substring(0, c).trim.toLowerCase) = line.substring(c + 1).trim
+              line = readLine(in).getOrElse(throw new EOFException("warc headers truncated"))
+            }
+            val len = headers
+              .getOrElse("content-length", throw new EOFException("no content-length"))
+              .toInt
+            if (len < 0 || len > (1 << 28))
+              throw new EOFException(s"implausible content-length $len")
+            // recoverable corruption: a bogus length that overruns the
+            // stream would otherwise consume everything to EOF and lose
+            // the tail of the archive. For normally-sized records, mark
+            // before the payload read and reset on failure so resync()
+            // restarts from the payload start (bounded buffering); records
+            // above the mark bound trade that recovery for memory safety.
+            val recoverable = len <= (1 << 22)
+            if (recoverable) in.mark(len + 8)
+            val payload =
+              try readFully(in, len)
+              catch {
+                case e: EOFException if recoverable => in.reset(); throw e
+              }
+            graft.util.StepBudget.tick(len.toLong)
+            val wtype = headers.getOrElse("warc-type", "")
+            if (wtype == "response" || wtype == "conversion") {
+              pending = WarcRecord(
+                wtype,
+                headers.getOrElse("warc-target-uri", ""),
+                parseDate(headers.getOrElse("warc-date", "")),
+                headers.getOrElse("content-type", ""),
+                if (wtype == "response") httpBody(payload) else payload)
+            }
+            // consume the record separator; position at the next version line
+            atRecord = {
+              var l = readLine(in)
+              while (l.isDefined && l.get.isEmpty) l = readLine(in)
+              l match {
+                case None                             => false
+                case Some(v) if v.startsWith("WARC/") => true
+                case Some(_)                          => onError(); resync()
+              }
+            }
+          } catch {
+            case e: graft.util.StepBudget.Exceeded => throw e
+            case _: Exception =>
+              onError()
+              atRecord = resync()
+          }
+        }
+      }
+
+      override def hasNext: Boolean = { advance(); pending != null }
+      override def next(): WarcRecord = {
+        advance()
+        if (pending == null) throw new NoSuchElementException("warc iterator drained")
+        val r = pending
+        pending = null
+        r
+      }
+    }
+
+  /** Eager whole-buffer parse with the error count — the test/small-file
+    * convenience over [[recordIterator]].
+    */
+  def parseStream(raw: InputStream): ParseResult = {
+    var errors = 0
+    val records = recordIterator(raw, () => errors += 1).toVector
+    ParseResult(records, errors)
+  }
+
+  /** A parsed record as a pipeline row: response bodies become the binary
+    * payload (the extractor sniffs HTML vs PDF), conversion records the
+    * text layer; `lang` is the crawl-level default (Common Crawl does not
+    * carry per-record language; the extraction config's language list is
+    * the gate).
+    */
+  def toRow(r: WarcRecord, defaultLang: String): RawPage =
+    if (r.warcType == "conversion")
+      RawPage(r.targetUri, r.date, null,
+        new String(r.payload, StandardCharsets.UTF_8), defaultLang)
+    else RawPage(r.targetUri, r.date, r.payload, "", defaultLang)
+
+  /** Read a directory/glob of `.warc`/`.warc.gz` archives into the
+    * standard page table shape `(url, warc_ts, html, text, lang)`.
+    */
+  def toTable(
+      spark: SparkSession,
+      path: String,
+      defaultLang: String = "en",
+      minPartitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    val parts = if (minPartitions > 0) minPartitions else spark.sparkContext.defaultParallelism
+    spark.sparkContext
+      .binaryFiles(path, parts)
+      .flatMap { case (_, pds) =>
+        // stream-decode: the iterator pulls records lazily from the open
+        // stream; close when drained (task completion also closes the
+        // underlying DataInputStream via the stream's own lifecycle)
+        val in = pds.open()
+        val it = recordIterator(in)
+        new Iterator[RawPage] {
+          override def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h) in.close()
+            h
+          }
+          override def next(): RawPage = toRow(it.next(), defaultLang)
+        }
+      }
+      .toDF()
+  }
+}

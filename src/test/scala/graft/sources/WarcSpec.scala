@@ -1,0 +1,112 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.corpus.{CorpusGen, WarcGen}
+import graft.job.ExtractionJob
+
+class WarcSpec extends AnyFunSuite {
+  private implicit lazy val spark: org.apache.spark.sql.SparkSession = SparkTestBase.spark
+
+  private def rows(n: Int) = (0L until n.toLong).map(CorpusGen.genRow(42L, _))
+
+  private def parse(bytes: Array[Byte]) =
+    Warc.parseStream(new ByteArrayInputStream(bytes))
+
+  test("plain archive round trip: responses and conversions, envelopes stripped") {
+    val in = rows(12) // mixes html classes and passthrough/failure classes
+    val r = parse(WarcGen.archive(in))
+    assert(r.errors == 0)
+    assert(r.records.length == 12) // requests + warcinfo skipped
+    r.records.zip(in).foreach { case (rec, row) =>
+      assert(rec.targetUri == row.url)
+      assert(rec.date == row.warc_ts)
+      if (row.html != null) {
+        assert(rec.warcType == "response")
+        assert(java.util.Arrays.equals(rec.payload, row.html),
+          s"${row.url}: body must be the html bytes with the HTTP envelope stripped")
+      } else {
+        assert(rec.warcType == "conversion")
+        assert(new String(rec.payload, StandardCharsets.UTF_8) == Option(row.text).getOrElse(""))
+      }
+    }
+  }
+
+  test("gzip per-record members (Common Crawl layout) parse identically") {
+    val in = rows(8)
+    val plain = parse(WarcGen.archive(in))
+    val gz = parse(WarcGen.archive(in, gzip = true))
+    assert(gz.errors == 0)
+    assert(gz.records.map(_.targetUri) == plain.records.map(_.targetUri))
+    assert(gz.records.zip(plain.records).forall { case (a, b) =>
+      java.util.Arrays.equals(a.payload, b.payload)
+    })
+  }
+
+  test("chunked transfer encoding is de-chunked") {
+    val in = rows(6).filter(_.html != null)
+    val r = parse(WarcGen.archive(in, chunked = true))
+    assert(r.errors == 0)
+    r.records.zip(in).foreach { case (rec, row) =>
+      assert(java.util.Arrays.equals(rec.payload, row.html), row.url)
+    }
+  }
+
+  test("a truncated record is contained: parsing resyncs at the next WARC magic") {
+    val in = rows(6).filter(_.html != null)
+    val good = WarcGen.archive(in, warcinfo = false, withRequests = false)
+    val s = new String(good, StandardCharsets.ISO_8859_1)
+    // corrupt the SECOND record's Content-Length so its payload read overruns
+    val secondAt = s.indexOf("WARC/1.0", 10)
+    val thirdAt = s.indexOf("WARC/1.0", secondAt + 10)
+    val corrupted = (s.substring(0, secondAt) +
+      s.substring(secondAt, thirdAt).replaceFirst("Content-Length: \\d+", "Content-Length: 999999") +
+      s.substring(thirdAt)).getBytes(StandardCharsets.ISO_8859_1)
+    val r = parse(corrupted)
+    assert(r.errors >= 1)
+    // first record parses; the poisoned tail is resynced and most survive
+    assert(r.records.map(_.targetUri).contains(in.head.url))
+    assert(r.records.length >= in.length - 2, s"${r.records.length} of ${in.length}")
+  }
+
+  test("garbage input yields zero records, zero crashes") {
+    val r = parse(Array.fill[Byte](512)(0x41))
+    assert(r.records.isEmpty)
+  }
+
+  test("end to end: WARC archives -> page table -> extraction equals direct rows") {
+    import org.apache.spark.sql.functions.col
+    val in = rows(40)
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc")
+    try {
+      java.nio.file.Files.write(dir.resolve("a.warc"), WarcGen.archive(in.take(20)))
+      java.nio.file.Files.write(dir.resolve("b.warc.gz"), WarcGen.archive(in.drop(20), gzip = true))
+      val table = Warc.toTable(spark, dir.toString + "/*")
+      assert(table.columns.toSeq == Seq("url", "warc_ts", "html", "text", "lang"))
+      val cfg = ExtractionJob.JobConfig(numGroups = 8, numPartitions = 4)
+      val viaWarc = ExtractionJob.extract(table, cfg).collect()
+        .map(r => r.url -> (r.extracted_text, r.engine, r.success)).toMap
+      // direct rows, with the two WARC-inherent differences applied: the
+      // archive does not carry a per-record language (crawl default "en"),
+      // and a response record carries ONLY the capture body (no parallel
+      // text layer) while a conversion record carries only text
+      import spark.implicits._
+      val direct = in.map(r =>
+        if (r.html != null) r.copy(text = "", lang = "en") else r.copy(lang = "en"))
+      val viaDirect = ExtractionJob.extract(direct.toDF(), cfg).collect()
+        .map(r => r.url -> (r.extracted_text, r.engine, r.success)).toMap
+      assert(viaWarc.keySet == viaDirect.keySet)
+      viaWarc.foreach { case (url, v) => assert(v == viaDirect(url), url) }
+      assert(viaWarc.nonEmpty)
+      val nHtml = table.filter(col("html").isNotNull).count()
+      assert(nHtml > 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+      ()
+    }
+  }
+}
