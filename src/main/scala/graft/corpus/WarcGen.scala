@@ -45,12 +45,18 @@ object WarcGen {
     ascii("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n")
     if (chunked) {
       ascii("Transfer-Encoding: chunked\r\n\r\n")
-      // two chunks to exercise the de-chunker
+      // two chunks to exercise the de-chunker; a zero-length chunk is the
+      // TERMINATOR in chunked encoding, so the first chunk is only emitted
+      // when it is non-empty (a 1-byte body must not round-trip as empty)
       val mid = body.length / 2
-      ascii(Integer.toHexString(mid) + "\r\n")
-      out.write(body, 0, mid); ascii("\r\n")
-      ascii(Integer.toHexString(body.length - mid) + "\r\n")
-      out.write(body, mid, body.length - mid); ascii("\r\n")
+      if (mid > 0) {
+        ascii(Integer.toHexString(mid) + "\r\n")
+        out.write(body, 0, mid); ascii("\r\n")
+      }
+      if (body.length - mid > 0) {
+        ascii(Integer.toHexString(body.length - mid) + "\r\n")
+        out.write(body, mid, body.length - mid); ascii("\r\n")
+      }
       ascii("0\r\n\r\n")
     } else {
       ascii(s"Content-Length: ${body.length}\r\n\r\n")

@@ -22,9 +22,13 @@ import graft.model.RawPage
   * skipped. Gzip inputs use the Common Crawl layout — one gzip member per
   * record, concatenated — which `GZIPInputStream` reads transparently as a
   * multi-member stream. Malformed records are CONTAINED: parsing resumes
-  * at the next `WARC/` magic and the per-file error count is reported, so
-  * one truncated record cannot poison a 1 GB archive (the same B4/B8
-  * lenient discipline as the extraction kernels).
+  * at the next `WARC/` magic; `toTable` totals contained errors in a
+  * `warc_parse_errors` accumulator and logs a per-file line, so one
+  * truncated record cannot poison a 1 GB archive NOR vanish silently (the
+  * same B4/B8 lenient discipline as the extraction kernels). Only
+  * successful captures (2xx, or envelope-less payloads) become rows —
+  * crawls are full of redirect stubs and error pages whose bodies are not
+  * the page at that url.
   *
   * Scale shape: `toTable` reads via `sparkContext.binaryFiles`, which
   * hands each archive to ONE task as a STREAM (`PortableDataStream`) —
@@ -97,34 +101,54 @@ object Warc {
     val body = java.util.Arrays.copyOfRange(payload, headerEnd, payload.length)
     if (!head.toLowerCase.contains("transfer-encoding: chunked")) body
     else {
-      // de-chunk: hex length CRLF data CRLF ... 0 CRLF CRLF
-      val out = new java.io.ByteArrayOutputStream(body.length)
-      var p = 0
-      var ok = true
-      while (ok) {
-        var lineEnd = p
-        while (lineEnd < body.length && body(lineEnd) != '\n') lineEnd += 1
-        if (lineEnd >= body.length) ok = false
-        else {
-          val lenStr = new String(body, p, lineEnd - p, StandardCharsets.US_ASCII)
-            .trim.takeWhile(c => Character.digit(c, 16) >= 0)
-          val len = if (lenStr.isEmpty) -1 else Integer.parseInt(lenStr, 16)
-          if (len <= 0) ok = false
+      // de-chunk: hex length CRLF data CRLF ... 0 CRLF CRLF. A hostile or
+      // broken server can emit arbitrary chunk-size lines — any framing
+      // failure falls back to the RAW body (lenient), never throws out of
+      // an already length-framed record.
+      try {
+        val out = new java.io.ByteArrayOutputStream(body.length)
+        var p = 0
+        var ok = true
+        while (ok) {
+          var lineEnd = p
+          while (lineEnd < body.length && body(lineEnd) != '\n') lineEnd += 1
+          if (lineEnd >= body.length) ok = false
           else {
-            val start = lineEnd + 1
-            if (start + len > body.length) { ok = false }
+            val lenStr = new String(body, p, lineEnd - p, StandardCharsets.US_ASCII)
+              .trim.takeWhile(c => Character.digit(c, 16) >= 0)
+            // Long parse: a size line above Int.MaxValue is invalid framing
+            val lenL = if (lenStr.isEmpty || lenStr.length > 15) -1L
+              else java.lang.Long.parseLong(lenStr, 16)
+            if (lenL <= 0 || lenL > body.length.toLong) ok = false
             else {
-              out.write(body, start, len)
-              p = start + len
-              // skip trailing CRLF
-              if (p < body.length && body(p) == '\r') p += 1
-              if (p < body.length && body(p) == '\n') p += 1
+              val len = lenL.toInt
+              val start = lineEnd + 1
+              if (start + len > body.length) { ok = false }
+              else {
+                out.write(body, start, len)
+                p = start + len
+                // skip trailing CRLF
+                if (p < body.length && body(p) == '\r') p += 1
+                if (p < body.length && body(p) == '\n') p += 1
+              }
             }
           }
         }
-      }
-      out.toByteArray
+        out.toByteArray
+      } catch { case _: Exception => body }
     }
+  }
+
+  /** HTTP status of a response payload; -1 when no parsable status line. */
+  private def httpStatus(payload: Array[Byte]): Int = {
+    var e = 0
+    while (e < payload.length && e < 64 && payload(e) != '\n') e += 1
+    val line = new String(payload, 0, e, StandardCharsets.ISO_8859_1)
+    if (!line.startsWith("HTTP/")) return -1
+    val parts = line.split(" ")
+    if (parts.length < 2) return -1
+    try parts(1).trim.toInt
+    catch { case _: NumberFormatException => -1 }
   }
 
   /** LAZY record iterator over a (possibly multi-member-gzip) WARC stream:
@@ -161,7 +185,13 @@ object Warc {
 
       private var atRecord: Boolean = {
         val first = readLine(in)
-        first.exists(_.startsWith("WARC/")) || (first.isDefined && resync())
+        if (first.exists(_.startsWith("WARC/"))) true
+        else if (first.isDefined) {
+          // corrupt archive head (truncated download, overwritten start):
+          // contained like every other malformed region, and COUNTED
+          onError()
+          resync()
+        } else false
       }
       private var pending: WarcRecord = null
 
@@ -181,7 +211,11 @@ object Warc {
             val len = headers
               .getOrElse("content-length", throw new EOFException("no content-length"))
               .toInt
-            if (len < 0 || len > (1 << 28))
+            // hard cap well above real Common Crawl record sizes but low
+            // enough that a hostile length cannot OOM an executor running
+            // several archive tasks (the allocation happens before any
+            // content validation)
+            if (len < 0 || len > (1 << 26))
               throw new EOFException(s"implausible content-length $len")
             // recoverable corruption: a bogus length that overruns the
             // stream would otherwise consume everything to EOF and lose
@@ -190,7 +224,7 @@ object Warc {
             // restarts from the payload start (bounded buffering); records
             // above the mark bound trade that recovery for memory safety.
             val recoverable = len <= (1 << 22)
-            if (recoverable) in.mark(len + 8)
+            if (recoverable) in.mark(len + 256)
             val payload =
               try readFully(in, len)
               catch {
@@ -198,7 +232,13 @@ object Warc {
               }
             graft.util.StepBudget.tick(len.toLong)
             val wtype = headers.getOrElse("warc-type", "")
-            if (wtype == "response" || wtype == "conversion") {
+            // only SUCCESSFUL captures become page rows: real crawls are
+            // full of 301 redirect stubs, 404 pages and 5xx bodies whose
+            // content is NOT the page at that url (a missing/unparsable
+            // status line is kept — conversion-style raw payloads)
+            val status = if (wtype == "response") httpStatus(payload) else 200
+            if ((wtype == "response" && (status == -1 || (status >= 200 && status < 300))) ||
+              wtype == "conversion") {
               pending = WarcRecord(
                 wtype,
                 headers.getOrElse("warc-target-uri", ""),
@@ -206,14 +246,21 @@ object Warc {
                 headers.getOrElse("content-type", ""),
                 if (wtype == "response") httpBody(payload) else payload)
             }
-            // consume the record separator; position at the next version line
+            // consume the record separator; position at the next version
+            // line. A bad separator means the Content-Length was corrupt
+            // but did NOT overrun the stream — for recoverable sizes,
+            // rewind to the payload start so the records swallowed inside
+            // the bogus payload are resynced, not lost
             atRecord = {
               var l = readLine(in)
               while (l.isDefined && l.get.isEmpty) l = readLine(in)
               l match {
                 case None                             => false
                 case Some(v) if v.startsWith("WARC/") => true
-                case Some(_)                          => onError(); resync()
+                case Some(_) =>
+                  onError()
+                  if (recoverable) in.reset()
+                  resync()
               }
             }
           } catch {
@@ -266,18 +313,34 @@ object Warc {
       minPartitions: Int = 0): DataFrame = {
     import spark.implicits._
     val parts = if (minPartitions > 0) minPartitions else spark.sparkContext.defaultParallelism
+    val errAcc = spark.sparkContext.longAccumulator("warc_parse_errors")
     spark.sparkContext
       .binaryFiles(path, parts)
-      .flatMap { case (_, pds) =>
+      .flatMap { case (file, pds) =>
         // stream-decode: the iterator pulls records lazily from the open
-        // stream; close when drained (task completion also closes the
-        // underlying DataInputStream via the stream's own lifecycle)
+        // stream. Spark does NOT auto-close streams from a
+        // PortableDataStream — a task-completion listener covers every
+        // exit (early termination via limit/take, task failure), with
+        // drain-close as the fast path.
         val in = pds.open()
-        val it = recordIterator(in)
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; in.close() }
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => closeOnce()))
+        var fileErrors = 0L
+        val it = recordIterator(in, () => { fileErrors += 1; errAcc.add(1L) })
         new Iterator[RawPage] {
           override def hasNext: Boolean = {
             val h = it.hasNext
-            if (!h) in.close()
+            if (!h) {
+              closeOnce()
+              // attribute contained corruption to its archive: the driver
+              // sees the total in the `warc_parse_errors` accumulator,
+              // executor logs carry the per-file line
+              if (fileErrors > 0)
+                System.err.println(
+                  s"[warc] $file: $fileErrors malformed record(s) contained")
+            }
             h
           }
           override def next(): RawPage = toRow(it.next(), defaultLang)

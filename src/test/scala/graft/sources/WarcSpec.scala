@@ -73,9 +73,48 @@ class WarcSpec extends AnyFunSuite {
     assert(r.records.length >= in.length - 2, s"${r.records.length} of ${in.length}")
   }
 
-  test("garbage input yields zero records, zero crashes") {
+  test("garbage input yields zero records and a COUNTED error") {
     val r = parse(Array.fill[Byte](512)(0x41))
     assert(r.records.isEmpty)
+    assert(r.errors >= 1) // corrupt archive head must not read as clean
+  }
+
+  test("non-2xx captures are skipped: redirect stubs and 404 bodies are not pages") {
+    val in = rows(6).filter(_.html != null)
+    val s = new String(WarcGen.archive(in, warcinfo = false, withRequests = false),
+      StandardCharsets.ISO_8859_1)
+    // rewrite the FIRST response's status to 404 and the second to 301 —
+    // SAME byte length as "200 OK" so the record's Content-Length framing
+    // stays intact (only the status code changes)
+    val once = s.replaceFirst("HTTP/1\\.1 200 OK", "HTTP/1.1 404 NF")
+    val twice = once.replaceFirst("HTTP/1\\.1 200 OK", "HTTP/1.1 301 MP")
+    val r = parse(twice.getBytes(StandardCharsets.ISO_8859_1))
+    assert(r.errors == 0)
+    assert(r.records.length == in.length - 2)
+    assert(!r.records.map(_.targetUri).contains(in.head.url))
+  }
+
+  test("mid-stream corrupt length that does NOT overrun is rewound, tail recovered") {
+    val in = rows(6).filter(_.html != null)
+    val good = WarcGen.archive(in, warcinfo = false, withRequests = false)
+    val s = new String(good, StandardCharsets.ISO_8859_1)
+    val secondAt = s.indexOf("WARC/1.0", 10)
+    val thirdAt = s.indexOf("WARC/1.0", secondAt + 10)
+    // inflate record 2's length by 600 bytes: readFully succeeds (swallows
+    // part of record 3), the separator check fails, and the mark/reset
+    // recovery must rewind so record 3 is resynced rather than lost
+    val m = java.util.regex.Pattern.compile("Content-Length: (\\d+)")
+      .matcher(s.substring(secondAt, thirdAt))
+    assert(m.find())
+    val badLen = (m.group(1).toInt + 600).toString
+    val corrupted = (s.substring(0, secondAt) +
+      s.substring(secondAt, thirdAt).replaceFirst("Content-Length: \\d+", s"Content-Length: $badLen") +
+      s.substring(thirdAt)).getBytes(StandardCharsets.ISO_8859_1)
+    val r = parse(corrupted)
+    assert(r.errors >= 1)
+    // everything except the corrupted record itself survives
+    assert(r.records.length >= in.length - 1, s"${r.records.length} of ${in.length}")
+    assert(r.records.map(_.targetUri).contains(in(2).url))
   }
 
   test("end to end: WARC archives -> page table -> extraction equals direct rows") {
