@@ -99,6 +99,34 @@ object Warc {
     if (headerEnd < 0) return payload // no envelope: raw body
     val head = new String(payload, 0, headerEnd, StandardCharsets.ISO_8859_1)
     val body = java.util.Arrays.copyOfRange(payload, headerEnd, payload.length)
+    // order matters: chunk sizes count WIRE bytes, so de-chunk the raw
+    // body first, then normalize the charset of the assembled content
+    transcode(head, dechunk(head, body))
+  }
+
+  /** Charset normalization: the pipeline consumes UTF-8 text; a real crawl
+    * is full of latin-1 / windows-1252 / shift_jis captures whose bytes
+    * would otherwise decode as replacement chars. The envelope's
+    * Content-Type charset is the declared source encoding; transcoding
+    * failures (bad charset name, broken bytes) keep the raw body — the
+    * quality gate downstream is the judge of garbled content.
+    */
+  private def transcode(head: String, body: Array[Byte]): Array[Byte] = {
+    val m = java.util.regex.Pattern
+      .compile("(?i)content-type:[^\n]*charset=\"?([A-Za-z0-9_.:\\-]+)")
+      .matcher(head)
+    if (!m.find()) body
+    else {
+      val cs = m.group(1)
+      if (cs.equalsIgnoreCase("utf-8") || cs.equalsIgnoreCase("utf8")) body
+      else
+        try new String(body, java.nio.charset.Charset.forName(cs))
+          .getBytes(StandardCharsets.UTF_8)
+        catch { case _: Exception => body }
+    }
+  }
+
+  private def dechunk(head: String, body: Array[Byte]): Array[Byte] = {
     if (!head.toLowerCase.contains("transfer-encoding: chunked")) body
     else {
       // de-chunk: hex length CRLF data CRLF ... 0 CRLF CRLF. A hostile or

@@ -117,6 +117,46 @@ class WarcSpec extends AnyFunSuite {
     assert(r.records.map(_.targetUri).contains(in(2).url))
   }
 
+  test("declared non-UTF8 charset is transcoded to UTF-8 (after de-chunking)") {
+    val text = "möglichkeit déjà"
+    val latin1 = text.getBytes(StandardCharsets.ISO_8859_1)
+    def archiveWith(envelope: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def ascii(t: String): Unit = out.write(t.getBytes(StandardCharsets.US_ASCII))
+      ascii("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://cs.example/p\r\n" +
+        s"WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${envelope.length}\r\n\r\n")
+      out.write(envelope)
+      ascii("\r\n\r\n")
+      out.toByteArray
+    }
+    // plain latin-1 envelope
+    val env1 = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n" +
+      s"Content-Length: ${latin1.length}\r\n\r\n").getBytes(StandardCharsets.US_ASCII) ++ latin1
+    val r1 = parse(archiveWith(env1))
+    assert(r1.errors == 0 && r1.records.length == 1)
+    assert(new String(r1.records.head.payload, StandardCharsets.UTF_8) == text)
+    // chunked + latin-1: de-chunk must run on WIRE bytes before transcoding
+    val mid = latin1.length / 2
+    val chunkedBody = new java.io.ByteArrayOutputStream()
+    def a2(t: String): Unit = chunkedBody.write(t.getBytes(StandardCharsets.US_ASCII))
+    a2(Integer.toHexString(mid) + "\r\n"); chunkedBody.write(latin1, 0, mid); a2("\r\n")
+    a2(Integer.toHexString(latin1.length - mid) + "\r\n")
+    chunkedBody.write(latin1, mid, latin1.length - mid); a2("\r\n0\r\n\r\n")
+    val env2 = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n").getBytes(StandardCharsets.US_ASCII) ++
+      chunkedBody.toByteArray
+    val r2 = parse(archiveWith(env2))
+    assert(r2.errors == 0 && r2.records.length == 1)
+    assert(new String(r2.records.head.payload, StandardCharsets.UTF_8) == text)
+    // an unknown charset name keeps the raw bytes (lenient)
+    val env3 = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=x-bogus-9\r\n\r\n")
+      .getBytes(StandardCharsets.US_ASCII) ++ latin1
+    val r3 = parse(archiveWith(env3))
+    assert(r3.records.length == 1)
+    assert(java.util.Arrays.equals(r3.records.head.payload, latin1))
+  }
+
   test("end to end: WARC archives -> page table -> extraction equals direct rows") {
     import org.apache.spark.sql.functions.col
     val in = rows(40)
