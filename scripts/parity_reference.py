@@ -155,6 +155,12 @@ def main() -> int:
         "on both sides, so this proves kernel-logic parity independent of",
         "which word list a deployment ships.",
         "",
+        "The composite row also settles the PER-PAGE gate: the reference's",
+        "`get_bad_pages(page_texts)` (quality.py:368-377, the selective-",
+        "reprocessing decision) is exactly `analyze(text).flagged` mapped",
+        "over the page list, so flag parity on arbitrary texts implies",
+        "bad-page-set parity on arbitrary page lists by construction.",
+        "",
         f"- rows checked: **{checked}**"
         f" ({', '.join(f'{k}: {v}' for k, v in sorted(by_prefix.items()))})",
         f"- import stubs needed: {STUBBED or 'none'}"
