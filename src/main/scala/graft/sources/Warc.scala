@@ -113,9 +113,13 @@ object Warc {
     */
   private def transcode(head: String, body: Array[Byte]): Array[Byte] = {
     val m = java.util.regex.Pattern
-      .compile("(?i)content-type:[^\n]*charset=\"?([A-Za-z0-9_.:\\-]+)")
+      .compile("(?i)content-type:\\s*text/[^\n]*charset=\"?([A-Za-z0-9_.:\\-]+)")
       .matcher(head)
-    if (!m.find()) body
+    // only text/* media types are transcoded, and never a payload whose
+    // magic says binary — crawls are full of mislabeled responses (a PDF
+    // served as text/html; charset=...) and re-encoding binary bytes
+    // through a charset would corrupt them
+    if (!m.find() || looksBinary(body)) body
     else {
       val cs = m.group(1)
       if (cs.equalsIgnoreCase("utf-8") || cs.equalsIgnoreCase("utf8")) body
@@ -125,6 +129,12 @@ object Warc {
         catch { case _: Exception => body }
     }
   }
+
+  /** Conservative binary sniff: known magics the pipeline routes on. */
+  private def looksBinary(b: Array[Byte]): Boolean =
+    (b.length >= 4 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F') ||
+      (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) ||
+      (b.length >= 4 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
 
   private def dechunk(head: String, body: Array[Byte]): Array[Byte] = {
     if (!head.toLowerCase.contains("transfer-encoding: chunked")) body

@@ -155,6 +155,14 @@ class WarcSpec extends AnyFunSuite {
     val r3 = parse(archiveWith(env3))
     assert(r3.records.length == 1)
     assert(java.util.Arrays.equals(r3.records.head.payload, latin1))
+    // a MISLABELED binary payload (PDF served as text/html with a charset)
+    // must never be transcoded — re-encoding binary corrupts it
+    val pdfBytes = "%PDF-1.4\nbinaryÿþ".getBytes(StandardCharsets.ISO_8859_1)
+    val env4 = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n\r\n")
+      .getBytes(StandardCharsets.US_ASCII) ++ pdfBytes
+    val r4 = parse(archiveWith(env4))
+    assert(r4.records.length == 1)
+    assert(java.util.Arrays.equals(r4.records.head.payload, pdfBytes))
   }
 
   test("end to end: WARC archives -> page table -> extraction equals direct rows") {
