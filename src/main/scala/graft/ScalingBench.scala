@@ -215,7 +215,44 @@ object ScalingBench {
          |met with margin while doing strictly more work per row
          |(boilerplate classification + three-signal gate + spans).
          |""".stripMargin
-    Files.write(Paths.get("BENCH.md"), md.getBytes(StandardCharsets.UTF_8))
+    // Cross-run history: every run appends one JSON line, and the session
+    // spread section renders from the WHOLE file — so regeneration can
+    // never silently drop earlier runs' evidence (which a hand-maintained
+    // spread table once did). Delete BENCH_HISTORY.jsonl to start a fresh
+    // session's record.
+    val histPath = Paths.get("BENCH_HISTORY.jsonl")
+    val runLine =
+      s"""{"weak":{"4to16":${f"${p416.efficiency}%.3f"},"8to32":${f"${p832.efficiency}%.3f"}},""" +
+        s""""strong":{"4to16":${f"${s416.efficiency}%.3f"},"8to32":${f"${s832.efficiency}%.3f"},"rows":$strongRows}}""" + "\n"
+    Files.write(
+      histPath,
+      runLine.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    val histLines = scala.jdk.CollectionConverters
+      .ListHasAsScala(Files.readAllLines(histPath)).asScala.filter(_.nonEmpty)
+    def field(line: String, key: String): String = {
+      val m = java.util.regex.Pattern
+        .compile("\"" + key + "\":\\{[^}]*?\"4to16\":([0-9.]+),\"8to32\":([0-9.]+)")
+        .matcher(line)
+      if (m.find()) s"${m.group(1)} | ${m.group(2)}" else "— | —"
+    }
+    val histTable =
+      ("""|
+          |### Session spread (every ScalingBench run on record, verbatim)
+          |
+          |Appended per run to BENCH_HISTORY.jsonl and rendered from it, so
+          |regeneration cannot drop earlier evidence. The VM's throttle
+          |bursts move individual pairs by ±0.1 — judge by the medians
+          |across runs, not any single row.
+          |
+          || run | weak 4->16 | weak 8->32 | strong 4->16 | strong 8->32 |
+          ||---|---|---|---|---|
+          |""").stripMargin +
+        histLines.zipWithIndex.map { case (l, i) =>
+          s"| ${i + 1} | ${field(l, "weak")} | ${field(l, "strong")} |"
+        }.mkString("\n") + "\n"
+    Files.write(Paths.get("BENCH.md"), (md + histTable).getBytes(StandardCharsets.UTF_8))
     println(
       s"""{"metric":"scaling_efficiency","value":${f"${p416.efficiency}%.3f"},"unit":"ratio","pairs":{"4to16":${f"${p416.efficiency}%.3f"},"8to32":${f"${p832.efficiency}%.3f"}},"strong_pairs":{"4to16":${f"${s416.efficiency}%.3f"},"8to32":${f"${s832.efficiency}%.3f"}},"throughput_docs_per_sec":{"local4":${f"${p416.thrLo}%.0f"},"local16":${f"${p416.thrHi}%.0f"},"local8":${f"${p832.thrLo}%.0f"},"local32":${f"${p832.thrHi}%.0f"}},"rows":$rows}""")
   }
