@@ -253,6 +253,41 @@ object SparkEntry {
     // url canonicalization over deterministically synthesized crawl-url
     // variants (uppercase authority, default ports, tracking params,
     // fragments, trailing slashes) — the pre-content-dedup key
+    // WARC round trip under the oracle gate: each partition serializes its
+    // documents as a real WARC archive (conversion records) and parses it
+    // back through the production reader; the oracle recomputes the md5 of
+    // each document's text, so any framing/encoding defect in EITHER the
+    // writer or the reader breaks the hash compare. Fully distributed —
+    // one archive per partition, no driver materialization.
+    "q_warc_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val rows = it.map { case (id, text) =>
+            graft.model.RawPage(
+              s"https://warc.example/$id",
+              new java.sql.Timestamp(graft.corpus.CorpusGen.Epoch),
+              null,
+              if (text == null) "" else text,
+              "en")
+          }.toVector
+          if (rows.isEmpty) Iterator.empty
+          else {
+            val bytes = graft.corpus.WarcGen.archive(rows)
+            val parsed = graft.sources.Warc.parseStream(
+              new java.io.ByteArrayInputStream(bytes))
+            require(parsed.errors == 0, s"warc roundtrip errors: ${parsed.errors}")
+            parsed.records.iterator.map { r =>
+              val id = r.targetUri.substring(r.targetUri.lastIndexOf('/') + 1).toLong
+              (id, new String(r.payload, java.nio.charset.StandardCharsets.UTF_8))
+            }
+          }
+        }
+        .toDF("doc_id", "payload")
+        .select(col("doc_id"), md5(col("payload")).as("text_md5"))
+    }),
     "q_url_canonicalize" -> ((s, dir) => {
       val id = col("doc_id")
       val url = concat(
@@ -831,6 +866,11 @@ object SparkEntry {
          length(text)::BIGINT AS n_chars FROM documents""",
     // same rule chain as TextAnalysis.canonicalizeUrl; every pattern is
     // RE2-compatible and DuckDB replacement groups are backslash-numbered
+    // md5 recomputed directly from the table: the Spark side's value went
+    // through WARC serialization + the production reader, so any framing
+    // or charset defect on either side mismatches here
+    "q_warc_roundtrip" ->
+      """SELECT doc_id, md5(coalesce(text, '')) AS text_md5 FROM documents""",
     "q_url_canonicalize" ->
       """WITH raw AS (
            SELECT doc_id,
