@@ -221,9 +221,15 @@ object ScalingBench {
     // spread table once did). Delete BENCH_HISTORY.jsonl to start a fresh
     // session's record.
     val histPath = Paths.get("BENCH_HISTORY.jsonl")
+    // Locale.ROOT: the f-interpolator uses the default FORMAT locale and
+    // would persist decimal COMMAS into the JSON on e.g. de_DE JVMs,
+    // permanently corrupting the history file (same bug class as the
+    // RealPdf number writer, found by review earlier this round)
+    def n3(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
     val runLine =
-      s"""{"weak":{"4to16":${f"${p416.efficiency}%.3f"},"8to32":${f"${p832.efficiency}%.3f"}},""" +
-        s""""strong":{"4to16":${f"${s416.efficiency}%.3f"},"8to32":${f"${s832.efficiency}%.3f"},"rows":$strongRows}}""" + "\n"
+      s"""{"weak":{"4to16":${n3(p416.efficiency)},"8to32":${n3(p832.efficiency)}},""" +
+        s""""strong":{"4to16":${n3(s416.efficiency)},"8to32":${n3(s832.efficiency)},"rows":$strongRows}}""" + "\n"
     Files.write(
       histPath,
       runLine.getBytes(StandardCharsets.UTF_8),
@@ -233,9 +239,17 @@ object ScalingBench {
       .ListHasAsScala(Files.readAllLines(histPath)).asScala.filter(_.nonEmpty)
     def field(line: String, key: String): String = {
       val m = java.util.regex.Pattern
-        .compile("\"" + key + "\":\\{[^}]*?\"4to16\":([0-9.]+),\"8to32\":([0-9.]+)")
+        .compile("\"" + key + "\":\\{[^}]*?\"4to16\":(-?[0-9.]+),\"8to32\":(-?[0-9.]+)(?:,\"rows\":([0-9]+))?")
         .matcher(line)
-      if (m.find()) s"${m.group(1)} | ${m.group(2)}" else "— | —"
+      if (!m.find()) "— | —"
+      else {
+        def cell(v: String) = if (v.startsWith("-")) "—" else v
+        val rowsNote = Option(m.group(3))
+          .filter(r => r != "0" && !m.group(1).startsWith("-"))
+          .map(r => s" (${r.toLong / 1000}k)")
+          .getOrElse("")
+        s"${cell(m.group(1))}$rowsNote | ${cell(m.group(2))}"
+      }
     }
     val histTable =
       ("""|
@@ -243,8 +257,13 @@ object ScalingBench {
           |
           |Appended per run to BENCH_HISTORY.jsonl and rendered from it, so
           |regeneration cannot drop earlier evidence. The VM's throttle
-          |bursts move individual pairs by ±0.1 — judge by the medians
-          |across runs, not any single row.
+          |bursts move individual pairs by ±0.1 — judge the north rule by
+          |the MEDIANS across runs, not any single row. The 4 -> 16 pair is
+          |the faithful N -> 4N-executor analogue; 8 -> 32 additionally pays
+          |all-cores local-mode daemon/GC contention a real cluster's
+          |per-executor isolation removes. Strong cells note their input
+          |size; larger strong inputs amortize the seconds-scale fixed job
+          |overhead that otherwise depresses the high-core ratio.
           |
           || run | weak 4->16 | weak 8->32 | strong 4->16 | strong 8->32 |
           ||---|---|---|---|---|

@@ -250,9 +250,6 @@ object SparkEntry {
       TextAnalysis.tokenCounts(s.read.parquet(t(dir, "documents")))),
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(s.read.parquet(t(dir, "documents")))),
-    // url canonicalization over deterministically synthesized crawl-url
-    // variants (uppercase authority, default ports, tracking params,
-    // fragments, trailing slashes) — the pre-content-dedup key
     // WARC round trip under the oracle gate: each partition serializes its
     // documents as a real WARC archive (conversion records) and parses it
     // back through the production reader; the oracle recomputes the md5 of
@@ -275,19 +272,34 @@ object SparkEntry {
           }.toVector
           if (rows.isEmpty) Iterator.empty
           else {
+            // lazy parse-back: one record in flight at a time (the archive
+            // bytes are the only whole-partition buffer); any contained
+            // parse error fails LOUDLY on drain rather than shrinking the
+            // row count silently
             val bytes = graft.corpus.WarcGen.archive(rows)
-            val parsed = graft.sources.Warc.parseStream(
-              new java.io.ByteArrayInputStream(bytes))
-            require(parsed.errors == 0, s"warc roundtrip errors: ${parsed.errors}")
-            parsed.records.iterator.map { r =>
-              val id = r.targetUri.substring(r.targetUri.lastIndexOf('/') + 1).toLong
-              (id, new String(r.payload, java.nio.charset.StandardCharsets.UTF_8))
+            var errors = 0
+            val it = graft.sources.Warc.recordIterator(
+              new java.io.ByteArrayInputStream(bytes), () => errors += 1)
+            new Iterator[(Long, String)] {
+              override def hasNext: Boolean = {
+                val h = it.hasNext
+                if (!h) require(errors == 0, s"warc roundtrip errors: $errors")
+                h
+              }
+              override def next(): (Long, String) = {
+                val r = it.next()
+                val id = r.targetUri.substring(r.targetUri.lastIndexOf('/') + 1).toLong
+                (id, new String(r.payload, java.nio.charset.StandardCharsets.UTF_8))
+              }
             }
           }
         }
         .toDF("doc_id", "payload")
         .select(col("doc_id"), md5(col("payload")).as("text_md5"))
     }),
+    // url canonicalization over deterministically synthesized crawl-url
+    // variants (uppercase authority, default ports, tracking params,
+    // fragments, trailing slashes) — the pre-content-dedup key
     "q_url_canonicalize" -> ((s, dir) => {
       val id = col("doc_id")
       val url = concat(
@@ -864,13 +876,13 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
          length(text)::BIGINT AS n_chars FROM documents""",
-    // same rule chain as TextAnalysis.canonicalizeUrl; every pattern is
-    // RE2-compatible and DuckDB replacement groups are backslash-numbered
     // md5 recomputed directly from the table: the Spark side's value went
     // through WARC serialization + the production reader, so any framing
     // or charset defect on either side mismatches here
     "q_warc_roundtrip" ->
       """SELECT doc_id, md5(coalesce(text, '')) AS text_md5 FROM documents""",
+    // same rule chain as TextAnalysis.canonicalizeUrl; every pattern is
+    // RE2-compatible and DuckDB replacement groups are backslash-numbered
     "q_url_canonicalize" ->
       """WITH raw AS (
            SELECT doc_id,
