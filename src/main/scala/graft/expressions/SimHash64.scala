@@ -108,8 +108,39 @@ object GraftFunctions {
     "minhash_bands" -> ((exprs: Seq[Expression]) =>
       MinHashBandsExpr(exprs.head, intArg(exprs, 1, "minhash_bands"))),
     "simhash_keys" -> ((exprs: Seq[Expression]) =>
-      SimHashKeysExpr(exprs.head, intArg(exprs, 1, "simhash_keys")))
+      SimHashKeysExpr(exprs.head, intArg(exprs, 1, "simhash_keys"))),
+    "sign_lsh_packed" -> ((exprs: Seq[Expression]) =>
+      SignLshPackedExpr(exprs.head, longLit(exprs, 1, "sign_lsh_packed"),
+        intLit(exprs, 2, "sign_lsh_packed"), intLit(exprs, 3, "sign_lsh_packed"))),
+    "sign_lsh_probes" -> ((exprs: Seq[Expression]) =>
+      SignLshProbesExpr(exprs.head, longLit(exprs, 1, "sign_lsh_probes"),
+        intLit(exprs, 2, "sign_lsh_probes"), intLit(exprs, 3, "sign_lsh_probes")))
   )
+
+  /** 4-arg literal readers for the sign-LSH builders (intArg is pinned to
+    * the 2-arg shape of the hash functions).
+    */
+  private def litOf(exprs: Seq[Expression], idx: Int, name: String): Any = {
+    if (exprs.length != 4)
+      throw new IllegalArgumentException(
+        s"$name expects exactly 4 arguments, got ${exprs.length}")
+    val e = exprs(idx)
+    require(e.foldable, s"$name expects literal arguments")
+    e.eval()
+  }
+  private def longLit(exprs: Seq[Expression], idx: Int, name: String): Long =
+    litOf(exprs, idx, name) match {
+      case l: Long => l
+      case i: Int  => i.toLong
+      case other =>
+        throw new IllegalArgumentException(s"$name: expected long literal, got $other")
+    }
+  private def intLit(exprs: Seq[Expression], idx: Int, name: String): Int =
+    litOf(exprs, idx, name) match {
+      case i: Int => i
+      case other =>
+        throw new IllegalArgumentException(s"$name: expected int literal, got $other")
+    }
 
   /** Inject every native function into a SparkSessionExtensions hook. */
   def injectInto(ext: SparkSessionExtensions): Unit =
@@ -142,6 +173,14 @@ object GraftFunctions {
   def simhashKeys(c: Column, radius: Int): Column =
     org.apache.spark.sql.functions.call_function(
       "simhash_keys", c, org.apache.spark.sql.functions.lit(radius))
+  def signLshPacked(c: Column, seed: Long, planes: Int, tables: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      "sign_lsh_packed", c, org.apache.spark.sql.functions.lit(seed),
+      org.apache.spark.sql.functions.lit(planes), org.apache.spark.sql.functions.lit(tables))
+  def signLshProbes(c: Column, seed: Long, planes: Int, tables: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      "sign_lsh_probes", c, org.apache.spark.sql.functions.lit(seed),
+      org.apache.spark.sql.functions.lit(planes), org.apache.spark.sql.functions.lit(tables))
 }
 
 /** `spark.sql.extensions=graft.expressions.GraftExtensions` injector. */

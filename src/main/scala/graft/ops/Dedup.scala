@@ -725,15 +725,22 @@ object Dedup {
       planes: Int = 8,
       seed: Long = 7L
   ): DataFrame = {
-    val bucketUdf = udf { (v: Seq[Double], table: Int) =>
-      Similarity.lshBucket(v.toArray, seed ^ (table.toLong * 0x9e3779b97f4a7c15L), planes)
-    }
+    // native codegen bucketing (no udf boundary in candidate generation);
+    // per-table seeds derive as seed + GOLDEN*t inside the expression —
+    // bucket assignment is internal, so the recall characteristics and the
+    // planted-duplicate guarantees (identical vectors share EVERY bucket
+    // under any seed scheme) are unchanged
+    graft.expressions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
     val e = embeddings.select(
       col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(Similarity.dotCol(col("v"), col("v"))))
-      .withColumn("table_id", explode(lit((0 until tables).toArray)))
-      .withColumn("bucket", bucketUdf(col("v"), col("table_id")))
+      .withColumn("tb",
+        explode(graft.expressions.GraftFunctions.signLshPacked(col("v"), seed, planes, tables)))
+      .withColumn("table_id", shiftright(col("tb"), 32).cast("int"))
+      .withColumn("bucket", col("tb").bitwiseAND(lit(0xffffffffL)).cast("int"))
+      .drop("tb")
     val a = e.select(col("table_id"), col("bucket"), col("vec_id").as("a_id"),
       col("v").as("a_v"), col("norm").as("a_norm"))
     val b = e.select(col("table_id"), col("bucket"), col("vec_id").as("b_id"),

@@ -287,35 +287,29 @@ object Similarity {
   )(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     require(nTables >= 1, s"nTables must be >= 1, got $nTables")
-    def tableSeed(t: Int): Long = seed + 0x9E3779B97F4A7C15L * t
-    val cTables = nTables // stable capture for the udf closures
-    val bucketsUdf = udf { v: Seq[Double] =>
-      val a = v.toArray
-      (0 until cTables).map(t => (t, lshBucket(a, tableSeed(t), planes)))
-    }
-    val probesUdf = udf { v: Seq[Double] =>
-      val a = v.toArray
-      (0 until cTables).flatMap { t =>
-        val b = lshBucket(a, tableSeed(t), planes)
-        (b +: (0 until planes).map(p => b ^ (1 << p))).map((t, _))
-      }
-    }
+    // native codegen bucketing (graft.expressions.SignLsh*): the packed
+    // (table << 32 | bucket) longs unpack with plain bitwise Columns, so
+    // candidate generation has NO udf/closure boundary anywhere
+    graft.expressions.GraftFunctions.register(spark)
+    import graft.expressions.GraftFunctions.{signLshPacked, signLshProbes}
+    def unTable(c: Column): Column = shiftright(c, 32).cast("int")
+    def unBucket(c: Column): Column = c.bitwiseAND(lit(0xffffffffL)).cast("int")
     val base = withNorm(embeddings)
     val e = base
-      .withColumn("tb", explode(bucketsUdf(col("v"))))
-      .withColumn("table", col("tb._1"))
-      .withColumn("bucket", col("tb._2"))
+      .withColumn("tb", explode(signLshPacked(col("v"), seed, planes, nTables)))
+      .withColumn("table", unTable(col("tb")))
+      .withColumn("bucket", unBucket(col("tb")))
       .drop("tb")
-    // queries derive from the PRE-explode frame: one probesUdf evaluation
-    // per query row, whose output (table, bucket) tuples are distinct by
+    // queries derive from the PRE-explode frame: one probe evaluation per
+    // query row, whose output (table, bucket) entries are distinct by
     // construction (tables distinct; within a table the center and its
     // hamming-1 neighbors are distinct), so no probe-side dedup is needed
     val queries = base
       .filter(queryFilter)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("norm").as("q_norm"),
-        explode(probesUdf(col("v"))).as("tb"))
+        explode(signLshProbes(col("v"), seed, planes, nTables)).as("tb"))
       .select(col("q_id"), col("q_v"), col("q_norm"),
-        col("tb._1").as("table"), col("tb._2").as("bucket"))
+        unTable(col("tb")).as("table"), unBucket(col("tb")).as("bucket"))
     val candidates = e
       .join(broadcast(queries), Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))

@@ -133,6 +133,52 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("sign_lsh_packed/probes are bit-identical to the Similarity kernel") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val golden = 0x9e3779b97f4a7c15L
+    val vecs = (0 until 40).map { i =>
+      Array.tabulate(16)(d =>
+        graft.ops.Dedup.mix64(i * 131L + d).toDouble / Long.MaxValue)
+    }
+    for ((seed, planes, tables) <- Seq((7L, 3, 6), (42L, 8, 1), (99L, 5, 4))) {
+      val native = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+        .select(col("id"),
+          GraftFunctions.signLshPacked(col("v"), seed, planes, tables).as("p"),
+          GraftFunctions.signLshProbes(col("v"), seed, planes, tables).as("q"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[Long](1).toArray, r.getSeq[Long](2).toArray)))
+        .toMap
+      vecs.zipWithIndex.foreach { case (v, i) =>
+        val expPacked = (0 until tables).map { t =>
+          (t.toLong << 32) |
+            graft.ops.Similarity.lshBucket(v, seed + golden * t, planes).toLong
+        }.toArray
+        val expProbes = (0 until tables).flatMap { t =>
+          val b = graft.ops.Similarity.lshBucket(v, seed + golden * t, planes)
+          (b +: (0 until planes).map(p => b ^ (1 << p)))
+            .map(x => (t.toLong << 32) | x.toLong)
+        }.toArray
+        assert(java.util.Arrays.equals(native(i.toLong)._1, expPacked), s"packed vec $i")
+        assert(java.util.Arrays.equals(native(i.toLong)._2, expProbes), s"probes vec $i")
+      }
+    }
+  }
+
+  test("lshTopK candidate generation has no udf boundary") {
+    import spark.implicits._
+    val emb = (0L until 50L).map { i =>
+      (i, Array.tabulate(8)(d =>
+        (graft.ops.Dedup.mix64(i * 17 + d).toDouble / Long.MaxValue).toFloat))
+    }.toDF("vec_id", "embedding")
+    val df = graft.ops.Similarity.lshTopK(emb, col("vec_id") < 5, 3,
+      planes = 3, nTables = 4)(spark)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+    assert(df.collect().nonEmpty)
+  }
+
   test("shingle pipeline stays inside whole-stage codegen") {
     GraftFunctions.register(spark)
     val df = spark.range(10)
