@@ -85,19 +85,33 @@ object SimHashImpl {
 
 /** Registration surface for the engine's native functions. */
 object GraftFunctions {
-  private def intArg(exprs: Seq[Expression], idx: Int, name: String): Int = {
-    if (exprs.length != 2)
+  /** Literal argument reader shared by every builder: checks the call's
+    * total arity once and extracts a foldable literal at `idx`.
+    */
+  private def litOf(exprs: Seq[Expression], idx: Int, name: String, arity: Int): Any = {
+    if (exprs.length != arity)
       throw new IllegalArgumentException(
-        s"$name expects exactly 2 arguments, got ${exprs.length}")
+        s"$name expects exactly $arity arguments, got ${exprs.length}")
     val e = exprs(idx)
-    require(e.foldable, s"$name expects a literal int argument")
-    e.eval() match {
+    require(e.foldable, s"$name expects literal arguments")
+    e.eval()
+  }
+
+  private def intArg(exprs: Seq[Expression], idx: Int, name: String, arity: Int = 2): Int =
+    litOf(exprs, idx, name, arity) match {
       case i: Int => i
       case other => throw new IllegalArgumentException(
         s"$name: expected int literal, got ${if (other == null) "null"
           else s"$other of ${other.getClass.getSimpleName}"}")
     }
-  }
+
+  private def longArg(exprs: Seq[Expression], idx: Int, name: String, arity: Int): Long =
+    litOf(exprs, idx, name, arity) match {
+      case l: Long => l
+      case i: Int  => i.toLong
+      case other =>
+        throw new IllegalArgumentException(s"$name: expected long literal, got $other")
+    }
 
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "simhash64" -> ((exprs: Seq[Expression]) => SimHash64Expr(exprs.head)),
@@ -110,37 +124,12 @@ object GraftFunctions {
     "simhash_keys" -> ((exprs: Seq[Expression]) =>
       SimHashKeysExpr(exprs.head, intArg(exprs, 1, "simhash_keys"))),
     "sign_lsh_packed" -> ((exprs: Seq[Expression]) =>
-      SignLshPackedExpr(exprs.head, longLit(exprs, 1, "sign_lsh_packed"),
-        intLit(exprs, 2, "sign_lsh_packed"), intLit(exprs, 3, "sign_lsh_packed"))),
+      SignLshPackedExpr(exprs.head, longArg(exprs, 1, "sign_lsh_packed", 4),
+        intArg(exprs, 2, "sign_lsh_packed", 4), intArg(exprs, 3, "sign_lsh_packed", 4))),
     "sign_lsh_probes" -> ((exprs: Seq[Expression]) =>
-      SignLshProbesExpr(exprs.head, longLit(exprs, 1, "sign_lsh_probes"),
-        intLit(exprs, 2, "sign_lsh_probes"), intLit(exprs, 3, "sign_lsh_probes")))
+      SignLshProbesExpr(exprs.head, longArg(exprs, 1, "sign_lsh_probes", 4),
+        intArg(exprs, 2, "sign_lsh_probes", 4), intArg(exprs, 3, "sign_lsh_probes", 4)))
   )
-
-  /** 4-arg literal readers for the sign-LSH builders (intArg is pinned to
-    * the 2-arg shape of the hash functions).
-    */
-  private def litOf(exprs: Seq[Expression], idx: Int, name: String): Any = {
-    if (exprs.length != 4)
-      throw new IllegalArgumentException(
-        s"$name expects exactly 4 arguments, got ${exprs.length}")
-    val e = exprs(idx)
-    require(e.foldable, s"$name expects literal arguments")
-    e.eval()
-  }
-  private def longLit(exprs: Seq[Expression], idx: Int, name: String): Long =
-    litOf(exprs, idx, name) match {
-      case l: Long => l
-      case i: Int  => i.toLong
-      case other =>
-        throw new IllegalArgumentException(s"$name: expected long literal, got $other")
-    }
-  private def intLit(exprs: Seq[Expression], idx: Int, name: String): Int =
-    litOf(exprs, idx, name) match {
-      case i: Int => i
-      case other =>
-        throw new IllegalArgumentException(s"$name: expected int literal, got $other")
-    }
 
   /** Inject every native function into a SparkSessionExtensions hook. */
   def injectInto(ext: SparkSessionExtensions): Unit =

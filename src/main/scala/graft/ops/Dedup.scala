@@ -717,6 +717,14 @@ object Dedup {
     * `planes` with corpus size (e.g. 30 planes for 10^9 buckets at 10^12
     * rows) and `tables` to recover the recall the harder partition loses;
     * postings stay `tables` rows per vector.
+    *
+    * Determinism note (round 4): per-table seeds derive as
+    * `seed + GOLDEN * t` (shared with [[Similarity.lshTopK]] via the
+    * native `sign_lsh_packed` expression); before round 4 they derived as
+    * `seed ^ (t * GOLDEN)`, so the same `seed` does NOT reproduce
+    * pre-round-4 candidate sets for `tables >= 2`. Exact duplicates (the
+    * oracle's planted guarantee) collide in every table under any scheme;
+    * only which NEAR-threshold pairs happen to collide shifts.
     */
   def embeddingDupPairsLsh(
       embeddings: DataFrame,
@@ -726,26 +734,22 @@ object Dedup {
       seed: Long = 7L
   ): DataFrame = {
     // native codegen bucketing (no udf boundary in candidate generation);
-    // per-table seeds derive as seed + GOLDEN*t inside the expression —
-    // bucket assignment is internal, so the recall characteristics and the
-    // planted-duplicate guarantees (identical vectors share EVERY bucket
-    // under any seed scheme) are unchanged
-    graft.expressions.GraftFunctions.register(
-      org.apache.spark.sql.SparkSession.active)
+    // the packed (table << 32 | bucket) long IS the blocking key. Register
+    // into the dataframe's OWN session — the one that analyzes this plan —
+    // not SparkSession.active, which can be a different session under
+    // newSession()/multi-threaded callers.
+    graft.expressions.GraftFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(
       col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(Similarity.dotCol(col("v"), col("v"))))
       .withColumn("tb",
         explode(graft.expressions.GraftFunctions.signLshPacked(col("v"), seed, planes, tables)))
-      .withColumn("table_id", shiftright(col("tb"), 32).cast("int"))
-      .withColumn("bucket", col("tb").bitwiseAND(lit(0xffffffffL)).cast("int"))
-      .drop("tb")
-    val a = e.select(col("table_id"), col("bucket"), col("vec_id").as("a_id"),
+    val a = e.select(col("tb"), col("vec_id").as("a_id"),
       col("v").as("a_v"), col("norm").as("a_norm"))
-    val b = e.select(col("table_id"), col("bucket"), col("vec_id").as("b_id"),
+    val b = e.select(col("tb"), col("vec_id").as("b_id"),
       col("v").as("b_v"), col("norm").as("b_norm"))
-    a.join(b, Seq("table_id", "bucket"))
+    a.join(b, Seq("tb"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         (Similarity.dotCol(col("a_v"), col("b_v")) / (col("a_norm") * col("b_norm"))).as("cos"))

@@ -285,21 +285,15 @@ object Similarity {
       seed: Long = 7L,
       nTables: Int = 1
   )(implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
     require(nTables >= 1, s"nTables must be >= 1, got $nTables")
     // native codegen bucketing (graft.expressions.SignLsh*): the packed
-    // (table << 32 | bucket) longs unpack with plain bitwise Columns, so
+    // (table << 32 | bucket) long IS the join key — no unpack needed, and
     // candidate generation has NO udf/closure boundary anywhere
     graft.expressions.GraftFunctions.register(spark)
     import graft.expressions.GraftFunctions.{signLshPacked, signLshProbes}
-    def unTable(c: Column): Column = shiftright(c, 32).cast("int")
-    def unBucket(c: Column): Column = c.bitwiseAND(lit(0xffffffffL)).cast("int")
     val base = withNorm(embeddings)
     val e = base
       .withColumn("tb", explode(signLshPacked(col("v"), seed, planes, nTables)))
-      .withColumn("table", unTable(col("tb")))
-      .withColumn("bucket", unBucket(col("tb")))
-      .drop("tb")
     // queries derive from the PRE-explode frame: one probe evaluation per
     // query row, whose output (table, bucket) entries are distinct by
     // construction (tables distinct; within a table the center and its
@@ -308,10 +302,8 @@ object Similarity {
       .filter(queryFilter)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("norm").as("q_norm"),
         explode(signLshProbes(col("v"), seed, planes, nTables)).as("tb"))
-      .select(col("q_id"), col("q_v"), col("q_norm"),
-        unTable(col("tb")).as("table"), unBucket(col("tb")).as("bucket"))
     val candidates = e
-      .join(broadcast(queries), Seq("table", "bucket"))
+      .join(broadcast(queries), Seq("tb"))
       .filter(col("vec_id") =!= col("q_id"))
       .dropDuplicates("q_id", "vec_id")
     val scored = candidates

@@ -166,17 +166,19 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
-  test("lshTopK candidate generation has no udf boundary") {
+  test("lshTopK and embeddingDupPairsLsh candidate generation have no udf boundary") {
     import spark.implicits._
     val emb = (0L until 50L).map { i =>
       (i, Array.tabulate(8)(d =>
         (graft.ops.Dedup.mix64(i * 17 + d).toDouble / Long.MaxValue).toFloat))
     }.toDF("vec_id", "embedding")
-    val df = graft.ops.Similarity.lshTopK(emb, col("vec_id") < 5, 3,
+    val topk = graft.ops.Similarity.lshTopK(emb, col("vec_id") < 5, 3,
       planes = 3, nTables = 4)(spark)
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.toLowerCase.contains("scalaudf"), plan)
-    assert(df.collect().nonEmpty)
+    assert(!topk.queryExecution.executedPlan.toString.toLowerCase.contains("scalaudf"))
+    assert(topk.collect().nonEmpty)
+    val pairs = graft.ops.Dedup.embeddingDupPairsLsh(emb, threshold = 0.99)
+    assert(!pairs.queryExecution.executedPlan.toString.toLowerCase.contains("scalaudf"))
+    pairs.collect() // diffuse vectors: empty result is fine, plan must run
   }
 
   test("shingle pipeline stays inside whole-stage codegen") {
