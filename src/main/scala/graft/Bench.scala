@@ -39,6 +39,11 @@ object Bench {
     // machine performance. A query that fails is recorded as -1 and
     // invalidates the headline total (see below), so a fast failure can
     // never flatter the cross-round comparison.
+    // Locale-pinned number formatting: the driver parses this JSON, and a
+    // non-ROOT FORMAT-locale JVM would otherwise write decimal COMMAS
+    // (same bug class fixed with Locale.ROOT in ScalingBench and RealPdf)
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Option[Double] = {
@@ -49,29 +54,43 @@ object Bench {
       val first = once()
       // deterministic queries fail deterministically: don't pay a second run
       val second = first.flatMap(_ => once())
-      val best = first.map(a => second.fold(a)(math.min(a, _)))
-      if (best.isEmpty) failed += name // marked, never silent
-      // a SECOND run that dies after a clean first run must stay visible
-      // too: max reads -1 and the spread flags it noisy, so the artifact
-      // can never masquerade as two consistent burst-free samples
-      val max =
-        if (first.isDefined && second.isEmpty) -1.0
-        else first.getOrElse(-1.0).max(second.getOrElse(-1.0))
-      (name, best.getOrElse(-1.0), max)
+      // noisy-triggered third rep: a burst-spread pair (max/min > 3) or a
+      // crashed second run gets ONE more sample in the same process, so a
+      // single throttle burst settles in-round instead of waiting for the
+      // next round's re-run (r4 verdict: q_quality_score/q_postprocess_chain
+      // doubled under flagged throttle windows with unchanged plans)
+      val burst = (first, second) match {
+        case (Some(a), Some(b)) => math.max(a, b) / math.min(a, b) > 3.0
+        case (Some(_), None)    => true
+        case _                  => false
+      }
+      val third = if (burst) once() else None
+      val samples = Seq(first, second, third).flatten.sorted
+      val crashedRerun = first.isDefined && (second.isEmpty || (burst && third.isEmpty))
+      if (samples.isEmpty) failed += name // marked, never silent
+      val mn = samples.headOption.getOrElse(-1.0)
+      // a rerun that dies after a clean first run must stay visible too:
+      // max reads -1 and the spread flags it noisy, so the artifact can
+      // never masquerade as consistent burst-free samples
+      val mx = if (crashedRerun) -1.0 else samples.lastOption.getOrElse(-1.0)
+      // noisy iff no TWO consistent samples exist: with three reps the two
+      // smallest agreeing (ratio <= 3) adjudicates the outlier as a burst
+      val secondMin = if (samples.size >= 2) samples(1) else -1.0
+      val noisy = mn > 0 && (crashedRerun || secondMin < 0 || secondMin / mn > 3.0)
+      (name, mn, mx, noisy, samples.size)
     }
     val qs = results
-      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // Spread per query: min-of-2 still let a 5x throttle burst into a round
     // artifact once (BENCH_r03 q_json_extract: 1.95s driver vs 0.41s on
-    // re-run). Reporting {min,max,noisy} lets a cross-round diff discard
-    // throttle bursts WITHOUT a re-run: a "regression" whose own max/min
-    // ratio exceeds 3 was measured during a burst and adjudicates itself.
+    // re-run). Reporting {min,max,noisy,reps} lets a cross-round diff
+    // discard throttle bursts WITHOUT a re-run: a "regression" whose own
+    // spread stays noisy after the automatic third rep adjudicates itself.
     val spread = results
-      .map { case (k, mn, mx) =>
-        // noisy: burst spread (max/min > 3) OR a crashed second run (mx<0)
-        val noisy = mn > 0 && (mx < 0 || mx / mn > 3.0)
-        "\"" + k + "\":" + f"""{"min":$mn%.3f,"max":$mx%.3f,"noisy":$noisy}"""
+      .map { case (k, mn, mx, noisy, reps) =>
+        "\"" + k + "\":" +
+          s"""{"min":${fmt(mn)},"max":${fmt(mx)},"noisy":$noisy,"reps":$reps}"""
       }
       .mkString("{", ",", "}")
     // Totals are only comparable across rounds over the same passing query
@@ -81,7 +100,7 @@ object Bench {
     val total = if (failed.nonEmpty) -1.0 else results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"spread":$spread,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"failed":$failedJson,"sf":"$sfDir"}"""
     // The driver parses this from noisy sbt logs: print it AND write it to a
     // side file so `parsed` never comes back null (VERDICT r1 "What's wrong" #5)
     println(json)

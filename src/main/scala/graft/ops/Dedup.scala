@@ -219,7 +219,7 @@ object Dedup {
     // native codegen expression (bit-identical to the Scala kernel,
     // property-tested): no typed-map object boundary — pruning and
     // whole-stage codegen run through the shingling
-    graft.expressions.GraftFunctions.register(spark)
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
     val shingled = docs.select(
       col("doc_id"),
       graft.expressions.GraftFunctions.shingleHashes64(col("text"), n).as("shingles"))
@@ -283,7 +283,7 @@ object Dedup {
     // keys, each bit-identical to the Scala kernels): the whole candidate
     // generation stays inside whole-stage codegen with no typed-map
     // object boundaries
-    graft.expressions.GraftFunctions.register(spark)
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
     import graft.expressions.GraftFunctions.{minhashBands, minhashSig, shingleHashes64}
     val shingled = docs.select(
       col("doc_id"),
@@ -334,7 +334,7 @@ object Dedup {
     * choose the radius; grouping by the hash itself is the radius-0 dedup.
     */
   def simhashes(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
-    graft.expressions.GraftFunctions.register(spark)
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
     docs.select(
       col("doc_id"),
       graft.expressions.GraftFunctions.simhash64(col("text")).as("simhash"))
@@ -387,7 +387,7 @@ object Dedup {
     }
     // per-table block-combination keys via the native codegen expression
     // (table id = position in the key array) — no typed-map boundary
-    graft.expressions.GraftFunctions.register(spark)
+    graft.expressions.GraftFunctions.register(hashed0.sparkSession)
     val posts = hashed0
       .select(col("doc_id"), col("simhash"),
         posexplode(graft.expressions.GraftFunctions.simhashKeys(col("simhash"), radius))
@@ -601,7 +601,7 @@ object Dedup {
       n: Int = 8,
       threshold: Double = 0.8
   )(implicit spark: SparkSession): DataFrame = {
-    graft.expressions.GraftFunctions.register(spark)
+    graft.expressions.GraftFunctions.register(target.sparkSession)
     def posts(df: DataFrame) = df.select(
       col("doc_id"),
       explode(graft.expressions.GraftFunctions.shingleHashes64(col("text"), n)).as("sh"))

@@ -289,7 +289,9 @@ object Similarity {
     // native codegen bucketing (graft.expressions.SignLsh*): the packed
     // (table << 32 | bucket) long IS the join key — no unpack needed, and
     // candidate generation has NO udf/closure boundary anywhere
-    graft.expressions.GraftFunctions.register(spark)
+    // (registered into the frame's OWN session, not the implicit one, so
+    // newSession()/multi-threaded callers resolve the functions)
+    graft.expressions.GraftFunctions.register(embeddings.sparkSession)
     import graft.expressions.GraftFunctions.{signLshPacked, signLshProbes}
     val base = withNorm(embeddings)
     val e = base

@@ -85,7 +85,8 @@ object Warc {
     * headers end at the first blank line; a `Transfer-Encoding: chunked`
     * body is de-chunked (length-prefixed hex chunks).
     */
-  private def httpBody(payload: Array[Byte]): Array[Byte] = {
+  private def httpBody(payload: Array[Byte],
+      onError: () => Unit = () => ()): Array[Byte] = {
     // find CRLFCRLF (tolerate LFLF)
     var i = 0
     var headerEnd = -1
@@ -101,7 +102,7 @@ object Warc {
     val body = java.util.Arrays.copyOfRange(payload, headerEnd, payload.length)
     // order matters: chunk sizes count WIRE bytes, so de-chunk the raw
     // body first, then normalize the charset of the assembled content
-    transcode(head, dechunk(head, body))
+    transcode(head, dechunk(head, body, onError))
   }
 
   /** Charset normalization: the pipeline consumes UTF-8 text; a real crawl
@@ -136,44 +137,64 @@ object Warc {
       (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) ||
       (b.length >= 4 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
 
-  private def dechunk(head: String, body: Array[Byte]): Array[Byte] = {
-    if (!head.toLowerCase.contains("transfer-encoding: chunked")) body
+  /** Tolerant match for the chunked transfer coding: real crawls carry
+    * `Transfer-Encoding:chunked` (no space) and extra whitespace variants,
+    * consistent with the tolerant charset regex in `transcode`.
+    */
+  private val ChunkedRe =
+    java.util.regex.Pattern.compile("(?i)transfer-encoding:\\s*chunked")
+
+  private def dechunk(head: String, body: Array[Byte],
+      onError: () => Unit = () => ()): Array[Byte] = {
+    if (!ChunkedRe.matcher(head).find()) body
     else {
       // de-chunk: hex length CRLF data CRLF ... 0 CRLF CRLF. A hostile or
-      // broken server can emit arbitrary chunk-size lines — any framing
-      // failure falls back to the RAW body (lenient), never throws out of
-      // an already length-framed record.
+      // broken server can emit arbitrary chunk-size lines. Outcomes:
+      //  - 0-terminator seen            -> assembled content (success)
+      //  - valid size line, data cut    -> assembled prefix + the partial
+      //    final chunk (truncated capture; the tail is still page text)
+      //  - invalid size line / no line  -> the RAW body (framing failure;
+      //    never a partially-dechunked buffer) and the error is counted
       try {
         val out = new java.io.ByteArrayOutputStream(body.length)
         var p = 0
-        var ok = true
-        while (ok) {
+        var chunks = 0
+        while (true) {
           var lineEnd = p
           while (lineEnd < body.length && body(lineEnd) != '\n') lineEnd += 1
-          if (lineEnd >= body.length) ok = false
-          else {
-            val lenStr = new String(body, p, lineEnd - p, StandardCharsets.US_ASCII)
-              .trim.takeWhile(c => Character.digit(c, 16) >= 0)
-            // Long parse: a size line above Int.MaxValue is invalid framing
-            val lenL = if (lenStr.isEmpty || lenStr.length > 15) -1L
-              else java.lang.Long.parseLong(lenStr, 16)
-            if (lenL <= 0 || lenL > body.length.toLong) ok = false
-            else {
-              val len = lenL.toInt
-              val start = lineEnd + 1
-              if (start + len > body.length) { ok = false }
-              else {
-                out.write(body, start, len)
-                p = start + len
-                // skip trailing CRLF
-                if (p < body.length && body(p) == '\r') p += 1
-                if (p < body.length && body(p) == '\n') p += 1
-              }
-            }
+          if (lineEnd >= body.length) {
+            // size line itself missing/unterminated: truncated capture if
+            // at least one chunk framed correctly, else the framing never
+            // held and the raw body is the honest payload
+            if (chunks == 0) { onError(); return body }
+            onError()
+            return out.toByteArray
           }
+          val lenStr = new String(body, p, lineEnd - p, StandardCharsets.US_ASCII)
+            .trim.takeWhile(c => Character.digit(c, 16) >= 0)
+          // Long parse: a size line above Int.MaxValue is invalid framing
+          val lenL = if (lenStr.isEmpty || lenStr.length > 15) -1L
+            else java.lang.Long.parseLong(lenStr, 16)
+          if (lenL == 0L) return out.toByteArray // 0-terminator: success
+          if (lenL < 0L) { onError(); return body } // invalid size line
+          val start = lineEnd + 1
+          if (lenL > (body.length - start).toLong) {
+            // declared size overruns the capture: truncated final chunk —
+            // keep what framed plus the cut chunk's partial data
+            onError()
+            if (start < body.length) out.write(body, start, body.length - start)
+            return out.toByteArray
+          }
+          val len = lenL.toInt
+          out.write(body, start, len)
+          chunks += 1
+          p = start + len
+          // skip trailing CRLF
+          if (p < body.length && body(p) == '\r') p += 1
+          if (p < body.length && body(p) == '\n') p += 1
         }
-        out.toByteArray
-      } catch { case _: Exception => body }
+        body // unreachable
+      } catch { case _: Exception => onError(); body }
     }
   }
 
@@ -262,7 +283,10 @@ object Warc {
             // restarts from the payload start (bounded buffering); records
             // above the mark bound trade that recovery for memory safety.
             val recoverable = len <= (1 << 22)
-            if (recoverable) in.mark(len + 256)
+            // readlimit covers the payload plus a generous separator scan
+            // (the blank-line skip after the payload reads ahead of the
+            // mark; 4 KiB bounds it for any realistic separator garbage)
+            if (recoverable) in.mark(len + 4096)
             val payload =
               try readFully(in, len)
               catch {
@@ -282,7 +306,7 @@ object Warc {
                 headers.getOrElse("warc-target-uri", ""),
                 parseDate(headers.getOrElse("warc-date", "")),
                 headers.getOrElse("content-type", ""),
-                if (wtype == "response") httpBody(payload) else payload)
+                if (wtype == "response") httpBody(payload, onError) else payload)
             }
             // consume the record separator; position at the next version
             // line. A bad separator means the Content-Length was corrupt
@@ -297,7 +321,14 @@ object Warc {
                 case Some(v) if v.startsWith("WARC/") => true
                 case Some(_) =>
                   onError()
-                  if (recoverable) in.reset()
+                  // the blank-line skip may have read past the mark's
+                  // readlimit, invalidating it — a stale mark degrades to
+                  // forward resync instead of a second onError for the
+                  // same record via the outer catch
+                  if (recoverable) {
+                    try in.reset()
+                    catch { case _: java.io.IOException => () }
+                  }
                   resync()
               }
             }

@@ -165,6 +165,43 @@ class WarcSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(r4.records.head.payload, pdfBytes))
   }
 
+  test("chunked framing failures: raw-body fallback, counted; partial kept only for truncation") {
+    def archiveWith(envelope: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def ascii(t: String): Unit = out.write(t.getBytes(StandardCharsets.US_ASCII))
+      ascii("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://ck.example/p\r\n" +
+        s"WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${envelope.length}\r\n\r\n")
+      out.write(envelope)
+      ascii("\r\n\r\n")
+      out.toByteArray
+    }
+    val head = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+    // 1. bad FIRST chunk-size line: the raw body comes back (never a
+    //    partially-dechunked or empty buffer) and the failure is counted
+    val garbled = "ZZZ-not-hex\r\npage text that must survive"
+    val env1 = (head + "Transfer-Encoding: chunked\r\n\r\n" + garbled)
+      .getBytes(StandardCharsets.US_ASCII)
+    val r1 = parse(archiveWith(env1))
+    assert(r1.records.length == 1)
+    assert(new String(r1.records.head.payload, StandardCharsets.US_ASCII) == garbled)
+    assert(r1.errors >= 1, "framing failure must reach the error counter")
+    // 2. truncated FINAL chunk: assembled prefix + the cut chunk's partial
+    //    data (the tail is still page text), counted as a parse anomaly
+    val env2 = (head + "Transfer-Encoding: chunked\r\n\r\n" +
+      "5\r\nhello\r\nff\r\n world").getBytes(StandardCharsets.US_ASCII)
+    val r2 = parse(archiveWith(env2))
+    assert(r2.records.length == 1)
+    assert(new String(r2.records.head.payload, StandardCharsets.US_ASCII) == "hello world")
+    assert(r2.errors >= 1)
+    // 3. tolerant coding detection: no space after the colon still de-chunks
+    val env3 = (head + "Transfer-Encoding:chunked\r\n\r\n" +
+      "5\r\nhello\r\n0\r\n\r\n").getBytes(StandardCharsets.US_ASCII)
+    val r3 = parse(archiveWith(env3))
+    assert(r3.errors == 0 && r3.records.length == 1)
+    assert(new String(r3.records.head.payload, StandardCharsets.US_ASCII) == "hello")
+  }
+
   test("end to end: WARC archives -> page table -> extraction equals direct rows") {
     import org.apache.spark.sql.functions.col
     val in = rows(40)
