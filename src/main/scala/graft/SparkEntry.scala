@@ -460,14 +460,23 @@ object SparkEntry {
         .orderBy("method")
     }),
 
-    // ---- multimodal plumbing ------------------------------------------------
+    // ---- multimodal: REAL still-image metadata decode -----------------------
+    // Payloads are actual PNG/JPEG/GIF/BMP bytes (JDK ImageIO encoders)
+    // with dimensions planted per the closed form in CorpusGen.mediaWidth/
+    // mediaHeight, plus a no-magic garbage class and an empty class. The
+    // header parser must recover the planted dims FROM THE BYTES — the
+    // oracle recomputes the planted values, so any parse defect (wrong
+    // offset, endianness, marker walk) breaks the hash compare. Byte-level
+    // golden fixtures pin the parser against fixed offsets independently
+    // (MultimodalSpec).
     "q_multimodal_meta" -> ((s, dir) => {
-      val media = s.read.parquet(t(dir, "documents"))
-        .select(col("doc_id").as("content_id"), col("text").cast("binary").as("payload"))
+      import s.implicits._
+      val ids = s.read.parquet(t(dir, "documents")).select(col("doc_id").cast("long")).as[Long]
+      val media = graft.corpus.CorpusGen.mediaFrame(ids)
       Multimodal.imageMeta(media)(s)
-        .select(col("content_id"), col("n_bytes").cast("long").as("n_bytes"),
+        .select(col("content_id"),
           col("width").cast("long").as("width"), col("height").cast("long").as("height"),
-          col("format"), col("content_hash"))
+          col("format"))
     }),
     "q_frame_sample" -> ((s, dir) => {
       val media = s.read.parquet(t(dir, "documents"))
@@ -1146,15 +1155,15 @@ object SparkEntry {
            SELECT 'lsh' AS method, count(*)::BIGINT AS truth_pairs,
                   true AS recall_ok FROM bf)
          ORDER BY method""",
+    // the planted-dimension closed form (CorpusGen.mediaWidth/mediaHeight/
+    // mediaFormatIdx): the Spark side must recover these values by PARSING
+    // the real container headers the encoders wrote
     "q_multimodal_meta" ->
       """SELECT doc_id AS content_id,
-         octet_length(encode(text))::BIGINT AS n_bytes,
-         (1 + octet_length(encode(text)) % 640)::BIGINT AS width,
-         (1 + octet_length(encode(text)) % 480)::BIGINT AS height,
-         CASE WHEN octet_length(encode(text)) = 0 THEN 'empty'
-              WHEN octet_length(encode(text)) % 2 = 0 THEN 'png'
-              ELSE 'jpeg' END AS format,
-         md5(text) AS content_hash
+         (CASE WHEN doc_id % 6 <= 3 THEN 8 + (doc_id * 13) % 120 ELSE 0 END)::BIGINT AS width,
+         (CASE WHEN doc_id % 6 <= 3 THEN 8 + (doc_id * 7) % 110 ELSE 0 END)::BIGINT AS height,
+         CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+              WHEN 3 THEN 'bmp' WHEN 4 THEN 'unknown' ELSE 'empty' END AS format
          FROM documents""",
     // frame sampling: byte-slice checksums recomputed from the UTF-8 bytes
     // via hex() + per-pair char lookup (one hex pair = one byte)

@@ -440,4 +440,58 @@ $footerBlock
     import spark.implicits._
     spark.range(from, from + n, 1, 2).map(i => modernPdfRow(seed, i))
   }
+
+  // ---- real still-image payloads (JDK ImageIO encoders; no external deps)
+
+  /** Planted dimensions/format for media id `i` — the closed form the
+    * q_multimodal_meta oracle recomputes. Formats cycle through the four
+    * JDK-encodable containers plus a no-magic garbage class and an empty
+    * payload; dims stay small so 500 encodes cost milliseconds.
+    */
+  def mediaFormatIdx(i: Long): Int = (((i % 6) + 6) % 6).toInt
+  def mediaWidth(i: Long): Int = 8 + (((i * 13) % 120) + 120).toInt % 120
+  def mediaHeight(i: Long): Int = 8 + (((i * 7) % 110) + 110).toInt % 110
+
+  /** A REAL image payload (or the garbage/empty class) for media id `i`:
+    * actual PNG/JPEG/GIF/BMP bytes from the JDK's ImageIO encoders, with
+    * the planted `mediaWidth x mediaHeight` dimensions and deterministic
+    * pixel content. The header parser in [[graft.ops.Multimodal]] must
+    * recover the planted dims from these bytes — that round trip is the
+    * oracle's gate.
+    */
+  def mediaPayload(i: Long): Array[Byte] = mediaFormatIdx(i) match {
+    case 5 => Array.emptyByteArray
+    case 4 =>
+      // deterministic bytes with no recognized magic (leading zero byte)
+      val r = rng(DefaultSeed, i, 901L)
+      Array[Byte](0, (r & 0x7f).toByte, ((r >> 8) & 0x7f).toByte,
+        ((r >> 16) & 0x7f).toByte, ((r >> 24) & 0x7f).toByte)
+    case fmtIdx =>
+      val fmt = Seq("png", "jpg", "gif", "bmp")(fmtIdx)
+      val w = mediaWidth(i); val h = mediaHeight(i)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      // deterministic pixel content: a per-id base color plus a diagonal
+      val base = (rng(DefaultSeed, i, 902L) & 0xffffff).toInt
+      val g = img.createGraphics()
+      try {
+        g.setColor(new java.awt.Color(base))
+        g.fillRect(0, 0, w, h)
+        g.setColor(new java.awt.Color(base ^ 0x7f7f7f))
+        g.drawLine(0, 0, w - 1, h - 1)
+      } finally g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      val ok = javax.imageio.ImageIO.write(img, fmt, out)
+      require(ok, s"no ImageIO writer for $fmt")
+      out.toByteArray
+  }
+
+  /** `(content_id, payload)` media frame over ids drawn from `ids` (one
+    * encoder pass per row, executed on executors).
+    */
+  def mediaFrame(ids: Dataset[Long]): org.apache.spark.sql.DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.map(id => (id, mediaPayload(id))).toDF("content_id", "payload")
+  }
 }

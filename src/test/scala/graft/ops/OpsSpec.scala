@@ -619,15 +619,102 @@ class MultimodalSpec extends AnyFunSuite {
   private implicit lazy val spark: org.apache.spark.sql.SparkSession = SparkTestBase.spark
   import spark.implicits._
 
-  test("image meta stub is deterministic and typed") {
-    val media = Seq((1L, "hello".getBytes), (2L, Array.empty[Byte]))
-      .toDF("content_id", "payload")
+  test("header parser: byte-level golden fixtures at fixed offsets") {
+    // PNG: signature + IHDR(len=13) with width=0x0102=258, height=0x30=48
+    val png = Array[Int](
+      0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, // signature
+      0, 0, 0, 13, 'I', 'H', 'D', 'R', // IHDR chunk header
+      0, 0, 1, 2, // width  (BE)
+      0, 0, 0, 48, // height (BE)
+      8, 2, 0, 0, 0 // bit depth, color type, ...
+    ).map(_.toByte)
+    assert(Multimodal.parseDims(png) == ("png", 258, 48))
+    // GIF89a: logical screen 320x200 little-endian
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Int](0x40, 0x01, 0xc8, 0x00, 0, 0, 0, 0).map(_.toByte)
+    assert(Multimodal.parseDims(gif) == ("gif", 320, 200))
+    // BMP: BITMAPINFOHEADER (size 40) with width=100, height=-50 (top-down)
+    val bmp = new Array[Byte](30)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    bmp(14) = 40 // header size LE
+    bmp(18) = 100 // width LE
+    bmp(22) = (-50 & 0xff).toByte; bmp(23) = 0xff.toByte
+    bmp(24) = 0xff.toByte; bmp(25) = 0xff.toByte // height = -50 LE
+    assert(Multimodal.parseDims(bmp) == ("bmp", 100, 50))
+    // JPEG: SOI, APP0 (skipped via its length), SOF0 with h=0x0120 w=0x0208
+    val jpg = Array[Int](
+      0xff, 0xd8, // SOI
+      0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46, // APP0, len 4
+      0xff, 0xc0, 0x00, 0x0b, 8, // SOF0, len 11, precision
+      0x01, 0x20, // height 288
+      0x02, 0x08, // width 520
+      1, 0x11, 0 // one component
+    ).map(_.toByte)
+    assert(Multimodal.parseDims(jpg) == ("jpeg", 520, 288))
+    // progressive marker SOF2 parses the same way
+    jpg(9) = 0xc2.toByte
+    assert(Multimodal.parseDims(jpg) == ("jpeg", 520, 288))
+  }
+
+  test("header parser: truncated/malformed headers keep the format, zero dims") {
+    val pngSigOnly = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    assert(Multimodal.parseDims(pngSigOnly) == ("png", 0, 0))
+    // PNG whose first chunk is not IHDR
+    val badChunk = pngSigOnly ++ Array[Int](0, 0, 0, 13, 'X', 'X', 'X', 'X',
+      0, 0, 1, 2, 0, 0, 0, 48).map(_.toByte)
+    assert(Multimodal.parseDims(badChunk) == ("png", 0, 0))
+    // JPEG with no frame header before EOI
+    val noSof = Array[Int](0xff, 0xd8, 0xff, 0xd9).map(_.toByte)
+    assert(Multimodal.parseDims(noSof) == ("jpeg", 0, 0))
+    // DHT (0xc4) must NOT be mistaken for a frame header
+    val dhtOnly = Array[Int](0xff, 0xd8, 0xff, 0xc4, 0x00, 0x04, 1, 2, 0xff, 0xd9).map(_.toByte)
+    assert(Multimodal.parseDims(dhtOnly) == ("jpeg", 0, 0))
+    assert(Multimodal.parseDims("GIF8".getBytes("US-ASCII")) == ("unknown", 0, 0))
+    assert(Multimodal.parseDims(Array[Byte](0, 1, 2, 3)) == ("unknown", 0, 0))
+    assert(Multimodal.parseDims(null) == ("empty", 0, 0))
+    assert(Multimodal.parseDims(Array.empty[Byte]) == ("empty", 0, 0))
+  }
+
+  test("ImageIO round trip: parser recovers planted dims from real encoder bytes") {
+    // ids cover png/jpeg/gif/bmp plus the garbage and empty classes
+    for (id <- 0L until 24L) {
+      val bytes = graft.corpus.CorpusGen.mediaPayload(id)
+      val (fmt, w, h) = Multimodal.parseDims(bytes)
+      graft.corpus.CorpusGen.mediaFormatIdx(id) match {
+        case fi if fi <= 3 =>
+          assert(fmt == Seq("png", "jpeg", "gif", "bmp")(fi), s"id=$id")
+          assert(w == graft.corpus.CorpusGen.mediaWidth(id), s"id=$id width")
+          assert(h == graft.corpus.CorpusGen.mediaHeight(id), s"id=$id height")
+          // independent cross-check: the JDK's own decoder agrees
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          assert(img.getWidth == w && img.getHeight == h, s"id=$id imageio")
+        case 4 => assert(fmt == "unknown" && w == 0 && h == 0, s"id=$id")
+        case _ => assert(fmt == "empty" && w == 0 && h == 0, s"id=$id")
+      }
+    }
+  }
+
+  test("imageMeta frame: typed decode over the media frame, hash plumbing intact") {
+    val ids = spark.range(0, 12).as[Long]
+    val media = graft.corpus.CorpusGen.mediaFrame(ids)
     val r = Multimodal.imageMeta(media).collect()
       .map(x => x.getAs[Long]("content_id") -> x).toMap
-    assert(r(1L).getAs[Int]("n_bytes") == 5)
-    assert(r(1L).getAs[Int]("width") == 6 && r(1L).getAs[Int]("height") == 6)
-    assert(r(1L).getAs[String]("content_hash") == "5d41402abc4b2a76b9719d911017c592") // md5("hello")
-    assert(r(2L).getAs[String]("format") == "empty")
+    assert(r.size == 12)
+    for (id <- 0L until 12L) {
+      val fi = graft.corpus.CorpusGen.mediaFormatIdx(id)
+      val expFmt = Seq("png", "jpeg", "gif", "bmp", "unknown", "empty")(fi)
+      assert(r(id).getAs[String]("format") == expFmt, s"id=$id")
+      if (fi <= 3) {
+        assert(r(id).getAs[Int]("width") == graft.corpus.CorpusGen.mediaWidth(id))
+        assert(r(id).getAs[Int]("height") == graft.corpus.CorpusGen.mediaHeight(id))
+      }
+      assert(r(id).getAs[Int]("n_bytes") == graft.corpus.CorpusGen.mediaPayload(id).length)
+    }
+    // content hash remains the md5 of the exact payload bytes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val exp = md.digest(graft.corpus.CorpusGen.mediaPayload(0L))
+      .map("%02x".format(_)).mkString
+    assert(r(0L).getAs[String]("content_hash") == exp)
   }
 
   test("frame sampling emits one row per stride slice") {
