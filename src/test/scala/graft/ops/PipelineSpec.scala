@@ -55,7 +55,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
-  test("prepare plan: exactly one corpus scan and a partial-aggregated min_by") {
+  test("prepare plan: one corpus scan, partial-aggregated, and HASH-aggregated") {
     val parquetDir = java.nio.file.Files.createTempDirectory("graft-pipe").toFile
     try {
       docs.write.mode("overwrite").parquet(parquetDir.getAbsolutePath)
@@ -69,8 +69,15 @@ class PipelineSpec extends AnyFunSuite {
       // and the dedup group-min must be partial-aggregated (map-side
       // combine), so a mega-duplicate key never ships row-per-copy
       val executed = plan.executedPlan.toString
-      assert(executed.contains("partial_min_by") || executed.contains("partial_min"),
-        s"expected a partial min_by aggregate in:\n$executed")
+      assert(executed.contains("partial_min"),
+        s"expected a partial min aggregate in:\n$executed")
+      // r4 verdict #3: the all-primitive agg buffer must plan as
+      // HashAggregate — the previous min_by(struct) buffer forced a
+      // SortAggregate, i.e. a per-map-task sort before the partial agg
+      assert(executed.contains("HashAggregate"),
+        s"expected HashAggregate in:\n$executed")
+      assert(!executed.contains("SortAggregate"),
+        s"no SortAggregate may remain in:\n$executed")
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(parquetDir)
       ()
