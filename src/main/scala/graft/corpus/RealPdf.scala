@@ -24,6 +24,12 @@ object RealPdf {
     * into PDF's upward axis at write time, so round-trip expectations read
     * naturally.
     */
+  /** `transport` optionally wraps the (possibly Flate-compressed) content
+    * stream in one of the byte-level transport filters
+    * (`ASCIIHexDecode` / `ASCII85Decode` / `RunLengthDecode`); combined
+    * with `compress` the /Filter array is `[transport /FlateDecode]` —
+    * decode order transport-first, exactly as real generators chain them.
+    */
   final case class PageSpec(
       width: Int = 612,
       height: Int = 792,
@@ -31,7 +37,8 @@ object RealPdf {
       compress: Boolean = false,
       splitContents: Boolean = false,
       indirectLength: Boolean = false,
-      hexStrings: Boolean = false)
+      hexStrings: Boolean = false,
+      transport: Option[String] = None)
 
   private def escLiteral(s: String): String =
     s.flatMap {
@@ -74,6 +81,87 @@ object RealPdf {
     while (!d.finished()) out.write(chunk, 0, d.deflate(chunk))
     d.end()
     out.toByteArray
+  }
+
+  // spec-conformant transport-filter encoders (ISO 32000-1 7.4.2/7.4.3/
+  // 7.4.5) for round-trip fixtures against the reader's decoders
+  private def asciiHexEncode(b: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder(b.length * 2 + 8)
+    var i = 0
+    while (i < b.length) {
+      sb.append("0123456789abcdef".charAt((b(i) >> 4) & 0xf))
+      sb.append("0123456789abcdef".charAt(b(i) & 0xf))
+      if (i % 40 == 39) sb.append('\n') // whitespace must be ignored
+      i += 1
+    }
+    sb.append('>')
+    sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  private def ascii85Encode(b: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder(b.length * 5 / 4 + 8)
+    var i = 0
+    while (i < b.length) {
+      val n = math.min(4, b.length - i)
+      var t = 0L
+      var k = 0
+      while (k < 4) {
+        t = (t << 8) | (if (i + k < b.length) b(i + k) & 0xffL else 0L)
+        k += 1
+      }
+      if (n == 4 && t == 0L) sb.append('z')
+      else {
+        val digits = new Array[Char](5)
+        var v = t
+        var j = 4
+        while (j >= 0) { digits(j) = ('!' + (v % 85).toInt).toChar; v /= 85; j -= 1 }
+        var m = 0
+        while (m <= n) { sb.append(digits(m)); m += 1 } // n+1 chars for n bytes
+      }
+      i += 4
+    }
+    sb.append("~>")
+    sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  private def runLengthEncode(b: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(b.length + 8)
+    var i = 0
+    while (i < b.length) {
+      var runLen = 1
+      while (i + runLen < b.length && b(i + runLen) == b(i) && runLen < 128) runLen += 1
+      if (runLen >= 2) {
+        out.write(257 - runLen) // 129..255: repeat next byte 257-L times
+        out.write(b(i))
+        i += runLen
+      } else {
+        var j = i
+        while (j < b.length && j - i < 128 &&
+          !(j + 2 < b.length && b(j) == b(j + 1) && b(j + 1) == b(j + 2))) j += 1
+        out.write(j - i - 1) // 0..127: copy next L+1 literal bytes
+        out.write(b, i, j - i)
+        i = j
+      }
+    }
+    out.write(128) // EOD
+    out.toByteArray
+  }
+
+  private def applyTransport(p: PageSpec, flateBody: Array[Byte]): (Array[Byte], String) = {
+    val body = p.transport match {
+      case Some("ASCIIHexDecode")  => asciiHexEncode(flateBody)
+      case Some("ASCII85Decode")   => ascii85Encode(flateBody)
+      case Some("RunLengthDecode") => runLengthEncode(flateBody)
+      case Some(other)             => throw new IllegalArgumentException(s"unknown transport $other")
+      case None                    => flateBody
+    }
+    val names = p.transport.toSeq ++ (if (p.compress) Seq("FlateDecode") else Nil)
+    val filter = names match {
+      case Seq()    => ""
+      case Seq(one) => s" /Filter /$one"
+      case many     => many.map("/" + _).mkString(" /Filter [", " ", "]")
+    }
+    (body, filter)
   }
 
   /** Serialize a document. `nestedKids = true` wraps pages in an
@@ -185,8 +273,8 @@ object RealPdf {
         } else Seq(opsAll)
       parts.zipWithIndex.foreach { case (part, i) =>
         val raw = part.getBytes(StandardCharsets.ISO_8859_1)
-        val body = if (p.compress) deflate(raw) else raw
-        val filter = if (p.compress) " /Filter /FlateDecode" else ""
+        val flateBody = if (p.compress) deflate(raw) else raw
+        val (body, filter) = applyTransport(p, flateBody)
         val lenField =
           if (p.indirectLength) s"${plan.lengthNums(i)} 0 R" else body.length.toString
         obj(plan.contentNums(i)) {

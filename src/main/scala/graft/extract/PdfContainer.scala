@@ -30,8 +30,11 @@ import scala.collection.mutable
   *     escapes), literal strings (escapes, octal, line continuations),
   *     hex strings, numbers, booleans, null, indirect references,
   *     comments, streams with direct or INDIRECT /Length;
-  *   - /FlateDecode via java.util.zip (the compression real generators
-  *     emit); unfiltered streams; unsupported filters fail loudly per page;
+  *   - stream filter chains in array order: /FlateDecode via java.util.zip
+  *     (the compression real generators emit) plus the byte-level transport
+  *     filters /ASCIIHexDecode, /ASCII85Decode and /RunLengthDecode;
+  *     unfiltered streams; unsupported filters (DCT/JBIG2/JPX/LZW/Crypt)
+  *     fail loudly per page;
   *   - the page tree (/Root -> /Pages -> /Kids recursion, cycle-guarded)
   *     with inheritable /MediaBox;
   *   - the text-showing operator set: BT/ET, Tf, Td, TD, TL, T*, Tm, Tj,
@@ -40,7 +43,8 @@ import scala.collection.mutable
   *     [[PdfExtractor.Run]] convention.
   *
   * Out of scope (fail loudly, contained as per-row failure rows): encrypted
-  * documents, non-Flate filters, TIFF predictor 2, CID/composite fonts
+  * documents, image/codec filters (DCTDecode, JBIG2Decode, JPXDecode,
+  * CCITTFaxDecode), LZWDecode, TIFF predictor 2, CID/composite fonts
   * with ToUnicode CMaps (strings decode as Latin-1, exact for the
   * Standard/WinAnsi printable range).
   */
@@ -674,12 +678,29 @@ object PdfContainer {
   }
 
   private def decodeStream(dict: PDict, raw: Array[Byte], resolve: Obj => Obj): Array[Byte] = {
-    val inflated = resolve(dict.get("Filter").getOrElse(PNull)) match {
-      case PNull               => raw
-      case PName("FlateDecode") => inflate(raw)
-      case PArr(Vector())      => raw
-      case PArr(Vector(PName("FlateDecode"))) => inflate(raw)
-      case other               => throw PdfError(s"unsupported_filter:$other")
+    // filter CHAIN in array order (ISO 32000-1 7.4: the first filter is
+    // applied first on encode, so decode applies them first-to-last on the
+    // encoded bytes): Flate + the three byte-level transport filters.
+    // Unsupported filters (DCT/JBIG2/JPX/LZW/Crypt) stay loud.
+    val filterNames: Seq[String] =
+      resolve(dict.get("Filter").getOrElse(PNull)) match {
+        case PNull    => Nil
+        case PName(n) => Seq(n)
+        case PArr(items) =>
+          items.map(resolve).map {
+            case PName(n) => n
+            case other    => throw PdfError(s"bad_filter_entry:$other")
+          }
+        case other => throw PdfError(s"bad_filter:$other")
+      }
+    val inflated = filterNames.foldLeft(raw) { (acc, name) =>
+      name match {
+        case "FlateDecode"     => inflate(acc)
+        case "ASCIIHexDecode"  => asciiHexDecode(acc)
+        case "ASCII85Decode"   => ascii85Decode(acc)
+        case "RunLengthDecode" => runLengthDecode(acc)
+        case other             => throw PdfError(s"unsupported_filter:$other")
+      }
     }
     // /DecodeParms PNG predictors (Predictor >= 10): standard on xref
     // streams. TIFF predictor 2 is out of subset (loud). The parms may be
@@ -782,6 +803,117 @@ object PdfContainer {
     } catch {
       case _: java.util.zip.DataFormatException => throw PdfError("flate_corrupt")
     } finally inf.end()
+  }
+
+  /** Byte-level test access to the transport decoders (the chain path is
+    * exercised end to end through RealPdf round trips).
+    */
+  private[extract] def decodeTransportForTest(name: String, raw: Array[Byte]): Array[Byte] =
+    name match {
+      case "ASCIIHexDecode"  => asciiHexDecode(raw)
+      case "ASCII85Decode"   => ascii85Decode(raw)
+      case "RunLengthDecode" => runLengthDecode(raw)
+      case other             => throw PdfError(s"unsupported_filter:$other")
+    }
+
+  /** /ASCIIHexDecode (ISO 32000-1 7.4.2): hex pairs, whitespace ignored,
+    * `>` is EOD; an odd final digit implies a trailing zero nibble. Data
+    * ending at EOF without the EOD marker is accepted (common truncation
+    * in real crawled files); a non-hex byte stays loud.
+    */
+  private def asciiHexDecode(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(16, raw.length / 2))
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < raw.length && !done) {
+      val c = raw(i) & 0xff
+      if (c == '>') done = true
+      else if (!Character.isWhitespace(c)) {
+        val v = Character.digit(c, 16)
+        if (v < 0) throw PdfError(s"bad_asciihex_byte:$c")
+        if (hi < 0) hi = v
+        else { out.write((hi << 4) | v); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4)
+    out.toByteArray
+  }
+
+  /** /ASCII85Decode (ISO 32000-1 7.4.3): base-85 groups of 5 chars per 4
+    * bytes, `z` for an all-zero group, `~>` EOD, whitespace ignored. A
+    * partial final group of n chars yields n-1 bytes (pad with 'u'). A
+    * 1-char final group, an out-of-range character, or a group encoding
+    * above 2^32-1 is loud.
+    */
+  private def ascii85Decode(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(16, raw.length * 4 / 5))
+    var i = 0
+    // tolerate the Adobe `<~` header some producers emit
+    if (raw.length >= 2 && raw(0) == '<' && raw(1) == '~') i = 2
+    var tuple = 0L
+    var count = 0
+    var done = false
+    while (i < raw.length && !done) {
+      val c = raw(i) & 0xff
+      if (c == '~') done = true
+      else if (Character.isWhitespace(c)) ()
+      else if (c == 'z' && count == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
+      else if (c >= '!' && c <= 'u') {
+        tuple = tuple * 85 + (c - '!')
+        count += 1
+        if (count == 5) {
+          if (tuple > 0xffffffffL) throw PdfError("ascii85_group_overflow")
+          out.write(((tuple >> 24) & 0xff).toInt)
+          out.write(((tuple >> 16) & 0xff).toInt)
+          out.write(((tuple >> 8) & 0xff).toInt)
+          out.write((tuple & 0xff).toInt)
+          tuple = 0L
+          count = 0
+        }
+      } else throw PdfError(s"bad_ascii85_byte:$c")
+      i += 1
+    }
+    if (count == 1) throw PdfError("ascii85_orphan_digit")
+    if (count > 1) {
+      var t = tuple
+      var k = count
+      while (k < 5) { t = t * 85 + 84; k += 1 } // pad with 'u'
+      if (t > 0xffffffffL) throw PdfError("ascii85_group_overflow")
+      val bytes = Array(
+        ((t >> 24) & 0xff).toByte, ((t >> 16) & 0xff).toByte, ((t >> 8) & 0xff).toByte)
+      out.write(bytes, 0, count - 1)
+    }
+    out.toByteArray
+  }
+
+  /** /RunLengthDecode (ISO 32000-1 7.4.5): length byte L — 0..127 copies
+    * the next L+1 bytes, 129..255 repeats the next byte 257-L times, 128
+    * is EOD (EOF-as-end accepted). A run overrunning the input is loud.
+    */
+  private def runLengthDecode(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(16, raw.length * 2))
+    var i = 0
+    var done = false
+    while (i < raw.length && !done) {
+      val l = raw(i) & 0xff
+      if (l == 128) done = true
+      else if (l < 128) {
+        if (i + 1 + l + 1 > raw.length) throw PdfError("runlength_truncated")
+        out.write(raw, i + 1, l + 1)
+        i += l + 1
+      } else {
+        if (i + 1 >= raw.length) throw PdfError("runlength_truncated")
+        val b = raw(i + 1) & 0xff
+        var k = 257 - l
+        while (k > 0) { out.write(b); k -= 1 }
+        i += 1
+      }
+      i += 1
+      if (out.size() > (64 << 20)) throw PdfError("runlength_bomb") // containment
+    }
+    out.toByteArray
   }
 
   // ---- content-stream text extraction --------------------------------------

@@ -50,6 +50,67 @@ class PdfContainerSpec extends AnyFunSuite {
     }
   }
 
+  test("transport filters round trip: ASCIIHex, ASCII85, RunLength, chained with Flate") {
+    val runs = Seq(
+      line(100, "Transport-filtered content line one."),
+      line(112, "Repeated....... bytes exercise run lengths."),
+      line(124, "Binary-ish éü chars survive base-85."))
+    val expected = "Transport-filtered content line one.\n" +
+      "Repeated....... bytes exercise run lengths.\n" +
+      "Binary-ish éü chars survive base-85."
+    for (
+      transport <- Seq("ASCIIHexDecode", "ASCII85Decode", "RunLengthDecode");
+      compress <- Seq(false, true)
+    ) {
+      val pdf = RealPdf.document(Seq(PageSpec(
+        runs = runs, compress = compress, transport = Some(transport))))
+      val ex = PdfExtractor.extract(pdf)
+      assert(ex.isRight, s"transport=$transport compress=$compress: $ex")
+      assert(ex.toOption.get.text == expected, s"transport=$transport compress=$compress")
+    }
+  }
+
+  test("transport filter decoders: spec edge cases and loud failures") {
+    def dec(name: String, s: String): Array[Byte] =
+      PdfContainer.decodeTransportForTest(name, s.getBytes(StandardCharsets.ISO_8859_1))
+    def fails(name: String, bytes: Array[Byte]): Boolean =
+      try { PdfContainer.decodeTransportForTest(name, bytes); false }
+      catch { case _: PdfContainer.PdfError => true }
+    // odd final hex digit implies a low zero nibble; whitespace ignored;
+    // EOF without the '>' EOD accepted
+    assert(new String(dec("ASCIIHexDecode", "48 65 6c 6C 6f 2"), "ISO-8859-1") == "Hello ")
+    assert(new String(dec("ASCIIHexDecode", "48656c6c6f>"), "ISO-8859-1") == "Hello")
+    // 'z' shorthand for an all-zero group; '~>' EOD respected
+    assert(java.util.Arrays.equals(dec("ASCII85Decode", "z~>"), Array[Byte](0, 0, 0, 0)))
+    // known vector with a partial final group (2 chars -> 1 byte)
+    assert(new String(dec("ASCII85Decode", "BOu!rDZ~>"), "ISO-8859-1") == "hello")
+    // run-length: L=2 -> 3 literal bytes; L=253 -> repeat 'x' 4 times; EOD
+    val rle = Array[Byte](2, 'a', 'b', 'c', 253.toByte, 'x', 128.toByte)
+    assert(new String(PdfContainer.decodeTransportForTest("RunLengthDecode", rle),
+      "ISO-8859-1") == "abcxxxx")
+    // loud: bad hex byte, orphan base-85 digit, 5-digit group above 2^32-1,
+    // truncated run, unsupported filter name
+    assert(fails("ASCIIHexDecode", "4G>".getBytes("US-ASCII")))
+    assert(fails("ASCII85Decode", "a~>".getBytes("US-ASCII")))
+    assert(fails("ASCII85Decode", "uuuuu~>".getBytes("US-ASCII")))
+    assert(fails("RunLengthDecode", Array[Byte](5, 'a')))
+    assert(fails("LZWDecode", Array[Byte](1, 2, 3)))
+  }
+
+  test("an unsupported filter in a real container is a contained loud failure") {
+    // take a valid uncompressed doc and claim /Filter /LZWDecode on its
+    // content stream: parsing must fail loudly (Left), never crash
+    val pdf = RealPdf.document(Seq(PageSpec(runs = Seq(line(100, "x")))))
+    val s = new String(pdf, StandardCharsets.ISO_8859_1)
+    val at = s.indexOf("/Length")
+    assert(at > 0)
+    val doctored = (s.substring(0, at) + "/Filter /LZWDecode " + s.substring(at))
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val r = PdfContainer.parsePages(doctored)
+    assert(r.isLeft, r)
+    assert(r.left.toOption.get.contains("unsupported_filter"), r)
+  }
+
   test("two-column page segments and reads left column before right") {
     val runs = Seq(
       TextRun(72, 100, "Left top."),
