@@ -385,6 +385,37 @@ $footerBlock
       "",
       "en")
 
+  /** Same deterministic layouts shown through a /Type0 composite font
+    * (/Encoding /Identity-H + /ToUnicode CMap) in a modern container —
+    * the dominant shape LaTeX-fontspec/Word-era generators emit. Text
+    * includes non-Latin-1 chars so the CMap path is load-bearing.
+    */
+  def cidPdfRow(seed: Long, idx: Long): RawPage = {
+    val specs = realPdfSpecs(seed, idx).map { s =>
+      s.copy(
+        cidFont = true,
+        compress = false,
+        hexStrings = false,
+        splitContents = false,
+        // salt one run with chars outside Latin-1: forces real bfchar use
+        runs = s.runs.zipWithIndex.map {
+          case (r, 0) => r.copy(text = r.text + " — Σλ ünïcode")
+          case (r, _) => r
+        })
+    }
+    RawPage(
+      url(seed, idx),
+      new Timestamp(Epoch + idx * 1000L),
+      RealPdf.document(specs, xrefStream = true, objStmPack = true),
+      "",
+      "en")
+  }
+
+  def cidPdfPages(spark: SparkSession, from: Long, n: Long, seed: Long = DefaultSeed): Dataset[RawPage] = {
+    import spark.implicits._
+    spark.range(from, from + n, 1, 2).map(i => cidPdfRow(seed, i))
+  }
+
   private def realPdfSpecs(seed: Long, idx: Long): Seq[RealPdf.PageSpec] = {
     val paras = cleanParagraphs(seed, idx, int(seed, idx, 600, 3, 4))
     def wrap(p: String): Seq[String] = {

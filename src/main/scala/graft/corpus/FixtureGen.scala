@@ -29,6 +29,9 @@ object FixtureGen {
   // MODERN container (id Rows+SplicedRows+RealPdfRows): PDF 1.5 xref
   // stream + packed ObjStm + PNG Up predictor
   val ModernPdfRows = 1L
+  // CID/Type0 container (id Rows+SplicedRows+RealPdfRows+ModernPdfRows):
+  // Identity-H composite font + ToUnicode CMap, non-Latin-1 text (round 5)
+  val CidPdfRows = 1L
 
   def main(args: Array[String]): Unit = {
     val out = Paths.get(
@@ -47,6 +50,9 @@ object FixtureGen {
       .unionByName(
         CorpusGen.modernPdfPages(
           spark, Rows + SplicedRows + RealPdfRows, ModernPdfRows).toDF())
+      .unionByName(
+        CorpusGen.cidPdfPages(
+          spark, Rows + SplicedRows + RealPdfRows + ModernPdfRows, CidPdfRows).toDF())
     val cfg = ExtractionJob.JobConfig(numGroups = 8, numPartitions = 4, diagnostics = true)
     val results = ExtractionJob.extract(pages, cfg).collect().sortBy(_.url)
 

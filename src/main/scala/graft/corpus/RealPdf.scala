@@ -30,6 +30,13 @@ object RealPdf {
     * with `compress` the /Filter array is `[transport /FlateDecode]` —
     * decode order transport-first, exactly as real generators chain them.
     */
+  /** `cidFont = true` shows the page's text through a /Type0 composite
+    * font (/Encoding /Identity-H, CIDFontType2 descendant) with 2-byte
+    * codes equal to the Unicode codepoints, written as hex strings; the
+    * /ToUnicode CMap maps ASCII through one bfrange and every other used
+    * char through bfchar entries. `cidToUnicode = false` omits the CMap
+    * (the reader must refuse loudly — opaque glyph ids).
+    */
   final case class PageSpec(
       width: Int = 612,
       height: Int = 792,
@@ -38,7 +45,9 @@ object RealPdf {
       splitContents: Boolean = false,
       indirectLength: Boolean = false,
       hexStrings: Boolean = false,
-      transport: Option[String] = None)
+      transport: Option[String] = None,
+      cidFont: Boolean = false,
+      cidToUnicode: Boolean = true)
 
   private def escLiteral(s: String): String =
     s.flatMap {
@@ -62,14 +71,41 @@ object RealPdf {
 
   private def contentOps(p: PageSpec): String = {
     val sb = new StringBuilder
-    sb.append("BT\n/F1 10 Tf\n12 TL\n")
+    sb.append(s"BT\n${if (p.cidFont) "/F2" else "/F1"} 10 Tf\n12 TL\n")
     p.runs.foreach { r =>
       val pdfY = p.height - r.y // downward spec -> upward PDF axis
       sb.append(s"1 0 0 1 ${num1(r.x)} ${num1(pdfY)} Tm\n")
-      if (p.hexStrings) sb.append(s"<${hexOf(r.text)}> Tj\n")
+      if (p.cidFont) {
+        // 2-byte Identity-H codes (= codepoints here), hex-string form
+        val codes = r.text.map { c =>
+          require(!Character.isSurrogate(c), "BMP text only for CID pages")
+          f"${c.toInt}%04X"
+        }.mkString
+        sb.append(s"<$codes> Tj\n")
+      } else if (p.hexStrings) sb.append(s"<${hexOf(r.text)}> Tj\n")
       else sb.append(s"(${escLiteral(r.text)}) Tj\n")
     }
     sb.append("ET")
+    sb.toString
+  }
+
+  /** A /ToUnicode CMap over the used chars: ASCII printable through ONE
+    * bfrange (last-byte increment form), everything else through bfchar.
+    */
+  private def toUnicodeCMap(chars: Set[Char]): String = {
+    val extra = chars.filter(c => c < 0x20 || c > 0x7e).toSeq.sorted
+    val sb = new StringBuilder
+    sb.append("/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n")
+    sb.append("/CIDSystemInfo << /Registry (Graft) /Ordering (UCS) /Supplement 0 >> def\n")
+    sb.append("/CMapName /Graft-UCS def\n/CMapType 2 def\n")
+    sb.append("1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n")
+    sb.append("1 beginbfrange\n<0020> <007E> <0020>\nendbfrange\n")
+    if (extra.nonEmpty) {
+      sb.append(s"${extra.length} beginbfchar\n")
+      extra.foreach(c => sb.append(f"<${c.toInt}%04X> <${c.toInt}%04X>\n"))
+      sb.append("endbfchar\n")
+    }
+    sb.append("endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend")
     sb.toString
   }
 
@@ -203,6 +239,11 @@ object RealPdf {
     val pagesNum = alloc()
     val fontNum = alloc()
     val innerPagesNum = if (nestedKids) alloc() else -1
+    val anyCid = pages.exists(_.cidFont)
+    val anyToUni = pages.exists(p => p.cidFont && p.cidToUnicode)
+    val cidFontNum = if (anyCid) alloc() else -1
+    val cidDescNum = if (anyCid) alloc() else -1
+    val toUniNum = if (anyToUni) alloc() else -1
 
     // per page: page obj + content obj(s) + optional length obj(s)
     final case class PagePlan(
@@ -249,6 +290,29 @@ object RealPdf {
           plans.map(p => s"${p.pageNum} 0 R").mkString("[", " ", "]") +
           s" /Count ${plans.length} >>")
     dictObj(fontNum, "<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>")
+    if (anyCid) {
+      val toUniRef = if (anyToUni) s" /ToUnicode $toUniNum 0 R" else ""
+      dictObj(
+        cidFontNum,
+        s"<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
+          s"/Encoding /Identity-H /DescendantFonts [$cidDescNum 0 R]$toUniRef >>")
+      dictObj(
+        cidDescNum,
+        "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftCID " +
+          "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> " +
+          "/CIDToGIDMap /Identity /DW 600 >>")
+      if (anyToUni) {
+        val z = toUnicodeCMap(
+          pages.filter(p => p.cidFont && p.cidToUnicode)
+            .flatMap(_.runs).flatMap(_.text).toSet)
+          .getBytes(StandardCharsets.ISO_8859_1)
+        obj(toUniNum) {
+          ascii(s"<< /Length ${z.length} >>\nstream\n")
+          out.write(z)
+          ascii("\nendstream")
+        }
+      }
+    }
 
     plans.foreach { plan =>
       val p = plan.spec
@@ -258,10 +322,12 @@ object RealPdf {
         if (plan.contentNums.length == 1) s"${plan.contentNums.head} 0 R"
         else plan.contentNums.map(n => s"$n 0 R").mkString("[", " ", "]")
       val parent = if (nestedKids) innerPagesNum else pagesNum
+      val fontRes = s"/F1 $fontNum 0 R" +
+        (if (p.cidFont) s" /F2 $cidFontNum 0 R" else "")
       dictObj(
         plan.pageNum,
         s"<< /Type /Page /Parent $parent 0 R$mb /Contents $contents " +
-          s"/Resources << /Font << /F1 $fontNum 0 R >> >> >>")
+          s"/Resources << /Font << $fontRes >> >> >>")
       val opsAll = contentOps(p)
       val parts: Seq[String] =
         if (p.splitContents) {

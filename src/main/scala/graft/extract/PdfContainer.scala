@@ -40,13 +40,20 @@ import scala.collection.mutable
   *   - the text-showing operator set: BT/ET, Tf, Td, TD, TL, T*, Tm, Tj,
   *     TJ (with kerning adjustments), ' and ". Positions come from the
   *     text matrix; PDF's upward y axis is flipped into the downward
-  *     [[PdfExtractor.Run]] convention.
+  *     [[PdfExtractor.Run]] convention;
+  *   - fonts: simple fonts decode 1 byte/glyph as Latin-1 (exact for the
+  *     Standard/WinAnsi printable range); /Type0 composite fonts with
+  *     /Encoding /Identity-H decode their 2-byte CID strings through the
+  *     /ToUnicode CMap (codespacerange, bfchar, bfrange incl. the
+  *     destination-array form and multi-char ligature expansions) — the
+  *     dominant shape modern generators (LaTeX fontspec, MS Word) emit.
   *
   * Out of scope (fail loudly, contained as per-row failure rows): encrypted
   * documents, image/codec filters (DCTDecode, JBIG2Decode, JPXDecode,
-  * CCITTFaxDecode), LZWDecode, TIFF predictor 2, CID/composite fonts
-  * with ToUnicode CMaps (strings decode as Latin-1, exact for the
-  * Standard/WinAnsi printable range).
+  * CCITTFaxDecode), LZWDecode, TIFF predictor 2, predefined-CMap /Type0
+  * encodings (only Identity-H is in subset), and composite fonts WITHOUT
+  * a ToUnicode map (their strings are opaque glyph ids: refusing loudly
+  * beats emitting garbage for the quality gate to catch).
   */
 object PdfContainer {
 
@@ -631,7 +638,8 @@ object PdfContainer {
       val seen = mutable.Set.empty[Obj]
       def walk(node: PDict, inherited: Map[String, Obj], depth: Int): Unit = {
         if (depth > 64) throw PdfError("page_tree_too_deep")
-        val inh = inherited ++ node.v.view.filterKeys(_ == "MediaBox").toMap
+        val inh = inherited ++
+          node.v.view.filterKeys(k => k == "MediaBox" || k == "Resources").toMap
         resolve(node.get("Type").getOrElse(PNull)) match {
           case PName("Page") => out += ((node, PDict(inh)))
           case _ =>
@@ -916,6 +924,173 @@ object PdfContainer {
     out.toByteArray
   }
 
+  // ---- fonts: Type0/CID with ToUnicode CMaps --------------------------------
+
+  /** How strings shown under a given font resource decode to text. */
+  private sealed trait FontDec
+  /** Simple fonts (Type1/TrueType/Type3): 1 byte per glyph, Latin-1 —
+    * exact for the Standard/WinAnsi printable range the subset targets.
+    */
+  private case object Latin1Font extends FontDec
+  /** Composite font with a /ToUnicode CMap: fixed-width codes map to
+    * Unicode strings (possibly multi-char, e.g. ligature expansions).
+    */
+  private final case class CidFont(codeLen: Int, toUni: Map[Int, String]) extends FontDec
+  /** Composite font WITHOUT /ToUnicode: its strings are opaque glyph ids —
+    * any attempt to show text through it fails loudly (contained per page)
+    * rather than emitting garbage the quality gate must catch.
+    */
+  private case object CidNoToUni extends FontDec
+
+  private[extract] final case class ToUniCMap(codeLen: Int, map: Map[Int, String])
+
+  /** Parse a /ToUnicode CMap stream (ISO 32000-1 9.10.3 / Adobe CMap
+    * spec): `codespacerange` fixes the code byte-width (1 or 2 supported,
+    * mixed widths loud), `bfchar` maps single codes, `bfrange` maps dense
+    * ranges either by incrementing the LAST BYTE of the destination (must
+    * not overflow the byte, per spec) or through an explicit destination
+    * array. Destinations are UTF-16BE. Everything else in the PostScript
+    * wrapper is structural noise and is skipped.
+    */
+  private[extract] def parseToUnicode(bytes: Array[Byte]): ToUniCMap = {
+    val lx = new Lexer(bytes, 0)
+    val stack = mutable.ArrayBuffer.empty[Obj]
+    var codeLen = -1
+    val map = mutable.Map.empty[Int, String]
+    def codeOf(s: Array[Byte]): Int = {
+      if (codeLen < 0) {
+        if (s.length < 1 || s.length > 2) throw PdfError(s"cmap_code_width_${s.length}")
+        codeLen = s.length
+      }
+      if (s.length != codeLen) throw PdfError("cmap_mixed_code_width")
+      var v = 0
+      var i = 0
+      while (i < s.length) { v = (v << 8) | (s(i) & 0xff); i += 1 }
+      v
+    }
+    def uniOf(s: Array[Byte]): String = new String(s, StandardCharsets.UTF_16BE)
+    def guard(): Unit =
+      if (map.size > (1 << 20)) throw PdfError("cmap_bomb")
+    var mode = 0 // 0 outside, 1 codespace, 2 bfchar, 3 bfrange
+    while (!lx.atEnd) {
+      lx.skipWs()
+      if (!lx.atEnd) {
+        val b = lx.peek
+        if (b == '(' || b == '<' || b == '[' || b == '/' || b.toChar.isDigit ||
+          b == '+' || b == '-' || b == '.') {
+          stack += lx.obj(null)
+          mode match {
+            case 1 if stack.length == 2 =>
+              (stack(0), stack(1)) match {
+                case (PStr(lo), PStr(hi)) => codeOf(lo); codeOf(hi)
+                case other                => throw PdfError(s"cmap_bad_codespace:$other")
+              }
+              stack.clear()
+            case 2 if stack.length == 2 =>
+              (stack(0), stack(1)) match {
+                case (PStr(src), PStr(dst)) => map(codeOf(src)) = uniOf(dst); guard()
+                case other                  => throw PdfError(s"cmap_bad_bfchar:$other")
+              }
+              stack.clear()
+            case 3 if stack.length == 3 =>
+              (stack(0), stack(1), stack(2)) match {
+                case (PStr(lo), PStr(hi), dst) =>
+                  val loC = codeOf(lo)
+                  val hiC = codeOf(hi)
+                  if (hiC < loC) throw PdfError("cmap_bad_range")
+                  dst match {
+                    case PStr(d) if d.nonEmpty =>
+                      var off = 0
+                      while (off <= hiC - loC) {
+                        val nb = d.clone()
+                        val last = (nb(nb.length - 1) & 0xff) + off
+                        // the spec forbids a range whose increment crosses
+                        // the final byte: refuse rather than wrap
+                        if (last > 0xff) throw PdfError("cmap_range_overflow")
+                        nb(nb.length - 1) = last.toByte
+                        map(loC + off) = uniOf(nb)
+                        off += 1
+                      }
+                      guard()
+                    case PArr(items) =>
+                      if (items.length != hiC - loC + 1)
+                        throw PdfError("cmap_range_array_mismatch")
+                      items.zipWithIndex.foreach {
+                        case (PStr(d), k) => map(loC + k) = uniOf(d)
+                        case (other, _)   => throw PdfError(s"cmap_bad_range_dst:$other")
+                      }
+                      guard()
+                    case other => throw PdfError(s"cmap_bad_range_dst:$other")
+                  }
+                case other => throw PdfError(s"cmap_bad_bfrange:$other")
+              }
+              stack.clear()
+            case _ => ()
+          }
+        } else {
+          lx.token() match {
+            case "begincodespacerange" => mode = 1; stack.clear()
+            case "endcodespacerange"   => mode = 0; stack.clear()
+            case "beginbfchar"         => mode = 2; stack.clear()
+            case "endbfchar"           => mode = 0; stack.clear()
+            case "beginbfrange"        => mode = 3; stack.clear()
+            case "endbfrange"          => mode = 0; stack.clear()
+            case _                     => stack.clear()
+          }
+        }
+      }
+    }
+    ToUniCMap(if (codeLen < 0) 2 else codeLen, map.toMap)
+  }
+
+  /** Resolve the page's /Resources /Font dictionary (inheritable through
+    * the page tree) into per-name decode behaviors. Only /Type0 changes
+    * decoding; Identity-H is the supported (modern-generator standard)
+    * encoding — predefined CMap encodings are out of subset and loud.
+    */
+  private def fontsOf(
+      resolve: Obj => Obj,
+      page: PDict,
+      inherited: PDict): Map[String, FontDec] = {
+    val res = resolve(
+      page.get("Resources").orElse(inherited.get("Resources")).getOrElse(PNull)) match {
+      case d: PDict => d
+      case PNull    => return Map.empty
+      case other    => throw PdfError(s"bad_resources:$other")
+    }
+    resolve(res.get("Font").getOrElse(PNull)) match {
+      case PNull => Map.empty
+      case fd: PDict =>
+        fd.v.map { case (name, fref) =>
+          val dec = resolve(fref) match {
+            case f: PDict =>
+              resolve(f.get("Subtype").getOrElse(PNull)) match {
+                case PName("Type0") =>
+                  resolve(f.get("Encoding").getOrElse(PNull)) match {
+                    case PName("Identity-H") => ()
+                    case other => throw PdfError(s"unsupported_cid_encoding:$other")
+                  }
+                  resolve(f.get("ToUnicode").getOrElse(PNull)) match {
+                    case s: PStream =>
+                      val cm = parseToUnicode(decodeStream(s.dict, s.raw, resolve))
+                      // Identity-H strings are 2-byte codes; a CMap whose
+                      // codespace disagrees would misalign every string
+                      if (cm.codeLen != 2)
+                        throw PdfError(s"cid_code_width_${cm.codeLen}")
+                      CidFont(cm.codeLen, cm.map)
+                    case PNull  => CidNoToUni
+                    case other  => throw PdfError(s"bad_tounicode:$other")
+                  }
+                case _ => Latin1Font
+              }
+            case other => throw PdfError(s"bad_font:$other")
+          }
+          name -> dec
+        }
+      case other => throw PdfError(s"bad_font_resource:$other")
+    }
+  }
+
   // ---- content-stream text extraction --------------------------------------
 
   /** Nominal char advance in text-space units per point of font size for the
@@ -929,7 +1104,9 @@ object PdfContainer {
     */
   private final case class RawRun(x: Double, yUp: Double, fs: Double, text: String)
 
-  private def runsOf(content: Array[Byte]): Vector[RawRun] = {
+  private def runsOf(
+      content: Array[Byte],
+      fonts: Map[String, FontDec] = Map.empty): Vector[RawRun] = {
     val lx = new Lexer(content, 0)
     val stack = mutable.ArrayBuffer.empty[Obj]
     val runs = Vector.newBuilder[RawRun]
@@ -949,12 +1126,35 @@ object PdfContainer {
 
     def effSize: Double = fs * ((ma + md) / 2) // axis-aligned: ma==md in practice
 
+    // current font decode behavior, switched by Tf; a name missing from
+    // the resources keeps the legacy simple-font decode (lenient — the
+    // synthetic and hand-built corpora do not always declare resources)
+    var curFont: FontDec = Latin1Font
+
     def emit(bytes: Array[Byte]): Unit = {
-      val text = new String(bytes, StandardCharsets.ISO_8859_1)
-      if (text.nonEmpty) {
-        runs += RawRun(cursorX, ty, effSize, text)
-        cursorX += text.length * fs * FixedPitchEm * ma
+      // decoded text + GLYPH count: the advance model is per glyph code,
+      // which for a CID ligature expansion differs from the char count
+      val (text, glyphs) = curFont match {
+        case Latin1Font => (new String(bytes, StandardCharsets.ISO_8859_1), bytes.length)
+        case CidFont(len, toUni) =>
+          if (bytes.length % len != 0) throw PdfError("cid_string_misaligned")
+          val sb = new StringBuilder(bytes.length / len)
+          var i = 0
+          while (i < bytes.length) {
+            var code = 0
+            var k = 0
+            while (k < len) { code = (code << 8) | (bytes(i + k) & 0xff); k += 1 }
+            // an unmapped code is a data defect in the producer's CMap:
+            // U+FFFD keeps the page recoverable and lets the downstream
+            // quality gate judge the damage (PyMuPDF does the same)
+            sb.append(toUni.getOrElse(code, "�"))
+            i += len
+          }
+          (sb.toString, bytes.length / len)
+        case CidNoToUni => throw PdfError("cid_font_without_tounicode")
       }
+      if (text.nonEmpty) runs += RawRun(cursorX, ty, effSize, text)
+      cursorX += glyphs * fs * FixedPitchEm * ma
     }
 
     def num(o: Obj): Double = o match {
@@ -977,6 +1177,10 @@ object PdfContainer {
             case "ET" => stack.clear()
             case "Tf" =>
               if (stack.nonEmpty) fs = num(stack.last)
+              if (stack.length >= 2) stack(stack.length - 2) match {
+                case PName(n) => curFont = fonts.getOrElse(n, Latin1Font)
+                case _        => ()
+              }
               stack.clear()
             case "TL" =>
               if (stack.nonEmpty) leading = num(stack.last)
@@ -1099,7 +1303,7 @@ object PdfContainer {
         }
         val content = doc.contentBytes(page)
         graft.util.StepBudget.tick(content.length.toLong)
-        toPage(runsOf(content), llx, lly, w, h)
+        toPage(runsOf(content, fontsOf(doc.resolve, page, inherited)), llx, lly, w, h)
       }
       if (pages.isEmpty) Left("pdf_no_pages") else Right(pages)
     } catch {

@@ -111,6 +111,79 @@ class PdfContainerSpec extends AnyFunSuite {
     assert(r.left.toOption.get.contains("unsupported_filter"), r)
   }
 
+  test("Type0/CID font with ToUnicode CMap round trips, incl. non-Latin text") {
+    val runs = Seq(
+      line(100, "A CID-keyed first line."),
+      line(112, "Grüße from ünicode — Σωκράτης."),
+      line(160, "New paragraph via composite font."))
+    val expected = "A CID-keyed first line.\nGrüße from ünicode — Σωκράτης." +
+      "\n\nNew paragraph via composite font."
+    // classic container and the modern 1.5 packed form both carry the fonts
+    for (modern <- Seq(false, true)) {
+      val pdf = RealPdf.document(
+        Seq(PageSpec(runs = runs, cidFont = true, compress = modern)),
+        xrefStream = modern, objStmPack = modern)
+      val ex = PdfExtractor.extract(pdf)
+      assert(ex.isRight, s"modern=$modern: $ex")
+      assert(ex.toOption.get.text == expected, s"modern=$modern")
+    }
+  }
+
+  test("mixed simple and CID pages in one document extract in order") {
+    val pdf = RealPdf.document(Seq(
+      PageSpec(runs = Seq(line(100, "Simple-font page one."))),
+      PageSpec(runs = Seq(line(100, "Composite-font page two.")), cidFont = true)))
+    val ex = PdfExtractor.extract(pdf)
+    assert(ex.isRight, ex)
+    assert(ex.toOption.get.text == "Simple-font page one.\n\nComposite-font page two.")
+  }
+
+  test("CID font WITHOUT ToUnicode is a contained loud failure") {
+    val pdf = RealPdf.document(Seq(PageSpec(
+      runs = Seq(line(100, "opaque glyphs")), cidFont = true, cidToUnicode = false)))
+    val r = PdfContainer.parsePages(pdf)
+    assert(r.isLeft, r)
+    assert(r.left.toOption.get.contains("cid_font_without_tounicode"), r)
+  }
+
+  test("a predefined-CMap Type0 encoding is out of subset and loud") {
+    val pdf = RealPdf.document(Seq(PageSpec(
+      runs = Seq(line(100, "x")), cidFont = true)))
+    val s = new String(pdf, StandardCharsets.ISO_8859_1)
+      .replace("/Identity-H", "/UniJIS-UCS2-H")
+    val r = PdfContainer.parsePages(s.getBytes(StandardCharsets.ISO_8859_1))
+    assert(r.isLeft, r)
+    assert(r.left.toOption.get.contains("unsupported_cid_encoding"), r)
+  }
+
+  test("ToUnicode CMap parser: ligature expansion, range-array form, loud overflows") {
+    def cmap(body: String): Array[Byte] =
+      ("/CIDInit /ProcSet findresource begin\nbegincmap\n" +
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+        body + "\nendcmap\nend").getBytes(StandardCharsets.ISO_8859_1)
+    // bfchar with a MULTI-CHAR destination (ffi ligature expansion)
+    val lig = PdfContainer.parseToUnicode(cmap(
+      "1 beginbfchar\n<0001> <006600660069>\nendbfchar"))
+    assert(lig.codeLen == 2 && lig.map(1) == "ffi")
+    // bfrange with an explicit destination ARRAY
+    val arr = PdfContainer.parseToUnicode(cmap(
+      "1 beginbfrange\n<0010> <0012> [<0041> <0062> <00660069>]\nendbfrange"))
+    assert(arr.map(0x10) == "A" && arr.map(0x11) == "b" && arr.map(0x12) == "fi")
+    // bfrange last-byte increment
+    val inc = PdfContainer.parseToUnicode(cmap(
+      "1 beginbfrange\n<0020> <0022> <0061>\nendbfrange"))
+    assert(inc.map(0x20) == "a" && inc.map(0x21) == "b" && inc.map(0x22) == "c")
+    def loud(body: String): Boolean =
+      try { PdfContainer.parseToUnicode(cmap(body)); false }
+      catch { case _: PdfContainer.PdfError => true }
+    // increment crossing the destination's final byte
+    assert(loud("1 beginbfrange\n<0000> <0100> <00FF>\nendbfrange"))
+    // destination array of the wrong length
+    assert(loud("1 beginbfrange\n<0010> <0012> [<0041>]\nendbfrange"))
+    // mixed code widths
+    assert(loud("2 beginbfchar\n<0001> <0041>\n<02> <0042>\nendbfchar"))
+  }
+
   test("two-column page segments and reads left column before right") {
     val runs = Seq(
       TextRun(72, 100, "Left top."),

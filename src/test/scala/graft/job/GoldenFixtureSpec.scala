@@ -22,7 +22,7 @@ class GoldenFixtureSpec extends AnyFunSuite {
 
   private val AllRows =
     FixtureGen.Rows + FixtureGen.SplicedRows + FixtureGen.RealPdfRows +
-      FixtureGen.ModernPdfRows
+      FixtureGen.ModernPdfRows + FixtureGen.CidPdfRows
 
   private lazy val results = {
     val pages = CorpusGen.pages(spark, FixtureGen.Rows).toDF()
@@ -34,6 +34,11 @@ class GoldenFixtureSpec extends AnyFunSuite {
         spark,
         FixtureGen.Rows + FixtureGen.SplicedRows + FixtureGen.RealPdfRows,
         FixtureGen.ModernPdfRows).toDF())
+      .unionByName(CorpusGen.cidPdfPages(
+        spark,
+        FixtureGen.Rows + FixtureGen.SplicedRows + FixtureGen.RealPdfRows +
+          FixtureGen.ModernPdfRows,
+        FixtureGen.CidPdfRows).toDF())
     val cfg = ExtractionJob.JobConfig(numGroups = 8, numPartitions = 4, diagnostics = true)
     ExtractionJob.extract(pages, cfg).collect()
       .map(r => r.url.substring(r.url.lastIndexOf('/') + 1).toLong -> r)
@@ -58,11 +63,17 @@ class GoldenFixtureSpec extends AnyFunSuite {
     // the real-container docs pin the ISO 32000 front-end: pdf engine,
     // successful extraction, nonempty pdf-col spans
     val realFrom = FixtureGen.Rows + FixtureGen.SplicedRows
-    (realFrom until realFrom + FixtureGen.RealPdfRows + FixtureGen.ModernPdfRows).foreach { i =>
+    val realRows = FixtureGen.RealPdfRows + FixtureGen.ModernPdfRows +
+      FixtureGen.CidPdfRows
+    (realFrom until realFrom + realRows).foreach { i =>
       assert(results(i).success, s"doc_$i real-pdf success")
       assert(results(i).spans.exists(_.kind.startsWith("pdf-p")), s"doc_$i spans")
       assert(results(i).extracted_text.length > 100, s"doc_$i text length")
     }
+    // the CID fixture pins the composite-font path: its non-Latin-1 salt
+    // must survive the ToUnicode decode byte-exactly
+    val cidIdx = realFrom + FixtureGen.RealPdfRows + FixtureGen.ModernPdfRows
+    assert(results(cidIdx).extracted_text.contains("Σλ ünïcode"), s"doc_$cidIdx cid salt")
   }
 
   test("engine, flags, scores and spans match the frozen metadata") {
