@@ -54,24 +54,24 @@ object Bench {
       val first = once()
       // deterministic queries fail deterministically: don't pay a second run
       val second = first.flatMap(_ => once())
-      // noisy-triggered third rep: a burst-spread pair (max/min > 3) or a
-      // crashed second run gets ONE more sample in the same process, so a
-      // single throttle burst settles in-round instead of waiting for the
-      // next round's re-run (r4 verdict: q_quality_score/q_postprocess_chain
-      // doubled under flagged throttle windows with unchanged plans)
+      // noisy-triggered third rep: a burst-spread pair (max/min > 3) gets
+      // ONE more sample in the same process, so a single throttle burst
+      // settles in-round instead of waiting for the next round's re-run
+      // (r4 verdict: q_quality_score/q_postprocess_chain doubled under
+      // flagged throttle windows with unchanged plans). A CRASHED second
+      // run is deliberately NOT retried away: deterministic queries fail
+      // deterministically, so a crash after a clean run is infra flake
+      // worth keeping visible (mx = -1, noisy) rather than settling
       val burst = (first, second) match {
         case (Some(a), Some(b)) => math.max(a, b) / math.min(a, b) > 3.0
-        case (Some(_), None)    => true
         case _                  => false
       }
       val third = if (burst) once() else None
       val samples = Seq(first, second, third).flatten.sorted
-      val crashedRerun = first.isDefined && (second.isEmpty || (burst && third.isEmpty))
+      val crashedRerun =
+        first.isDefined && (second.isEmpty || (burst && third.isEmpty))
       if (samples.isEmpty) failed += name // marked, never silent
       val mn = samples.headOption.getOrElse(-1.0)
-      // a rerun that dies after a clean first run must stay visible too:
-      // max reads -1 and the spread flags it noisy, so the artifact can
-      // never masquerade as consistent burst-free samples
       val mx = if (crashedRerun) -1.0 else samples.lastOption.getOrElse(-1.0)
       // noisy iff no TWO consistent samples exist: with three reps the two
       // smallest agreeing (ratio <= 3) adjudicates the outlier as a burst

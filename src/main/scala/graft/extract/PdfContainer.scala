@@ -1051,7 +1051,8 @@ object PdfContainer {
   private def fontsOf(
       resolve: Obj => Obj,
       page: PDict,
-      inherited: PDict): Map[String, FontDec] = {
+      inherited: PDict,
+      cmapCache: mutable.Map[Obj, ToUniCMap]): Map[String, FontDec] = {
     val res = resolve(
       page.get("Resources").orElse(inherited.get("Resources")).getOrElse(PNull)) match {
       case d: PDict => d
@@ -1070,13 +1071,21 @@ object PdfContainer {
                     case PName("Identity-H") => ()
                     case other => throw PdfError(s"unsupported_cid_encoding:$other")
                   }
-                  resolve(f.get("ToUnicode").getOrElse(PNull)) match {
+                  val toUniRef = f.get("ToUnicode").getOrElse(PNull)
+                  resolve(toUniRef) match {
                     case s: PStream =>
-                      val cm = parseToUnicode(decodeStream(s.dict, s.raw, resolve))
-                      // Identity-H strings are 2-byte codes; a CMap whose
-                      // codespace disagrees would misalign every string
-                      if (cm.codeLen != 2)
-                        throw PdfError(s"cid_code_width_${cm.codeLen}")
+                      // one parse per document, not per page: multi-page
+                      // docs share the font object (the LaTeX/Word shape),
+                      // and the PRef key makes the cache hit across pages
+                      val cm = cmapCache.getOrElseUpdate(toUniRef, {
+                        val parsed =
+                          parseToUnicode(decodeStream(s.dict, s.raw, resolve))
+                        // Identity-H strings are 2-byte codes; a CMap whose
+                        // codespace disagrees would misalign every string
+                        if (parsed.codeLen != 2)
+                          throw PdfError(s"cid_code_width_${parsed.codeLen}")
+                        parsed
+                      })
                       CidFont(cm.codeLen, cm.map)
                     case PNull  => CidNoToUni
                     case other  => throw PdfError(s"bad_tounicode:$other")
@@ -1289,6 +1298,7 @@ object PdfContainer {
       // payload before routing; double-charging would make real containers
       // pay twice the budget of synthetic ones for the same bytes (B3)
       val doc = new Doc(payload)
+      val cmapCache = mutable.Map.empty[Obj, ToUniCMap]
       val pages = doc.pages().map { case (page, inherited) =>
         val mb = doc.resolve(
           page.get("MediaBox").orElse(inherited.get("MediaBox")).getOrElse(PNull))
@@ -1303,7 +1313,9 @@ object PdfContainer {
         }
         val content = doc.contentBytes(page)
         graft.util.StepBudget.tick(content.length.toLong)
-        toPage(runsOf(content, fontsOf(doc.resolve, page, inherited)), llx, lly, w, h)
+        toPage(
+          runsOf(content, fontsOf(doc.resolve, page, inherited, cmapCache)),
+          llx, lly, w, h)
       }
       if (pages.isEmpty) Left("pdf_no_pages") else Right(pages)
     } catch {

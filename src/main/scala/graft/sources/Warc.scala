@@ -151,10 +151,12 @@ object Warc {
       // de-chunk: hex length CRLF data CRLF ... 0 CRLF CRLF. A hostile or
       // broken server can emit arbitrary chunk-size lines. Outcomes:
       //  - 0-terminator seen            -> assembled content (success)
-      //  - valid size line, data cut    -> assembled prefix + the partial
-      //    final chunk (truncated capture; the tail is still page text)
-      //  - invalid size line / no line  -> the RAW body (framing failure;
-      //    never a partially-dechunked buffer) and the error is counted
+      //  - truncated capture AFTER at least one framed chunk (data cut
+      //    mid-chunk, or the next size line missing/unterminated) ->
+      //    assembled prefix incl. any partial final-chunk data, counted
+      //  - framing failure BEFORE anything framed (invalid or absent
+      //    first size line) -> the RAW body (never a partially-dechunked
+      //    buffer) and the error is counted
       try {
         val out = new java.io.ByteArrayOutputStream(body.length)
         var p = 0
@@ -176,7 +178,13 @@ object Warc {
           val lenL = if (lenStr.isEmpty || lenStr.length > 15) -1L
             else java.lang.Long.parseLong(lenStr, 16)
           if (lenL == 0L) return out.toByteArray // 0-terminator: success
-          if (lenL < 0L) { onError(); return body } // invalid size line
+          if (lenL < 0L) {
+            // invalid size line: mid-stream it follows correctly framed
+            // chunks (corruption — keep the assembled prefix); on the
+            // FIRST line the framing never held (raw body back)
+            onError()
+            return if (chunks == 0) body else out.toByteArray
+          }
           val start = lineEnd + 1
           if (lenL > (body.length - start).toLong) {
             // declared size overruns the capture: truncated final chunk —

@@ -194,6 +194,15 @@ class WarcSpec extends AnyFunSuite {
     assert(r2.records.length == 1)
     assert(new String(r2.records.head.payload, StandardCharsets.US_ASCII) == "hello world")
     assert(r2.errors >= 1)
+    // 2b. garbage size line AFTER a correctly framed chunk: the framing was
+    //     real, so the assembled prefix survives (uniform truncated-capture
+    //     handling), counted
+    val env2b = (head + "Transfer-Encoding: chunked\r\n\r\n" +
+      "5\r\nhello\r\nZZZ\r\nrest").getBytes(StandardCharsets.US_ASCII)
+    val r2b = parse(archiveWith(env2b))
+    assert(r2b.records.length == 1)
+    assert(new String(r2b.records.head.payload, StandardCharsets.US_ASCII) == "hello")
+    assert(r2b.errors >= 1)
     // 3. tolerant coding detection: no space after the colon still de-chunks
     val env3 = (head + "Transfer-Encoding:chunked\r\n\r\n" +
       "5\r\nhello\r\n0\r\n\r\n").getBytes(StandardCharsets.US_ASCII)
