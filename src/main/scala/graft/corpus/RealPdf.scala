@@ -183,11 +183,68 @@ object RealPdf {
     out.toByteArray
   }
 
+  /** TIFF-style LZW encoder (ISO 32000-1 7.4.4, EarlyChange=1): MSB-first
+    * bit packing, 9->12-bit growth mirroring the reader's width rule,
+    * Clear at start and before the table fills, EOD terminator.
+    */
+  private def lzwEncode(b: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(b.length + 16)
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code.toLong
+      bitCnt += width
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt)
+        bitCnt -= 8
+      }
+    }
+    val dict = new java.util.HashMap[String, Integer]()
+    var nextCode = 258
+    def reset(): Unit = { dict.clear(); nextCode = 258; width = 9 }
+    put(256) // initial Clear
+    reset()
+    val cur = new StringBuilder // byte sequence as chars 0..255
+    def codeOf(s: CharSequence): Int =
+      if (s.length == 1) s.charAt(0).toInt else dict.get(s.toString).intValue()
+    b.foreach { byte =>
+      val k = (byte & 0xff).toChar
+      if (cur.isEmpty) cur.append(k)
+      else {
+        cur.append(k)
+        if (dict.containsKey(cur.toString)) () // extend
+        else {
+          val candidate = cur.toString
+          cur.setLength(cur.length - 1)
+          put(codeOf(cur))
+          dict.put(candidate, nextCode)
+          nextCode += 1
+          // decoder lockstep: the reader's add for the code we just wrote
+          // happens only when it reads the NEXT code, so its width (grown
+          // after ITS add, nextCode+earlyChange >= 1<<width) trails ours
+          // by one add — the writer must therefore grow one emit later:
+          // nextCode + earlyChange - 1 >= 1<<width, with EarlyChange=1:
+          if (nextCode >= (1 << width) && width < 12) width += 1
+          // clear safely before the table fills (decoder resets in lockstep)
+          if (nextCode >= 4000) { put(256); reset() }
+          cur.setLength(0)
+          cur.append(k)
+        }
+      }
+    }
+    if (cur.nonEmpty) put(codeOf(cur))
+    put(257) // EOD
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt) // pad
+    out.toByteArray
+  }
+
   private def applyTransport(p: PageSpec, flateBody: Array[Byte]): (Array[Byte], String) = {
     val body = p.transport match {
       case Some("ASCIIHexDecode")  => asciiHexEncode(flateBody)
       case Some("ASCII85Decode")   => ascii85Encode(flateBody)
       case Some("RunLengthDecode") => runLengthEncode(flateBody)
+      case Some("LZWDecode")       => lzwEncode(flateBody)
       case Some(other)             => throw new IllegalArgumentException(s"unknown transport $other")
       case None                    => flateBody
     }

@@ -31,10 +31,12 @@ import scala.collection.mutable
   *     hex strings, numbers, booleans, null, indirect references,
   *     comments, streams with direct or INDIRECT /Length;
   *   - stream filter chains in array order: /FlateDecode via java.util.zip
-  *     (the compression real generators emit) plus the byte-level transport
-  *     filters /ASCIIHexDecode, /ASCII85Decode and /RunLengthDecode;
-  *     unfiltered streams; unsupported filters (DCT/JBIG2/JPX/LZW/Crypt)
-  *     fail loudly per page;
+  *     (the compression real generators emit), /LZWDecode (TIFF-style LZW
+  *     with EarlyChange, the pre-Flate-era compression old crawled PDFs
+  *     carry) and the byte-level transport filters /ASCIIHexDecode,
+  *     /ASCII85Decode and /RunLengthDecode; unfiltered streams;
+  *     unsupported filters (DCT/JBIG2/JPX/CCITT/Crypt) fail loudly per
+  *     page;
   *   - the page tree (/Root -> /Pages -> /Kids recursion, cycle-guarded)
   *     with inheritable /MediaBox;
   *   - the text-showing operator set: BT/ET, Tf, Td, TD, TL, T*, Tm, Tj,
@@ -50,7 +52,7 @@ import scala.collection.mutable
   *
   * Out of scope (fail loudly, contained as per-row failure rows): encrypted
   * documents, image/codec filters (DCTDecode, JBIG2Decode, JPXDecode,
-  * CCITTFaxDecode), LZWDecode, TIFF predictor 2, predefined-CMap /Type0
+  * CCITTFaxDecode), TIFF predictor 2, predefined-CMap /Type0
   * encodings (only Identity-H is in subset), and composite fonts WITHOUT
   * a ToUnicode map (their strings are opaque glyph ids: refusing loudly
   * beats emitting garbage for the quality gate to catch).
@@ -701,9 +703,25 @@ object PdfContainer {
           }
         case other => throw PdfError(s"bad_filter:$other")
       }
+    // /LZWDecode EarlyChange rides in DecodeParms (default 1); with one
+    // LZW filter in the chain the first parms dict carrying EarlyChange
+    // is the operative one (same ISO 32000-1 Table 5 pairing rule as the
+    // predictor handling below)
+    lazy val earlyChange: Int = {
+      val parms = resolve(dict.get("DecodeParms").orElse(dict.get("DP")).getOrElse(PNull))
+      val dicts = parms match {
+        case d: PDict    => Seq(d)
+        case PArr(items) => items.map(resolve).collect { case d: PDict => d }
+        case _           => Nil
+      }
+      dicts.flatMap(d => d.get("EarlyChange").map(resolve)).collectFirst {
+        case PNum(v) if v == 0 || v == 1 => v.toInt
+      }.getOrElse(1)
+    }
     val inflated = filterNames.foldLeft(raw) { (acc, name) =>
       name match {
         case "FlateDecode"     => inflate(acc)
+        case "LZWDecode"       => lzwDecode(acc, earlyChange)
         case "ASCIIHexDecode"  => asciiHexDecode(acc)
         case "ASCII85Decode"   => ascii85Decode(acc)
         case "RunLengthDecode" => runLengthDecode(acc)
@@ -816,13 +834,102 @@ object PdfContainer {
   /** Byte-level test access to the transport decoders (the chain path is
     * exercised end to end through RealPdf round trips).
     */
-  private[extract] def decodeTransportForTest(name: String, raw: Array[Byte]): Array[Byte] =
+  private[extract] def decodeTransportForTest(
+      name: String, raw: Array[Byte], earlyChange: Int = 1): Array[Byte] =
     name match {
       case "ASCIIHexDecode"  => asciiHexDecode(raw)
       case "ASCII85Decode"   => ascii85Decode(raw)
       case "RunLengthDecode" => runLengthDecode(raw)
+      case "LZWDecode"       => lzwDecode(raw, earlyChange)
       case other             => throw PdfError(s"unsupported_filter:$other")
     }
+
+  /** /LZWDecode (ISO 32000-1 7.4.4): TIFF-style LZW — MSB-first bit
+    * packing, 9-bit codes growing to 12, Clear=256 resets the table,
+    * EOD=257. `earlyChange` (default 1) advances the code width one entry
+    * early, the historical off-by-one both Adobe and real generators ship.
+    * Corrupt code sequences, missing growth resets and output bombs are
+    * loud; data ending without EOD is accepted (truncated captures).
+    */
+  private def lzwDecode(raw: Array[Byte], earlyChange: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, raw.length * 3))
+    // table entries 258+ as (prefix code, appended byte); literals/controls
+    // are implicit. Decoding a code walks the chain backwards.
+    val prefix = new Array[Int](4096)
+    val append = new Array[Byte](4096)
+    var nextCode = 258
+    var width = 9
+    var prev = -1
+    var bitBuf = 0L
+    var bitCnt = 0
+    var i = 0
+    val scratch = new Array[Byte](4096)
+    def bytesOf(code: Int): Int = { // writes into scratch, returns length
+      var c = code
+      var n = 0
+      while (c >= 258) {
+        if (n >= scratch.length) throw PdfError("lzw_chain_too_long")
+        scratch(n) = append(c); n += 1
+        c = prefix(c)
+      }
+      if (c >= 256) throw PdfError("lzw_bad_chain")
+      scratch(n) = c.toByte
+      n + 1
+    }
+    def firstByteOf(code: Int): Byte = {
+      var c = code
+      while (c >= 258) c = prefix(c)
+      if (c >= 256) throw PdfError("lzw_bad_chain")
+      c.toByte
+    }
+    def writeReversed(n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) { out.write(scratch(k) & 0xff); k -= 1 }
+      if (out.size() > (64 << 20)) throw PdfError("lzw_bomb")
+    }
+    var done = false
+    while (!done) {
+      while (bitCnt < width && i < raw.length) {
+        bitBuf = (bitBuf << 8) | (raw(i) & 0xffL)
+        bitCnt += 8
+        i += 1
+      }
+      if (bitCnt < width) done = true // truncated tail: accept what decoded
+      else {
+        val code = ((bitBuf >> (bitCnt - width)) & ((1L << width) - 1)).toInt
+        bitCnt -= width
+        graft.util.StepBudget.tick(1L)
+        if (code == 257) done = true // EOD
+        else if (code == 256) { nextCode = 258; width = 9; prev = -1 } // Clear
+        else if (prev < 0) {
+          if (code > 255) throw PdfError("lzw_bad_first_code")
+          out.write(code)
+          prev = code
+        } else {
+          if (code > nextCode || (code == nextCode && nextCode >= 4096))
+            throw PdfError("lzw_bad_code")
+          if (code == nextCode) {
+            // KwKwK case: current = prev + firstByte(prev)
+            val n = bytesOf(prev)
+            writeReversed(n)
+            out.write(firstByteOf(prev) & 0xff)
+            prefix(nextCode) = prev; append(nextCode) = firstByteOf(prev)
+            nextCode += 1
+          } else {
+            val n = bytesOf(code)
+            writeReversed(n)
+            if (nextCode < 4096) {
+              prefix(nextCode) = prev; append(nextCode) = firstByteOf(code)
+              nextCode += 1
+            } else throw PdfError("lzw_table_overflow") // encoder must Clear
+          }
+          prev = code
+          if (nextCode + earlyChange >= (1 << width) && width < 12) width += 1
+        }
+      }
+    }
+    out.toByteArray
+  }
 
   /** /ASCIIHexDecode (ISO 32000-1 7.4.2): hex pairs, whitespace ignored,
     * `>` is EOD; an odd final digit implies a trailing zero nibble. Data

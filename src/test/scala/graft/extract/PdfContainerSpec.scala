@@ -59,7 +59,7 @@ class PdfContainerSpec extends AnyFunSuite {
       "Repeated....... bytes exercise run lengths.\n" +
       "Binary-ish éü chars survive base-85."
     for (
-      transport <- Seq("ASCIIHexDecode", "ASCII85Decode", "RunLengthDecode");
+      transport <- Seq("ASCIIHexDecode", "ASCII85Decode", "RunLengthDecode", "LZWDecode");
       compress <- Seq(false, true)
     ) {
       val pdf = RealPdf.document(Seq(PageSpec(
@@ -94,17 +94,52 @@ class PdfContainerSpec extends AnyFunSuite {
     assert(fails("ASCII85Decode", "a~>".getBytes("US-ASCII")))
     assert(fails("ASCII85Decode", "uuuuu~>".getBytes("US-ASCII")))
     assert(fails("RunLengthDecode", Array[Byte](5, 'a')))
-    assert(fails("LZWDecode", Array[Byte](1, 2, 3)))
+    assert(fails("DCTDecode", Array[Byte](1, 2, 3)))
+  }
+
+  test("LZWDecode: ISO 32000-1 7.4.4 published example vector and width growth") {
+    // the spec's Example 2: bytes 80 0B 60 50 22 0C 0C 85 01 decode to
+    // 45 45 45 45 45 65 45 45 45 66 (codes 256 45 258 258 65 259 66 257)
+    val enc = Array(0x80, 0x0b, 0x60, 0x50, 0x22, 0x0c, 0x0c, 0x85, 0x01)
+      .map(_.toByte)
+    val dec = PdfContainer.decodeTransportForTest("LZWDecode", enc)
+    assert(java.util.Arrays.equals(
+      dec, Array(45, 45, 45, 45, 45, 65, 45, 45, 45, 66).map(_.toByte)))
+    // a LARGE varied content stream crosses the 9->10->11-bit widths (and
+    // the writer's pre-full Clear on the biggest): encoder/decoder width
+    // schedules must stay in lockstep or the text scrambles
+    for (lines <- Seq(120, 600, 2500)) {
+      val runs = (0 until lines).map(i =>
+        line(40 + (i % 50) * 12, s"Width growth line $i with varied content ${i * 37}."))
+      val pdf = RealPdf.document(Seq(PageSpec(
+        runs = runs, transport = Some("LZWDecode"), height = 40 + 50 * 12 + 100)))
+      val ex = PdfContainer.parsePages(pdf)
+      assert(ex.isRight, s"lines=$lines: $ex")
+      val text = ex.toOption.get.map(_.runs.map(_.text).mkString("\n")).mkString("\n")
+      assert(text.contains(s"Width growth line ${lines - 1} with varied content ${(lines - 1) * 37}."),
+        s"lines=$lines last line")
+      assert(text.contains("Width growth line 0 with varied content 0."), s"lines=$lines first line")
+    }
+    // truncated LZW data is accepted as a truncated capture (prefix kept)
+    val cut = PdfContainer.decodeTransportForTest("LZWDecode", enc.take(4))
+    assert(cut.length > 0 && cut.length < 10)
+    // a bad first code after Clear is loud
+    def loud(bytes: Array[Byte]): Boolean =
+      try { PdfContainer.decodeTransportForTest("LZWDecode", bytes); false }
+      catch { case _: PdfContainer.PdfError => true }
+    // 9-bit codes: 256 (Clear) then 300 (not yet in table) -> invalid
+    // 100000000 100101100 -> bytes 10000000 01001011 00xxxxxx
+    assert(loud(Array(0x80, 0x4b, 0x00).map(_.toByte)))
   }
 
   test("an unsupported filter in a real container is a contained loud failure") {
-    // take a valid uncompressed doc and claim /Filter /LZWDecode on its
+    // take a valid uncompressed doc and claim /Filter /DCTDecode on its
     // content stream: parsing must fail loudly (Left), never crash
     val pdf = RealPdf.document(Seq(PageSpec(runs = Seq(line(100, "x")))))
     val s = new String(pdf, StandardCharsets.ISO_8859_1)
     val at = s.indexOf("/Length")
     assert(at > 0)
-    val doctored = (s.substring(0, at) + "/Filter /LZWDecode " + s.substring(at))
+    val doctored = (s.substring(0, at) + "/Filter /DCTDecode " + s.substring(at))
       .getBytes(StandardCharsets.ISO_8859_1)
     val r = PdfContainer.parsePages(doctored)
     assert(r.isLeft, r)
@@ -259,7 +294,7 @@ class PdfContainerSpec extends AnyFunSuite {
     assert(PdfExtractor.parse(truncated).isLeft)
     val unsupportedFilter = handBuilt("(x) Tj").map(identity) // valid...
     val s = new String(unsupportedFilter, StandardCharsets.ISO_8859_1)
-      .replace("<< /Length", "<< /Filter /LZWDecode /Length")
+      .replace("<< /Length", "<< /Filter /DCTDecode /Length")
     val r = PdfExtractor.parse(s.getBytes(StandardCharsets.ISO_8859_1))
     assert(r.isLeft)
     assert(r.swap.toOption.get.contains("unsupported_filter"))
