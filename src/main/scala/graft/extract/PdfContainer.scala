@@ -307,7 +307,11 @@ object PdfContainer {
         // whole-buffer regex scan with the budget already exhausted would
         // be unbounded extra work exactly when containment should stop it
         case e: graft.util.StepBudget.Exceeded => throw e
-        case _: Exception                      => scanOffsets()
+        // encryption is a REFUSAL, not a structural failure: the lenient
+        // scan would "recover" the objects and then decode RC4/AES bytes
+        // as silent garbage
+        case e @ PdfError("encrypted_document") => throw e
+        case _: Exception                       => scanOffsets()
       }
 
     private def xrefChain(): Map[Int, Loc] = {
@@ -362,6 +366,11 @@ object PdfContainer {
           case Some(r: PRef) => rootRef = Some(r)
           case _             => ()
         }
+        // an /Encrypt trailer entry means strings and streams are
+        // RC4/AES-encrypted: without decryption the content would parse
+        // as silent garbage (or an empty page) — refuse loudly instead
+        if (trailerDict.get("Encrypt").isDefined)
+          throw PdfError("encrypted_document")
         next = trailerDict.get("Prev") match {
           case Some(PNum(p)) => p.toInt
           case _             => -1
@@ -601,6 +610,9 @@ object PdfContainer {
             lx.token() // "trailer"
             lx.obj(r => resolve(r)) match {
               case d: PDict =>
+                // scan-mode reaches here when the xref chain was broken:
+                // the encryption refusal must still hold (see xrefOffsets)
+                if (d.get("Encrypt").isDefined) throw PdfError("encrypted_document")
                 d.get("Root").map(r =>
                   resolve(r) match {
                     case c: PDict => c
@@ -610,8 +622,9 @@ object PdfContainer {
             }
           }
         } catch {
-          case e: graft.util.StepBudget.Exceeded => throw e
-          case _: Exception                      => None
+          case e: graft.util.StepBudget.Exceeded  => throw e
+          case e @ PdfError("encrypted_document") => throw e
+          case _: Exception                       => None
         }
       }
       viaTrailer.getOrElse {

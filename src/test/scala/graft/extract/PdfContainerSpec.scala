@@ -132,6 +132,17 @@ class PdfContainerSpec extends AnyFunSuite {
     assert(loud(Array(0x80, 0x4b, 0x00).map(_.toByte)))
   }
 
+  test("an encrypted document is refused loudly, never silent garbage") {
+    val pdf = RealPdf.document(Seq(PageSpec(runs = Seq(line(100, "secret")))))
+    val s = new String(pdf, StandardCharsets.ISO_8859_1)
+    // plant an /Encrypt entry in the classic trailer dict
+    val doctored = s.replace("trailer\n<< ", "trailer\n<< /Encrypt 99 0 R ")
+    assert(doctored != s, "trailer not found to doctor")
+    val r = PdfContainer.parsePages(doctored.getBytes(StandardCharsets.ISO_8859_1))
+    assert(r.isLeft, r)
+    assert(r.left.toOption.get.contains("encrypted_document"), r)
+  }
+
   test("an unsupported filter in a real container is a contained loud failure") {
     // take a valid uncompressed doc and claim /Filter /DCTDecode on its
     // content stream: parsing must fail loudly (Left), never crash
