@@ -280,7 +280,8 @@ object RealPdf {
       nestedKids: Boolean = false,
       xrefStream: Boolean = false,
       objStmPack: Boolean = false,
-      xrefPredictor: Boolean = false): Array[Byte] = {
+      xrefPredictor: Boolean = false,
+      simpleFontEncoding: Option[String] = None): Array[Byte] = {
     require(!objStmPack || xrefStream, "objStmPack requires xrefStream")
     require(!xrefPredictor || xrefStream, "xrefPredictor requires xrefStream")
     val out = new ByteArrayOutputStream()
@@ -346,7 +347,8 @@ object RealPdf {
         s"<< /Type /Pages /Parent $pagesNum 0 R /Kids " +
           plans.map(p => s"${p.pageNum} 0 R").mkString("[", " ", "]") +
           s" /Count ${plans.length} >>")
-    dictObj(fontNum, "<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>")
+    val encEntry = simpleFontEncoding.map(e => s" /Encoding $e").getOrElse("")
+    dictObj(fontNum, s"<< /Type /Font /Subtype /Type1 /BaseFont /Courier$encEntry >>")
     if (anyCid) {
       val toUniRef = if (anyToUni) s" /ToUnicode $toUniNum 0 R" else ""
       dictObj(

@@ -1048,10 +1048,13 @@ object PdfContainer {
 
   /** How strings shown under a given font resource decode to text. */
   private sealed trait FontDec
-  /** Simple fonts (Type1/TrueType/Type3): 1 byte per glyph, Latin-1 —
-    * exact for the Standard/WinAnsi printable range the subset targets.
+  /** Simple fonts (Type1/TrueType/Type3): 1 byte per glyph through a
+    * 256-entry table. The default table is Latin-1 (exact for the
+    * Standard printable range); /WinAnsiEncoding swaps in the cp1252
+    * 0x80-0x9F block, and an /Encoding dict's /Differences array remaps
+    * individual codes via Adobe glyph names (AGL subset + uniXXXX).
     */
-  private case object Latin1Font extends FontDec
+  private final case class SimpleFont(table: Array[String]) extends FontDec
   /** Composite font with a /ToUnicode CMap: fixed-width codes map to
     * Unicode strings (possibly multi-char, e.g. ligature expansions).
     */
@@ -1063,6 +1066,128 @@ object PdfContainer {
   private case object CidNoToUni extends FontDec
 
   private[extract] final case class ToUniCMap(codeLen: Int, map: Map[Int, String])
+
+  /** Latin-1 identity table: code = codepoint (the historical default this
+    * reader always used; keeps every existing fixture byte-identical when
+    * no /Encoding is declared).
+    */
+  private val Latin1Table: Array[String] =
+    Array.tabulate(256)(i => i.toChar.toString)
+
+  /** WinAnsiEncoding = cp1252: Latin-1 with the 0x80-0x9F block holding
+    * real typography (curly quotes, dashes, Euro, ellipsis) instead of C1
+    * controls — the dominant simple-font encoding in the wild.
+    */
+  private val WinAnsiTable: Array[String] = {
+    val t = Latin1Table.clone()
+    val block = Map(
+      0x80 -> "€", 0x82 -> "‚", 0x83 -> "ƒ", 0x84 -> "„",
+      0x85 -> "…", 0x86 -> "†", 0x87 -> "‡", 0x88 -> "ˆ",
+      0x89 -> "‰", 0x8A -> "Š", 0x8B -> "‹", 0x8C -> "Œ",
+      0x8E -> "Ž", 0x91 -> "‘", 0x92 -> "’", 0x93 -> "“",
+      0x94 -> "”", 0x95 -> "•", 0x96 -> "–", 0x97 -> "—",
+      0x98 -> "˜", 0x99 -> "™", 0x9A -> "š", 0x9B -> "›",
+      0x9C -> "œ", 0x9E -> "ž", 0x9F -> "Ÿ")
+    block.foreach { case (c, s) => t(c) = s }
+    t
+  }
+
+  /** Adobe Glyph List subset: the names real /Differences arrays carry
+    * (Latin letters are their own names; digits and punctuation have word
+    * names; accents/typography per AGL). `uniXXXX`/`uXXXX[XX]` decode
+    * directly; anything else is U+FFFD for the quality gate to judge.
+    */
+  private val AglCommon: Map[String, String] = Map(
+    "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"", "numbersign" -> "#",
+    "dollar" -> "$", "percent" -> "%", "ampersand" -> "&", "quotesingle" -> "'",
+    "parenleft" -> "(", "parenright" -> ")", "asterisk" -> "*", "plus" -> "+",
+    "comma" -> ",", "hyphen" -> "-", "period" -> ".", "slash" -> "/",
+    "zero" -> "0", "one" -> "1", "two" -> "2", "three" -> "3", "four" -> "4",
+    "five" -> "5", "six" -> "6", "seven" -> "7", "eight" -> "8", "nine" -> "9",
+    "colon" -> ":", "semicolon" -> ";", "less" -> "<", "equal" -> "=",
+    "greater" -> ">", "question" -> "?", "at" -> "@", "bracketleft" -> "[",
+    "backslash" -> "\\", "bracketright" -> "]", "asciicircum" -> "^",
+    "underscore" -> "_", "grave" -> "`", "braceleft" -> "{", "bar" -> "|",
+    "braceright" -> "}", "asciitilde" -> "~",
+    "adieresis" -> "ä", "odieresis" -> "ö", "udieresis" -> "ü",
+    "Adieresis" -> "Ä", "Odieresis" -> "Ö", "Udieresis" -> "Ü",
+    "germandbls" -> "ß", "eacute" -> "é", "egrave" -> "è", "ecircumflex" -> "ê",
+    "edieresis" -> "ë", "agrave" -> "à", "aacute" -> "á", "acircumflex" -> "â",
+    "atilde" -> "ã", "ccedilla" -> "ç", "ntilde" -> "ñ", "aring" -> "å",
+    "oslash" -> "ø", "ograve" -> "ò", "oacute" -> "ó", "ocircumflex" -> "ô",
+    "otilde" -> "õ", "igrave" -> "ì", "iacute" -> "í", "icircumflex" -> "î",
+    "idieresis" -> "ï", "ugrave" -> "ù", "uacute" -> "ú", "ucircumflex" -> "û",
+    "ae" -> "æ", "AE" -> "Æ", "oe" -> "œ", "OE" -> "Œ", "Eacute" -> "É",
+    "Egrave" -> "È", "Agrave" -> "À", "Aacute" -> "Á", "Ccedilla" -> "Ç",
+    "yacute" -> "ý", "ydieresis" -> "ÿ", "Ydieresis" -> "Ÿ",
+    "quoteleft" -> "‘", "quoteright" -> "’",
+    "quotedblleft" -> "“", "quotedblright" -> "”",
+    "quotesinglbase" -> "‚", "quotedblbase" -> "„",
+    "endash" -> "–", "emdash" -> "—", "bullet" -> "•",
+    "ellipsis" -> "…", "dagger" -> "†", "daggerdbl" -> "‡",
+    "perthousand" -> "‰", "guilsinglleft" -> "‹",
+    "guilsinglright" -> "›", "guillemotleft" -> "«",
+    "guillemotright" -> "»", "fi" -> "ﬁ", "fl" -> "ﬂ",
+    "Euro" -> "€", "trademark" -> "™", "copyright" -> "©",
+    "registered" -> "®", "degree" -> "°", "plusminus" -> "±",
+    "multiply" -> "×", "divide" -> "÷", "micro" -> "µ",
+    "paragraph" -> "¶", "section" -> "§", "cent" -> "¢",
+    "sterling" -> "£", "yen" -> "¥", "florin" -> "ƒ",
+    "currency" -> "¤", "exclamdown" -> "¡", "questiondown" -> "¿",
+    "dotlessi" -> "ı", "circumflex" -> "ˆ", "tilde" -> "˜",
+    "Scaron" -> "Š", "scaron" -> "š", "Zcaron" -> "Ž",
+    "zcaron" -> "ž", "thorn" -> "þ", "Thorn" -> "Þ",
+    "eth" -> "ð", "Eth" -> "Ð", "minus" -> "−",
+    "fraction" -> "⁄", "dotaccent" -> "˙", "breve" -> "˘",
+    "caron" -> "ˇ", "ring" -> "˚", "hungarumlaut" -> "˝",
+    "ogonek" -> "˛", "macron" -> "¯", "brokenbar" -> "¦",
+    "sterlingcurrency" -> "£", "nbspace" -> " ")
+
+  private def glyphToChar(name: String): String =
+    if (name.length == 1 &&
+      ((name.charAt(0) >= 'a' && name.charAt(0) <= 'z') ||
+        (name.charAt(0) >= 'A' && name.charAt(0) <= 'Z'))) name
+    else if (name.length == 7 && name.startsWith("uni") &&
+      name.drop(3).forall(c => Character.digit(c, 16) >= 0))
+      Integer.parseInt(name.drop(3), 16).toChar.toString
+    else AglCommon.getOrElse(name, "�")
+
+  /** The 1-byte decode table for a simple font's /Encoding entry. Absent
+    * encoding keeps the Latin-1 historical default; unrecognized base
+    * encodings (MacRoman/Standard/MacExpert) also keep it — byte-for-byte
+    * the pre-round-5 behavior, exact for ASCII and judged by the quality
+    * gate beyond it. Malformed /Differences structures are loud.
+    */
+  private def simpleTable(resolve: Obj => Obj, f: PDict): Array[String] =
+    resolve(f.get("Encoding").getOrElse(PNull)) match {
+      case PNull                    => Latin1Table
+      case PName("WinAnsiEncoding") => WinAnsiTable
+      case PName(_)                 => Latin1Table
+      case d: PDict =>
+        val base = resolve(d.get("BaseEncoding").getOrElse(PNull)) match {
+          case PName("WinAnsiEncoding") => WinAnsiTable
+          case _                        => Latin1Table
+        }
+        resolve(d.get("Differences").getOrElse(PNull)) match {
+          case PNull => base
+          case PArr(items) =>
+            val t = base.clone()
+            var code = -1
+            items.map(resolve).foreach {
+              case PNum(v) =>
+                if (v < 0 || v > 255) throw PdfError("bad_differences_code")
+                code = v.toInt
+              case PName(g) =>
+                if (code < 0 || code > 255) throw PdfError("bad_differences_code")
+                t(code) = glyphToChar(g)
+                code += 1
+              case other => throw PdfError(s"bad_differences_entry:$other")
+            }
+            t
+          case other => throw PdfError(s"bad_differences:$other")
+        }
+      case other => throw PdfError(s"bad_encoding:$other")
+    }
 
   /** Parse a /ToUnicode CMap stream (ISO 32000-1 9.10.3 / Adobe CMap
     * spec): `codespacerange` fixes the code byte-width (1 or 2 supported,
@@ -1210,7 +1335,7 @@ object PdfContainer {
                     case PNull  => CidNoToUni
                     case other  => throw PdfError(s"bad_tounicode:$other")
                   }
-                case _ => Latin1Font
+                case _ => SimpleFont(simpleTable(resolve, f))
               }
             case other => throw PdfError(s"bad_font:$other")
           }
@@ -1258,13 +1383,20 @@ object PdfContainer {
     // current font decode behavior, switched by Tf; a name missing from
     // the resources keeps the legacy simple-font decode (lenient — the
     // synthetic and hand-built corpora do not always declare resources)
-    var curFont: FontDec = Latin1Font
+    var curFont: FontDec = SimpleFont(Latin1Table)
 
     def emit(bytes: Array[Byte]): Unit = {
       // decoded text + GLYPH count: the advance model is per glyph code,
       // which for a CID ligature expansion differs from the char count
       val (text, glyphs) = curFont match {
-        case Latin1Font => (new String(bytes, StandardCharsets.ISO_8859_1), bytes.length)
+        case SimpleFont(table) =>
+          if (table eq Latin1Table) // fast path: identity decode
+            (new String(bytes, StandardCharsets.ISO_8859_1), bytes.length)
+          else {
+            val sb = new StringBuilder(bytes.length)
+            bytes.foreach(b => sb.append(table(b & 0xff)))
+            (sb.toString, bytes.length)
+          }
         case CidFont(len, toUni) =>
           if (bytes.length % len != 0) throw PdfError("cid_string_misaligned")
           val sb = new StringBuilder(bytes.length / len)
@@ -1307,7 +1439,8 @@ object PdfContainer {
             case "Tf" =>
               if (stack.nonEmpty) fs = num(stack.last)
               if (stack.length >= 2) stack(stack.length - 2) match {
-                case PName(n) => curFont = fonts.getOrElse(n, Latin1Font)
+                case PName(n) =>
+                  curFont = fonts.getOrElse(n, SimpleFont(Latin1Table))
                 case _        => ()
               }
               stack.clear()

@@ -32,7 +32,8 @@ object PdfContainerProps extends Properties("PdfContainer") {
       compress: Boolean,
       split: Boolean,
       indirect: Boolean,
-      hex: Boolean)
+      hex: Boolean,
+      transport: Option[String])
 
   private val shapeGen: Gen[Shape] = for {
     n <- Gen.chooseNum(1, 12)
@@ -42,7 +43,11 @@ object PdfContainerProps extends Properties("PdfContainer") {
     split <- Gen.oneOf(true, false)
     indirect <- Gen.oneOf(true, false)
     hex <- Gen.oneOf(true, false)
-  } yield Shape(lines, compress, split, indirect, hex)
+    // transport filter chained over the (possibly Flate-compressed) body;
+    // compress=true + LZW/85 drives high-entropy BINARY through the codecs
+    transport <- Gen.oneOf(None, None, Some("ASCIIHexDecode"),
+      Some("ASCII85Decode"), Some("RunLengthDecode"), Some("LZWDecode"))
+  } yield Shape(lines, compress, split, indirect, hex, transport)
 
   property("round trip: any escaped content, any feature combination") =
     forAll(shapeGen) { shape =>
@@ -56,7 +61,8 @@ object PdfContainerProps extends Properties("PdfContainer") {
         compress = shape.compress,
         splitContents = shape.split,
         indirectLength = shape.indirect,
-        hexStrings = shape.hex)))
+        hexStrings = shape.hex,
+        transport = shape.transport)))
       val got = PdfExtractor.extract(pdf)
       // the fast sweep joins same-y runs with spaces; distinct y per line
       // here, so equality is exact per line

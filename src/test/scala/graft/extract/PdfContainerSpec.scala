@@ -132,6 +132,39 @@ class PdfContainerSpec extends AnyFunSuite {
     assert(loud(Array(0x80, 0x4b, 0x00).map(_.toByte)))
   }
 
+  test("simple-font /Encoding: WinAnsi block and /Differences glyph remaps") {
+    // WinAnsi: bytes 0x93/0x94 are curly quotes, 0x96 en-dash (Latin-1
+    // would decode them as C1 controls — silently wrong text)
+    val winText = "He said \u0093hi\u0094 \u0096 twice."
+    val pdfWin = RealPdf.document(
+      Seq(PageSpec(runs = Seq(line(100, winText)), hexStrings = true)),
+      simpleFontEncoding = Some("/WinAnsiEncoding"))
+    val exWin = PdfExtractor.extract(pdfWin)
+    assert(exWin.isRight, exWin)
+    assert(exWin.toOption.get.text == "He said “hi” – twice.")
+    // Differences: remap 'A'(65) -> adieresis + following code 66 ->
+    // emdash, and 0xC0 -> uni0394 (Δ); unmapped codes keep the base table
+    val diffText = "xAB y À z"
+    val pdfDiff = RealPdf.document(
+      Seq(PageSpec(runs = Seq(line(100, diffText)), hexStrings = true)),
+      simpleFontEncoding =
+        Some("<< /Differences [ 65 /adieresis /emdash 192 /uni0394 ] >>"))
+    val exDiff = PdfExtractor.extract(pdfDiff)
+    assert(exDiff.isRight, exDiff)
+    assert(exDiff.toOption.get.text == "xä— y Δ z")
+    // an unknown glyph name degrades to U+FFFD (quality gate's job), and
+    // a malformed Differences structure is loud
+    val pdfUnk = RealPdf.document(
+      Seq(PageSpec(runs = Seq(line(100, "A")), hexStrings = true)),
+      simpleFontEncoding = Some("<< /Differences [ 65 /notaglyphname ] >>"))
+    assert(PdfExtractor.extract(pdfUnk).toOption.get.text == "�")
+    val pdfBad = RealPdf.document(
+      Seq(PageSpec(runs = Seq(line(100, "A")), hexStrings = true)),
+      simpleFontEncoding = Some("<< /Differences [ /emdash ] >>"))
+    val r = PdfContainer.parsePages(pdfBad)
+    assert(r.isLeft && r.left.toOption.get.contains("bad_differences"), r)
+  }
+
   test("an encrypted document is refused loudly, never silent garbage") {
     val pdf = RealPdf.document(Seq(PageSpec(runs = Seq(line(100, "secret")))))
     val s = new String(pdf, StandardCharsets.ISO_8859_1)
