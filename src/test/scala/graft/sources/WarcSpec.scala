@@ -211,6 +211,34 @@ class WarcSpec extends AnyFunSuite {
     assert(new String(r3.records.head.payload, StandardCharsets.US_ASCII) == "hello")
   }
 
+  test("end to end: a CID-font PDF captured in a WARC extracts its unicode text") {
+    // ties the round together: a modern (xref-stream, ObjStm-packed,
+    // Identity-H + ToUnicode) PDF served as a crawl response, ingested
+    // through the production WARC reader and the full extraction job
+    val cidRow = CorpusGen.cidPdfRow(42L, 5L)
+    val htmlRows = rows(4).filter(_.html != null)
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-cid")
+    try {
+      java.nio.file.Files.write(
+        dir.resolve("mix.warc.gz"),
+        WarcGen.archive(htmlRows :+ cidRow, gzip = true))
+      val table = Warc.toTable(spark, dir.toString + "/*")
+      val cfg = ExtractionJob.JobConfig(numGroups = 4, numPartitions = 2)
+      val results = ExtractionJob.extract(table, cfg).collect()
+      val pdfResult = results.find(_.url == cidRow.url)
+      assert(pdfResult.isDefined, s"missing ${cidRow.url}")
+      assert(pdfResult.get.success, Option(pdfResult.get.error).getOrElse(""))
+      assert(pdfResult.get.engine.startsWith("pdf"), pdfResult.get.engine)
+      // the CID salt survives: WARC envelope strip + binary sniff + CMap
+      // decode all held (the salt is outside Latin-1, so any fallback to
+      // the simple-font path would corrupt it)
+      assert(pdfResult.get.extracted_text.contains("Σλ ünïcode"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+      ()
+    }
+  }
+
   test("end to end: WARC archives -> page table -> extraction equals direct rows") {
     import org.apache.spark.sql.functions.col
     val in = rows(40)
