@@ -88,6 +88,14 @@ object ScalingBench {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // scan-parallelism equalization: at 100 TB a parquet scan yields
+      // thousands of tasks, but the default 128 MB maxPartitionBytes
+      // packs this probe's ~300 MB table into ~6 read tasks (measured:
+      // 12.6k docs/s vs 60k for the 128-task WARC arm — a local-scale
+      // packing artifact, not an engine property). Sizing the split so
+      // both arms get ~cpus*4 tasks makes the comparison faithful.
+      .config("spark.sql.files.maxPartitionBytes", (4 << 20).toString)
+      .config("spark.sql.files.openCostInBytes", (64 << 10).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try {
