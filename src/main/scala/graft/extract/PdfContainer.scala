@@ -628,13 +628,32 @@ object PdfContainer {
         }
       }
       viaTrailer.getOrElse {
-        offsets.keys.toSeq.filter(_ >= 0).sorted.iterator
+        // full catalog scan — the last-resort path for files whose xref
+        // chain AND near-EOF trailer are both gone. An encrypted MODERN
+        // pdf carries its /Encrypt in the xref-STREAM dict (no classic
+        // 'trailer' keyword exists), which body-scan recovery sees as an
+        // ordinary /Type /XRef object: the refusal must fire here too,
+        // BEFORE a plaintext catalog lets extraction decode encrypted
+        // streams as garbage (review finding)
+        val objs = offsets.keys.toSeq.filter(_ >= 0).sorted
           .map(n =>
             try resolve(PRef(n, 0))
             catch {
               case e: graft.util.StepBudget.Exceeded => throw e
               case _: Exception                      => PNull
             })
+        objs.foreach {
+          case PStream(d, _)
+              if d.get("Type").contains(PName("XRef")) &&
+                d.get("Encrypt").isDefined =>
+            throw PdfError("encrypted_document")
+          case d: PDict
+              if d.get("Type").contains(PName("XRef")) &&
+                d.get("Encrypt").isDefined =>
+            throw PdfError("encrypted_document")
+          case _ => ()
+        }
+        objs
           .collectFirst {
             case d: PDict if d.get("Type").contains(PName("Catalog")) => d
           }
@@ -703,8 +722,9 @@ object PdfContainer {
   private def decodeStream(dict: PDict, raw: Array[Byte], resolve: Obj => Obj): Array[Byte] = {
     // filter CHAIN in array order (ISO 32000-1 7.4: the first filter is
     // applied first on encode, so decode applies them first-to-last on the
-    // encoded bytes): Flate + the three byte-level transport filters.
-    // Unsupported filters (DCT/JBIG2/JPX/LZW/Crypt) stay loud.
+    // encoded bytes): Flate, TIFF-style LZW, and the three byte-level
+    // transport filters. Unsupported filters (DCT/JBIG2/JPX/CCITT/Crypt)
+    // stay loud.
     val filterNames: Seq[String] =
       resolve(dict.get("Filter").getOrElse(PNull)) match {
         case PNull    => Nil
@@ -716,67 +736,84 @@ object PdfContainer {
           }
         case other => throw PdfError(s"bad_filter:$other")
       }
-    // /LZWDecode EarlyChange rides in DecodeParms (default 1); with one
-    // LZW filter in the chain the first parms dict carrying EarlyChange
-    // is the operative one (same ISO 32000-1 Table 5 pairing rule as the
-    // predictor handling below)
-    lazy val earlyChange: Int = {
-      val parms = resolve(dict.get("DecodeParms").orElse(dict.get("DP")).getOrElse(PNull))
-      val dicts = parms match {
-        case d: PDict    => Seq(d)
-        case PArr(items) => items.map(resolve).collect { case d: PDict => d }
-        case _           => Nil
+    // /DecodeParms pairs with /Filter POSITIONALLY (ISO 32000-1 Table 5:
+    // with an array Filter, DecodeParms is a parallel array, null entries
+    // for parameterless filters). A single parms dict is paired with a
+    // single filter; with a multi-filter chain it leniently attaches to
+    // the first parms-consuming filter (LZW/Flate), the shape lone
+    // real-world writers emit.
+    val parmsPerFilter: Seq[Option[PDict]] = {
+      val parmsObj =
+        resolve(dict.get("DecodeParms").orElse(dict.get("DP")).getOrElse(PNull))
+      def asDict(o: Obj): Option[PDict] = o match {
+        case d: PDict => Some(d)
+        case PNull    => None
+        case other    => throw PdfError(s"bad_decode_parms:$other")
       }
-      dicts.flatMap(d => d.get("EarlyChange").map(resolve)).collectFirst {
-        case PNum(v) if v == 0 || v == 1 => v.toInt
-      }.getOrElse(1)
-    }
-    val inflated = filterNames.foldLeft(raw) { (acc, name) =>
-      name match {
-        case "FlateDecode"     => inflate(acc)
-        case "LZWDecode"       => lzwDecode(acc, earlyChange)
-        case "ASCIIHexDecode"  => asciiHexDecode(acc)
-        case "ASCII85Decode"   => ascii85Decode(acc)
-        case "RunLengthDecode" => runLengthDecode(acc)
-        case other             => throw PdfError(s"unsupported_filter:$other")
-      }
-    }
-    // /DecodeParms PNG predictors (Predictor >= 10): standard on xref
-    // streams. TIFF predictor 2 is out of subset (loud). The parms may be
-    // a single dict or the array form paired with an array /Filter
-    // (ISO 32000-1 Table 5) — with one supported filter, the first
-    // non-null entry is the operative one.
-    val parmsObj =
-      resolve(dict.get("DecodeParms").orElse(dict.get("DP")).getOrElse(PNull)) match {
+      parmsObj match {
+        case PNull => Seq.fill(math.max(1, filterNames.length))(None)
+        case d: PDict =>
+          if (filterNames.length <= 1) Seq(Some(d))
+          else {
+            val at = filterNames.indexWhere(n => n == "LZWDecode" || n == "FlateDecode")
+            val slot = if (at >= 0) at else 0
+            filterNames.indices.map(i => if (i == slot) Some(d) else None)
+          }
         case PArr(items) =>
-          items.map(resolve).collectFirst { case d: PDict => d }.getOrElse(PNull)
-        case other => other
+          val resolved = items.map(resolve).map(asDict)
+          resolved.padTo(math.max(1, filterNames.length), None)
+        case other => throw PdfError(s"bad_decode_parms:$other")
       }
-    parmsObj match {
-      case PNull => inflated
-      case d: PDict =>
-        resolve(d.get("Predictor").getOrElse(PNull)) match {
-          case PNull | PNum(1) => inflated
-          case PNum(p) if p >= 10 =>
-            // bytes-per-pixel != 1 would change the PNG left-neighbor
-            // stride: reject loudly rather than reconstruct garbage
-            resolve(d.get("Colors").getOrElse(PNum(1))) match {
-              case PNum(1) => ()
-              case other   => throw PdfError(s"unsupported_predictor_colors:$other")
-            }
-            resolve(d.get("BitsPerComponent").getOrElse(PNum(8))) match {
-              case PNum(8) => ()
-              case other   => throw PdfError(s"unsupported_predictor_bpc:$other")
-            }
-            val columns = resolve(d.get("Columns").getOrElse(PNum(1))) match {
-              case PNum(c) if c >= 1 => c.toInt
-              case other             => throw PdfError(s"bad_predictor_columns:$other")
-            }
-            unfilterPng(inflated, columns)
-          case other => throw PdfError(s"unsupported_predictor:$other")
-        }
-      case other => throw PdfError(s"bad_decode_parms:$other")
     }
+    def earlyChangeOf(parms: Option[PDict]): Int =
+      parms.flatMap(_.get("EarlyChange")).map(resolve) match {
+        case None                            => 1
+        case Some(PNum(v)) if v == 0 || v == 1 => v.toInt
+        case Some(other) => throw PdfError(s"bad_early_change:$other")
+      }
+    // a predictor applies to its OWN filter's output (standard on xref
+    // streams: Flate + Predictor 12); declaring one on a transport filter
+    // is malformed and loud
+    def applyPredictor(data: Array[Byte], parms: Option[PDict], name: String): Array[Byte] =
+      parms.map(d => resolve(d.get("Predictor").getOrElse(PNull))) match {
+        case None | Some(PNull) | Some(PNum(1)) => data
+        case Some(PNum(p)) if p >= 10 =>
+          if (name != "FlateDecode" && name != "LZWDecode")
+            throw PdfError(s"predictor_on_$name")
+          val d = parms.get
+          // bytes-per-pixel != 1 would change the PNG left-neighbor
+          // stride: reject loudly rather than reconstruct garbage
+          resolve(d.get("Colors").getOrElse(PNum(1))) match {
+            case PNum(1) => ()
+            case other   => throw PdfError(s"unsupported_predictor_colors:$other")
+          }
+          resolve(d.get("BitsPerComponent").getOrElse(PNum(8))) match {
+            case PNum(8) => ()
+            case other   => throw PdfError(s"unsupported_predictor_bpc:$other")
+          }
+          val columns = resolve(d.get("Columns").getOrElse(PNum(1))) match {
+            case PNum(c) if c >= 1 => c.toInt
+            case other             => throw PdfError(s"bad_predictor_columns:$other")
+          }
+          unfilterPng(data, columns)
+        case Some(other) => throw PdfError(s"unsupported_predictor:$other")
+      }
+    if (filterNames.isEmpty)
+      // no filter: a predictor-bearing parms dict still applies to the
+      // raw bytes (degenerate but well-formed)
+      applyPredictor(raw, parmsPerFilter.head, "FlateDecode")
+    else
+      filterNames.zip(parmsPerFilter).foldLeft(raw) { case (acc, (name, parms)) =>
+        val out = name match {
+          case "FlateDecode"     => inflate(acc)
+          case "LZWDecode"       => lzwDecode(acc, earlyChangeOf(parms))
+          case "ASCIIHexDecode"  => asciiHexDecode(acc)
+          case "ASCII85Decode"   => ascii85Decode(acc)
+          case "RunLengthDecode" => runLengthDecode(acc)
+          case other             => throw PdfError(s"unsupported_filter:$other")
+        }
+        applyPredictor(out, parms, name)
+      }
   }
 
   /** Reverse the per-row PNG filters (ISO 32000 references PNG spec §9):
@@ -1143,14 +1180,24 @@ object PdfContainer {
     "ogonek" -> "˛", "macron" -> "¯", "brokenbar" -> "¦",
     "sterlingcurrency" -> "£", "nbspace" -> " ")
 
-  private def glyphToChar(name: String): String =
+  private def glyphToChar(name: String): String = {
+    def isHex(s: String) = s.nonEmpty && s.forall(c => Character.digit(c, 16) >= 0)
     if (name.length == 1 &&
       ((name.charAt(0) >= 'a' && name.charAt(0) <= 'z') ||
         (name.charAt(0) >= 'A' && name.charAt(0) <= 'Z'))) name
-    else if (name.length == 7 && name.startsWith("uni") &&
-      name.drop(3).forall(c => Character.digit(c, 16) >= 0))
+    else if (name.length == 7 && name.startsWith("uni") && isHex(name.drop(3)))
+      // uniXXXX: exactly one 4-hex group (multi-group uniXXXXYYYY names
+      // are out of subset and fall through to U+FFFD)
       Integer.parseInt(name.drop(3), 16).toChar.toString
-    else AglCommon.getOrElse(name, "�")
+    else if (name.length >= 5 && name.length <= 7 && name.startsWith("u") &&
+      isHex(name.drop(1))) {
+      // uXXXX[XX]: 4-6 hex digits incl. supplementary planes (AGL §3)
+      val cp = Integer.parseInt(name.drop(1), 16)
+      if (cp >= 0 && cp <= 0x10ffff && !(cp >= 0xd800 && cp <= 0xdfff))
+        new String(Character.toChars(cp))
+      else "�"
+    } else AglCommon.getOrElse(name, "�")
+  }
 
   /** The 1-byte decode table for a simple font's /Encoding entry. Absent
     * encoding keeps the Latin-1 historical default; unrecognized base

@@ -132,6 +132,89 @@ class PdfContainerSpec extends AnyFunSuite {
     assert(loud(Array(0x80, 0x4b, 0x00).map(_.toByte)))
   }
 
+  test("positional /DecodeParms pairing, predictor placement, loud EarlyChange") {
+    // classic minimal doc whose content stream carries explicit Filter +
+    // DecodeParms entries and pre-encoded body bytes
+    def filteredDoc(filter: String, parms: String, body: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def ascii(t: String): Unit = out.write(t.getBytes(StandardCharsets.ISO_8859_1))
+      val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+      ascii("%PDF-1.4\n")
+      def obj(b: => Unit): Unit = { offsets += out.size(); b }
+      obj(ascii("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"))
+      obj(ascii("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"))
+      obj(ascii("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 4 0 R /Resources << >> >>\nendobj\n"))
+      obj {
+        val parmsEntry = if (parms.isEmpty) "" else s" /DecodeParms $parms"
+        ascii(s"4 0 obj\n<< /Length ${body.length} /Filter $filter$parmsEntry >>\nstream\n")
+        out.write(body)
+        ascii("\nendstream\nendobj\n")
+      }
+      val xrefAt = out.size()
+      ascii("xref\n0 5\n0000000000 65535 f \n")
+      offsets.foreach(o => ascii(f"$o%010d 00000 n \n"))
+      ascii(s"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+      out.toByteArray
+    }
+    def hexEnc(b: Array[Byte]): Array[Byte] =
+      (b.map(x => f"$x%02x").mkString + ">").getBytes(StandardCharsets.ISO_8859_1)
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(); d.setInput(b); d.finish()
+      val o = new java.io.ByteArrayOutputStream(); val c = new Array[Byte](4096)
+      while (!d.finished()) o.write(c, 0, d.deflate(c))
+      d.end(); o.toByteArray
+    }
+    val ops = "BT /F1 10 Tf 1 0 0 1 72 700 Tm (paired) Tj ET"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    // the reviewer scenario shape: a parms dict for the SECOND filter in
+    // the chain — predictor must apply to THAT filter's output, not be
+    // fished out as "the first dict". PNG row-filter 0 = identity, so the
+    // predictor-encoded form is rows of [0, C bytes] (pad with spaces).
+    val cols = 16
+    val rows = (ops.length + cols - 1) / cols
+    val padded = ops.padTo(rows * cols, ' '.toByte)
+    val pngForm = (0 until rows).flatMap(r =>
+      0.toByte +: padded.slice(r * cols, (r + 1) * cols).toSeq).toArray
+    val doc = filteredDoc(
+      "[/ASCIIHexDecode /FlateDecode]",
+      s"[null << /Predictor 12 /Columns $cols >>]",
+      hexEnc(deflate(pngForm)))
+    val ex = PdfContainer.parsePages(doc)
+    assert(ex.isRight, ex)
+    assert(ex.toOption.get.head.runs.map(_.text).mkString == "paired")
+    // a predictor declared on a TRANSPORT filter's slot is malformed+loud
+    val bad = filteredDoc(
+      "[/ASCIIHexDecode /FlateDecode]",
+      s"[<< /Predictor 12 /Columns $cols >> null]",
+      hexEnc(deflate(pngForm)))
+    val rBad = PdfContainer.parsePages(bad)
+    assert(rBad.isLeft && rBad.left.toOption.get.contains("predictor_on_"), rBad)
+    // an invalid /EarlyChange value is loud, not silently coerced
+    val lzwBody = Array(0x80, 0x0b, 0x60, 0x50, 0x22, 0x0c, 0x0c, 0x85, 0x01)
+      .map(_.toByte)
+    val badEc = filteredDoc("/LZWDecode", "<< /EarlyChange 2 >>", lzwBody)
+    val rEc = PdfContainer.parsePages(badEc)
+    assert(rEc.isLeft && rEc.left.toOption.get.contains("bad_early_change"), rEc)
+  }
+
+  test("scan mode still refuses an encrypted xref-stream PDF (no classic trailer)") {
+    // modern container, /Encrypt planted in the xref-STREAM dict, and the
+    // startxref pointer corrupted so the chain walk fails and body-scan
+    // recovery takes over — the refusal must hold on that path too
+    val pdf = RealPdf.document(
+      Seq(PageSpec(runs = Seq(line(100, "secret")))),
+      xrefStream = true)
+    val s = new String(pdf, StandardCharsets.ISO_8859_1)
+    val doctored = s
+      .replace("/Type /XRef", "/Type /XRef /Encrypt 99 0 R")
+      .replaceAll("startxref\n\\d+", "startxref\n999999999")
+    assert(doctored != s)
+    val r = PdfContainer.parsePages(doctored.getBytes(StandardCharsets.ISO_8859_1))
+    assert(r.isLeft, r)
+    assert(r.left.toOption.get.contains("encrypted_document"), r)
+  }
+
   test("simple-font /Encoding: WinAnsi block and /Differences glyph remaps") {
     // WinAnsi: bytes 0x93/0x94 are curly quotes, 0x96 en-dash (Latin-1
     // would decode them as C1 controls — silently wrong text)
@@ -152,6 +235,11 @@ class PdfContainerSpec extends AnyFunSuite {
     val exDiff = PdfExtractor.extract(pdfDiff)
     assert(exDiff.isRight, exDiff)
     assert(exDiff.toOption.get.text == "xä— y Δ z")
+    // AGL uXXXX[XX] form incl. a supplementary-plane codepoint
+    val pdfU = RealPdf.document(
+      Seq(PageSpec(runs = Seq(line(100, "AB")), hexStrings = true)),
+      simpleFontEncoding = Some("<< /Differences [ 65 /u0394 /u1D11E ] >>"))
+    assert(PdfExtractor.extract(pdfU).toOption.get.text == "Δ𝄞")
     // an unknown glyph name degrades to U+FFFD (quality gate's job), and
     // a malformed Differences structure is loud
     val pdfUnk = RealPdf.document(
