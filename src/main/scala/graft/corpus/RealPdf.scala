@@ -37,6 +37,11 @@ object RealPdf {
     * char through bfchar entries. `cidToUnicode = false` omits the CMap
     * (the reader must refuse loudly — opaque glyph ids).
     */
+  /** `formXObject = true` wraps the page's text in a /Form XObject
+    * carrying its OWN /Resources, invoked from a minimal `q /Fx1 Do Q`
+    * page stream — the Word/Quartz-era page shape; `formMatrix` adds an
+    * axis-aligned translate to the form's /Matrix.
+    */
   final case class PageSpec(
       width: Int = 612,
       height: Int = 792,
@@ -47,7 +52,9 @@ object RealPdf {
       hexStrings: Boolean = false,
       transport: Option[String] = None,
       cidFont: Boolean = false,
-      cidToUnicode: Boolean = true)
+      cidToUnicode: Boolean = true,
+      formXObject: Boolean = false,
+      formMatrix: Option[(Double, Double)] = None)
 
   private def escLiteral(s: String): String =
     s.flatMap {
@@ -308,13 +315,15 @@ object RealPdf {
         pageNum: Int,
         contentNums: Seq[Int],
         lengthNums: Seq[Int],
+        formNum: Int,
         spec: PageSpec)
     val plans = pages.map { p =>
       val pageNum = alloc()
       val nStreams = if (p.splitContents) 2 else 1
       val contentNums = Seq.fill(nStreams)(alloc())
       val lengthNums = if (p.indirectLength) Seq.fill(nStreams)(alloc()) else Nil
-      PagePlan(pageNum, contentNums, lengthNums, p)
+      val formNum = if (p.formXObject) alloc() else -1
+      PagePlan(pageNum, contentNums, lengthNums, formNum, p)
     }
 
     def obj(num: Int)(body: => Unit): Unit = {
@@ -383,11 +392,30 @@ object RealPdf {
       val parent = if (nestedKids) innerPagesNum else pagesNum
       val fontRes = s"/F1 $fontNum 0 R" +
         (if (p.cidFont) s" /F2 $cidFontNum 0 R" else "")
+      // a form-XObject page declares the form under /XObject and invokes
+      // it from a minimal wrapper stream; the fonts live in the FORM's
+      // own resources (exercising the reader's resource switch)
+      val pageRes =
+        if (p.formXObject) s"<< /XObject << /Fx1 ${plan.formNum} 0 R >> >>"
+        else s"<< /Font << $fontRes >> >>"
       dictObj(
         plan.pageNum,
         s"<< /Type /Page /Parent $parent 0 R$mb /Contents $contents " +
-          s"/Resources << /Font << $fontRes >> >> >>")
-      val opsAll = contentOps(p)
+          s"/Resources $pageRes >>")
+      if (p.formXObject) {
+        val formOps = contentOps(p).getBytes(StandardCharsets.ISO_8859_1)
+        val matrix = p.formMatrix
+          .map { case (e, f) => s" /Matrix [1 0 0 1 ${num1(e)} ${num1(f)}]" }
+          .getOrElse("")
+        obj(plan.formNum) {
+          ascii(s"<< /Type /XObject /Subtype /Form /BBox [0 0 ${p.width} ${p.height}]" +
+            s"$matrix /Resources << /Font << $fontRes >> >> " +
+            s"/Length ${formOps.length} >>\nstream\n")
+          out.write(formOps)
+          ascii("\nendstream")
+        }
+      }
+      val opsAll = if (p.formXObject) "q\n/Fx1 Do\nQ" else contentOps(p)
       val parts: Seq[String] =
         if (p.splitContents) {
           // split roughly in half at an operator boundary: token halves of a

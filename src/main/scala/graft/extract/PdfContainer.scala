@@ -43,6 +43,11 @@ import scala.collection.mutable
   *     TJ (with kerning adjustments), ' and ". Positions come from the
   *     text matrix; PDF's upward y axis is flipped into the downward
   *     [[PdfExtractor.Run]] convention;
+  *   - form XObjects: `Do` recurses into /Subtype /Form streams with
+  *     their own /Resources (invoker's when absent) and an axis-aligned
+  *     /Matrix applied to geometry (the Word/Quartz page shape: content
+  *     in a form behind a tiny wrapper stream) — cycle/depth guarded;
+  *     image XObjects contribute no text;
   *   - fonts: simple fonts decode 1 byte/glyph as Latin-1 (exact for the
   *     Standard/WinAnsi printable range); /Type0 composite fonts with
   *     /Encoding /Identity-H decode their 2-byte CID strings through the
@@ -1340,17 +1345,34 @@ object PdfContainer {
     * decoding; Identity-H is the supported (modern-generator standard)
     * encoding — predefined CMap encodings are out of subset and loud.
     */
-  private def fontsOf(
+  /** The page's effective /Resources dict (inheritable through the page
+    * tree), or None when neither the page nor its ancestors declare one.
+    */
+  private def resourcesOf(
       resolve: Obj => Obj,
       page: PDict,
-      inherited: PDict,
-      cmapCache: mutable.Map[Obj, ToUniCMap]): Map[String, FontDec] = {
-    val res = resolve(
+      inherited: PDict): Option[PDict] =
+    resolve(
       page.get("Resources").orElse(inherited.get("Resources")).getOrElse(PNull)) match {
-      case d: PDict => d
-      case PNull    => return Map.empty
+      case d: PDict => Some(d)
+      case PNull    => None
       case other    => throw PdfError(s"bad_resources:$other")
     }
+
+  /** Named form/image XObject entries of a resources dict (UNRESOLVED, so
+    * PRef identity can key the recursion cycle guard).
+    */
+  private def xobjectsOfRes(resolve: Obj => Obj, res: PDict): Map[String, Obj] =
+    resolve(res.get("XObject").getOrElse(PNull)) match {
+      case PNull    => Map.empty
+      case d: PDict => d.v
+      case other    => throw PdfError(s"bad_xobject_resource:$other")
+    }
+
+  private def fontsOfRes(
+      resolve: Obj => Obj,
+      res: PDict,
+      cmapCache: mutable.Map[Obj, ToUniCMap]): Map[String, FontDec] =
     resolve(res.get("Font").getOrElse(PNull)) match {
       case PNull => Map.empty
       case fd: PDict =>
@@ -1390,7 +1412,6 @@ object PdfContainer {
         }
       case other => throw PdfError(s"bad_font_resource:$other")
     }
-  }
 
   // ---- content-stream text extraction --------------------------------------
 
@@ -1407,7 +1428,8 @@ object PdfContainer {
 
   private def runsOf(
       content: Array[Byte],
-      fonts: Map[String, FontDec] = Map.empty): Vector[RawRun] = {
+      fonts: Map[String, FontDec] = Map.empty,
+      onDo: String => Vector[RawRun] = _ => Vector.empty): Vector[RawRun] = {
     val lx = new Lexer(content, 0)
     val stack = mutable.ArrayBuffer.empty[Obj]
     val runs = Vector.newBuilder[RawRun]
@@ -1519,6 +1541,15 @@ object PdfContainer {
               stack.clear()
             case "T*" =>
               ty -= leading * md; cursorX = lineX; stack.clear()
+            case "Do" =>
+              // form-XObject invocation: the callback recurses into the
+              // form's own content/resources and returns its runs already
+              // mapped through the form /Matrix (image XObjects: empty)
+              stack.lastOption.foreach {
+                case PName(n) => runs ++= onDo(n)
+                case _        => ()
+              }
+              stack.clear()
             case "Tj" =>
               stack.lastOption.foreach { case PStr(s) => emit(s); case _ => () }
               stack.clear()
@@ -1599,6 +1630,63 @@ object PdfContainer {
       // pay twice the budget of synthetic ones for the same bytes (B3)
       val doc = new Doc(payload)
       val cmapCache = mutable.Map.empty[Obj, ToUniCMap]
+      /** Runs of a content stream, recursing through form-XObject `Do`
+        * invocations: the form's own /Resources (invoker's when absent),
+        * axis-aligned /Matrix applied to positions/advance (rotation
+        * loud), cycle- and depth-guarded via the UNRESOLVED entry object
+        * (PRef identity). Image XObjects contribute no text.
+        */
+      def runsFor(
+          content: Array[Byte],
+          fonts: Map[String, FontDec],
+          xobjs: Map[String, Obj],
+          depth: Int,
+          active: Set[Obj]): Vector[RawRun] =
+        runsOf(content, fonts, onDo = { name =>
+          xobjs.get(name) match {
+            case None => Vector.empty // undeclared name: nothing to draw
+            case Some(entry) =>
+              if (active.contains(entry)) throw PdfError("form_xobject_cycle")
+              if (depth >= 8) throw PdfError("form_xobject_too_deep")
+              doc.resolve(entry) match {
+                case s @ PStream(d, _) =>
+                  doc.resolve(d.get("Subtype").getOrElse(PNull)) match {
+                    case PName("Form") =>
+                      val inner = decodeStream(d, s.raw, doc.resolve)
+                      graft.util.StepBudget.tick(inner.length.toLong)
+                      val (fFonts, fXobjs) =
+                        doc.resolve(d.get("Resources").getOrElse(PNull)) match {
+                          case rd: PDict =>
+                            (fontsOfRes(doc.resolve, rd, cmapCache),
+                              xobjectsOfRes(doc.resolve, rd))
+                          case PNull => (fonts, xobjs)
+                          case other => throw PdfError(s"bad_resources:$other")
+                        }
+                      val sub = runsFor(inner, fFonts, fXobjs, depth + 1, active + entry)
+                      doc.resolve(d.get("Matrix").getOrElse(PNull)) match {
+                        case PNull => sub
+                        case PArr(Vector(a0, b0, c0, d0, e0, f0)) =>
+                          def n(o: Obj) = doc.resolve(o) match {
+                            case PNum(v) => v
+                            case other   => throw PdfError(s"bad_form_matrix:$other")
+                          }
+                          val a = n(a0); val b2 = n(b0); val c2 = n(c0)
+                          val dd = n(d0); val e = n(e0); val f = n(f0)
+                          if (math.abs(b2) > 1e-9 || math.abs(c2) > 1e-9)
+                            throw PdfError("rotated_form_unsupported")
+                          if (a == 1.0 && dd == 1.0 && e == 0.0 && f == 0.0) sub
+                          else
+                            sub.map(r => RawRun(
+                              a * r.x + e, dd * r.yUp + f,
+                              r.fs * (a + dd) / 2, r.text))
+                        case other => throw PdfError(s"bad_form_matrix:$other")
+                      }
+                    case _ => Vector.empty // Image/other subtypes: no text
+                  }
+                case _ => throw PdfError("bad_xobject")
+              }
+          }
+        })
       val pages = doc.pages().map { case (page, inherited) =>
         val mb = doc.resolve(
           page.get("MediaBox").orElse(inherited.get("MediaBox")).getOrElse(PNull))
@@ -1613,9 +1701,12 @@ object PdfContainer {
         }
         val content = doc.contentBytes(page)
         graft.util.StepBudget.tick(content.length.toLong)
-        toPage(
-          runsOf(content, fontsOf(doc.resolve, page, inherited, cmapCache)),
-          llx, lly, w, h)
+        val res = resourcesOf(doc.resolve, page, inherited)
+        val fonts =
+          res.map(r => fontsOfRes(doc.resolve, r, cmapCache)).getOrElse(Map.empty)
+        val xobjs =
+          res.map(r => xobjectsOfRes(doc.resolve, r)).getOrElse(Map.empty)
+        toPage(runsFor(content, fonts, xobjs, 0, Set.empty), llx, lly, w, h)
       }
       if (pages.isEmpty) Left("pdf_no_pages") else Right(pages)
     } catch {

@@ -215,6 +215,101 @@ class PdfContainerSpec extends AnyFunSuite {
     assert(r.left.toOption.get.contains("encrypted_document"), r)
   }
 
+  test("form XObjects: page content inside /Form with own resources round trips") {
+    val runs = Seq(
+      line(100, "Content that lives in a form XObject."),
+      line(112, "Second line inside the form."),
+      line(160, "New paragraph, still in the form."))
+    val expected = "Content that lives in a form XObject.\nSecond line inside the form." +
+      "\n\nNew paragraph, still in the form."
+    // the Word/Quartz page shape: a q /Fx1 Do Q wrapper stream, text and
+    // fonts inside the form's OWN resources; classic and packed-modern
+    for (modern <- Seq(false, true)) {
+      val pdf = RealPdf.document(
+        Seq(PageSpec(runs = runs, formXObject = true)),
+        xrefStream = modern, objStmPack = modern)
+      val ex = PdfExtractor.extract(pdf)
+      assert(ex.isRight, s"modern=$modern: $ex")
+      assert(ex.toOption.get.text == expected, s"modern=$modern")
+    }
+    // a translated /Matrix shifts geometry without changing the text or
+    // the relative line structure
+    val shifted = RealPdf.document(Seq(PageSpec(
+      runs = runs, formXObject = true, formMatrix = Some((0.0, -24.0)))))
+    val exS = PdfExtractor.extract(shifted)
+    assert(exS.isRight, exS)
+    assert(exS.toOption.get.text == expected)
+    // a CID font inside a form's resources composes with the CMap path
+    val cidForm = RealPdf.document(Seq(PageSpec(
+      runs = Seq(line(100, "Form Σλ ünïcode text.")),
+      formXObject = true, cidFont = true)))
+    val exC = PdfExtractor.extract(cidForm)
+    assert(exC.isRight, exC)
+    assert(exC.toOption.get.text == "Form Σλ ünïcode text.")
+  }
+
+  test("form XObjects: self-invocation is a loud cycle; images and unknowns add no text") {
+    // hand-built doc whose form's OWN resources point back at itself
+    def cyclicDoc(): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def ascii(t: String): Unit = out.write(t.getBytes(StandardCharsets.ISO_8859_1))
+      val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def obj(b: => Unit): Unit = { offsets += out.size(); b }
+      ascii("%PDF-1.4\n")
+      obj(ascii("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"))
+      obj(ascii("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"))
+      obj(ascii("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 4 0 R /Resources << /XObject << /Fx 5 0 R >> >> >>\nendobj\n"))
+      val wrapper = "q /Fx Do Q"
+      obj {
+        ascii(s"4 0 obj\n<< /Length ${wrapper.length} >>\nstream\n")
+        ascii(wrapper)
+        ascii("\nendstream\nendobj\n")
+      }
+      obj {
+        ascii(s"5 0 obj\n<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] " +
+          s"/Resources << /XObject << /Fx 5 0 R >> >> /Length ${wrapper.length} >>\nstream\n")
+        ascii(wrapper)
+        ascii("\nendstream\nendobj\n")
+      }
+      val xrefAt = out.size()
+      ascii("xref\n0 6\n0000000000 65535 f \n")
+      offsets.foreach(o => ascii(f"$o%010d 00000 n \n"))
+      ascii(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+      out.toByteArray
+    }
+    val r = PdfContainer.parsePages(cyclicDoc())
+    assert(r.isLeft, r)
+    assert(r.left.toOption.get.contains("form_xobject_cycle"), r)
+    // an undeclared Do name contributes nothing and does not fail
+    // (hand-built so the stream /Length stays correct)
+    def undeclaredDoDoc(): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def ascii(t: String): Unit = out.write(t.getBytes(StandardCharsets.ISO_8859_1))
+      val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def obj(b: => Unit): Unit = { offsets += out.size(); b }
+      ascii("%PDF-1.4\n")
+      obj(ascii("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"))
+      obj(ascii("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"))
+      obj(ascii("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 4 0 R /Resources << >> >>\nendobj\n"))
+      val ops = "BT /F1 10 Tf 1 0 0 1 72 700 Tm (with image) Tj ET\n/ImUndeclared Do"
+      obj {
+        ascii(s"4 0 obj\n<< /Length ${ops.length} >>\nstream\n")
+        ascii(ops)
+        ascii("\nendstream\nendobj\n")
+      }
+      val xrefAt = out.size()
+      ascii("xref\n0 5\n0000000000 65535 f \n")
+      offsets.foreach(o => ascii(f"$o%010d 00000 n \n"))
+      ascii(s"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+      out.toByteArray
+    }
+    val ex = PdfContainer.parsePages(undeclaredDoDoc())
+    assert(ex.isRight, ex)
+    assert(ex.toOption.get.head.runs.map(_.text).mkString == "with image")
+  }
+
   test("simple-font /Encoding: WinAnsi block and /Differences glyph remaps") {
     // WinAnsi: bytes 0x93/0x94 are curly quotes, 0x96 en-dash (Latin-1
     // would decode them as C1 controls — silently wrong text)
