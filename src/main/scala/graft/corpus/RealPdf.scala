@@ -54,7 +54,8 @@ object RealPdf {
       cidFont: Boolean = false,
       cidToUnicode: Boolean = true,
       formXObject: Boolean = false,
-      formMatrix: Option[(Double, Double)] = None)
+      formMatrix: Option[(Double, Double)] = None,
+      formCm: Option[(Double, Double)] = None)
 
   private def escLiteral(s: String): String =
     s.flatMap {
@@ -415,7 +416,15 @@ object RealPdf {
           ascii("\nendstream")
         }
       }
-      val opsAll = if (p.formXObject) "q\n/Fx1 Do\nQ" else contentOps(p)
+      val opsAll =
+        if (p.formXObject) {
+          // optional cm-positioned invocation (the common real-generator
+          // placement): translate inside the q/Q bracket
+          val cm = p.formCm
+            .map { case (e, f) => s"1 0 0 1 ${num1(e)} ${num1(f)} cm\n" }
+            .getOrElse("")
+          s"q\n$cm/Fx1 Do\nQ"
+        } else contentOps(p)
       val parts: Seq[String] =
         if (p.splitContents) {
           // split roughly in half at an operator boundary: token halves of a

@@ -40,9 +40,12 @@ import scala.collection.mutable
   *   - the page tree (/Root -> /Pages -> /Kids recursion, cycle-guarded)
   *     with inheritable /MediaBox;
   *   - the text-showing operator set: BT/ET, Tf, Td, TD, TL, T*, Tm, Tj,
-  *     TJ (with kerning adjustments), ' and ". Positions come from the
-  *     text matrix; PDF's upward y axis is flipped into the downward
-  *     [[PdfExtractor.Run]] convention;
+  *     TJ (with kerning adjustments), ' and ", plus the graphics-state
+  *     CTM (cm within q/Q, full coefficients tracked, composed with form
+  *     invocations): positions map text space -> user space; a rotated
+  *     or skewed CTM is loud only when TEXT is shown under it (graphics
+  *     rotations pass through harmlessly). PDF's upward y axis is flipped
+  *     into the downward [[PdfExtractor.Run]] convention;
   *   - form XObjects: `Do` recurses into /Subtype /Form streams with
   *     their own /Resources (invoker's when absent) and an axis-aligned
   *     /Matrix applied to geometry (the Word/Quartz page shape: content
@@ -1447,6 +1450,20 @@ object PdfContainer {
     var lineX = 0.0 // line start for T*/TD/'/"
     var cursorX = 0.0
 
+    // current transformation matrix (cm within q/Q): FULL coefficients are
+    // tracked so a rotated cm used purely for GRAPHICS stays harmless —
+    // the loud refusal fires only when TEXT is shown (or a form invoked)
+    // under a rotated/skewed CTM, matching the Tm discipline
+    var ca = 1.0; var cb = 0.0; var cc = 0.0; var cd = 1.0
+    var ce = 0.0; var cf = 0.0
+    val ctmStack = mutable.ArrayBuffer.empty[(Double, Double, Double, Double, Double, Double)]
+    def ctmIsAxisAligned: Boolean = math.abs(cb) <= 1e-9 && math.abs(cc) <= 1e-9
+    def requireAxisCtm(): Unit =
+      if (!ctmIsAxisAligned) throw PdfError("rotated_text_unsupported")
+    def mapX(x: Double): Double = ca * x + ce
+    def mapY(y: Double): Double = cd * y + cf
+    def ctmScale: Double = (ca + cd) / 2
+
     def effSize: Double = fs * ((ma + md) / 2) // axis-aligned: ma==md in practice
 
     // current font decode behavior, switched by Tf; a name missing from
@@ -1483,7 +1500,10 @@ object PdfContainer {
           (sb.toString, bytes.length / len)
         case CidNoToUni => throw PdfError("cid_font_without_tounicode")
       }
-      if (text.nonEmpty) runs += RawRun(cursorX, ty, effSize, text)
+      if (text.nonEmpty) {
+        requireAxisCtm()
+        runs += RawRun(mapX(cursorX), mapY(ty), effSize * ctmScale, text)
+      }
       cursorX += glyphs * fs * FixedPitchEm * ma
     }
 
@@ -1541,13 +1561,48 @@ object PdfContainer {
               stack.clear()
             case "T*" =>
               ty -= leading * md; cursorX = lineX; stack.clear()
+            case "q" =>
+              ctmStack += ((ca, cb, cc, cd, ce, cf))
+              stack.clear()
+            case "Q" =>
+              if (ctmStack.nonEmpty) {
+                val t = ctmStack.remove(ctmStack.length - 1)
+                ca = t._1; cb = t._2; cc = t._3; cd = t._4; ce = t._5; cf = t._6
+              } // an unbalanced Q restores nothing (lenient, as real
+              // viewers treat it)
+              stack.clear()
+            case "cm" =>
+              if (stack.length >= 6) {
+                val a = num(stack(stack.length - 6))
+                val b2 = num(stack(stack.length - 5))
+                val c2 = num(stack(stack.length - 4))
+                val d2 = num(stack(stack.length - 3))
+                val e2 = num(stack(stack.length - 2))
+                val f2 = num(stack.last)
+                // CTM' = M × CTM (PDF premultiplies the new matrix)
+                val na = a * ca + b2 * cc
+                val nb = a * cb + b2 * cd
+                val nc = c2 * ca + d2 * cc
+                val nd = c2 * cb + d2 * cd
+                val ne = e2 * ca + f2 * cc + ce
+                val nf = e2 * cb + f2 * cd + cf
+                ca = na; cb = nb; cc = nc; cd = nd; ce = ne; cf = nf
+              }
+              stack.clear()
             case "Do" =>
               // form-XObject invocation: the callback recurses into the
               // form's own content/resources and returns its runs already
-              // mapped through the form /Matrix (image XObjects: empty)
+              // mapped through the form /Matrix (image XObjects: empty);
+              // the invoker's CTM at the Do site then applies on top
               stack.lastOption.foreach {
-                case PName(n) => runs ++= onDo(n)
-                case _        => ()
+                case PName(n) =>
+                  val sub = onDo(n)
+                  if (sub.nonEmpty) {
+                    requireAxisCtm()
+                    runs ++= sub.map(r =>
+                      RawRun(mapX(r.x), mapY(r.yUp), r.fs * ctmScale, r.text))
+                  }
+                case _ => ()
               }
               stack.clear()
             case "Tj" =>

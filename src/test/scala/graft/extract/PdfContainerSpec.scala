@@ -248,6 +248,66 @@ class PdfContainerSpec extends AnyFunSuite {
     assert(exC.toOption.get.text == "Form Σλ ünïcode text.")
   }
 
+  test("cm/q/Q: CTM-positioned text and forms; rotation loud only when text shows") {
+    // a cm-positioned form invocation (the common real-generator shape):
+    // geometry shifts, text unchanged
+    val runs = Seq(
+      line(100, "Placed via cm before Do."),
+      line(112, "Second placed line."))
+    val placed = RealPdf.document(Seq(PageSpec(
+      runs = runs, formXObject = true, formCm = Some((0.0, -36.0)))))
+    val exP = PdfExtractor.extract(placed)
+    assert(exP.isRight, exP)
+    assert(exP.toOption.get.text == "Placed via cm before Do.\nSecond placed line.")
+    // hand-built: cm inside q..Q must not leak; a scaling cm normalizes
+    // away through the dominant-font-size model; a rotated cm used only
+    // for graphics is harmless, but showing text under it is loud
+    def doc(ops: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def ascii(t: String): Unit = out.write(t.getBytes(StandardCharsets.ISO_8859_1))
+      val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def obj(b: => Unit): Unit = { offsets += out.size(); b }
+      ascii("%PDF-1.4\n")
+      obj(ascii("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"))
+      obj(ascii("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"))
+      obj(ascii("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 4 0 R /Resources << >> >>\nendobj\n"))
+      obj {
+        ascii(s"4 0 obj\n<< /Length ${ops.length} >>\nstream\n")
+        ascii(ops)
+        ascii("\nendstream\nendobj\n")
+      }
+      val xrefAt = out.size()
+      ascii("xref\n0 5\n0000000000 65535 f \n")
+      offsets.foreach(o => ascii(f"$o%010d 00000 n \n"))
+      ascii(s"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+      out.toByteArray
+    }
+    // scale-2 cm: positions double, dominant size doubles, normalization
+    // divides it back out — same text, same relative layout
+    val scaled = doc("q\n2 0 0 2 10 10 cm\nBT /F1 10 Tf " +
+      "1 0 0 1 72 700 Tm (scaled) Tj 1 0 0 1 72 688 Tm (next) Tj ET\nQ")
+    val exScaled = PdfContainer.parsePages(scaled)
+    assert(exScaled.isRight, exScaled)
+    assert(exScaled.toOption.get.head.runs.map(_.text) == Vector("scaled", "next"))
+    // Q restores: text after the bracket lands at unscaled coordinates
+    val bracket = doc("q\n2 0 0 2 0 0 cm\nQ\nBT /F1 10 Tf " +
+      "1 0 0 1 72 700 Tm (plain) Tj ET")
+    val exB = PdfContainer.parsePages(bracket)
+    assert(exB.isRight && exB.toOption.get.head.runs.head.text == "plain")
+    // rotated cm for graphics only: harmless
+    val gfxRot = doc("q\n0 1 -1 0 0 0 cm\n0 0 100 100 re S\nQ\n" +
+      "BT /F1 10 Tf 1 0 0 1 72 700 Tm (after gfx) Tj ET")
+    val exG = PdfContainer.parsePages(gfxRot)
+    assert(exG.isRight && exG.toOption.get.head.runs.head.text == "after gfx")
+    // rotated cm with text shown under it: loud
+    val textRot = doc("q\n0 1 -1 0 0 0 cm\nBT /F1 10 Tf " +
+      "1 0 0 1 72 700 Tm (rotated) Tj ET\nQ")
+    val exR = PdfContainer.parsePages(textRot)
+    assert(exR.isLeft, exR)
+    assert(exR.left.toOption.get.contains("rotated_text_unsupported"), exR)
+  }
+
   test("form XObjects: self-invocation is a loud cycle; images and unknowns add no text") {
     // hand-built doc whose form's OWN resources point back at itself
     def cyclicDoc(): Array[Byte] = {
