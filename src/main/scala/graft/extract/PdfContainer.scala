@@ -1119,6 +1119,22 @@ object PdfContainer {
   private val Latin1Table: Array[String] =
     Array.tabulate(256)(i => i.toChar.toString)
 
+  /** MacRomanEncoding: the other pre-Unicode simple-font base encoding
+    * real crawls carry (Mac-era generators). The table is derived from
+    * the JVM's own x-MacRoman charset — authoritative, nothing
+    * hand-transcribed; a JVM without the charset keeps the Latin-1
+    * historical default.
+    */
+  private val MacRomanTable: Array[String] =
+    (try Some(java.nio.charset.Charset.forName("x-MacRoman"))
+    catch { case _: Exception => None }) match {
+      case Some(cs) =>
+        Array.tabulate(256)(i =>
+          if (i < 128) i.toChar.toString
+          else new String(Array(i.toByte), cs))
+      case None => Latin1Table
+    }
+
   /** WinAnsiEncoding = cp1252: Latin-1 with the 0x80-0x9F block holding
     * real typography (curly quotes, dashes, Euro, ellipsis) instead of C1
     * controls — the dominant simple-font encoding in the wild.
@@ -1209,19 +1225,21 @@ object PdfContainer {
 
   /** The 1-byte decode table for a simple font's /Encoding entry. Absent
     * encoding keeps the Latin-1 historical default; unrecognized base
-    * encodings (MacRoman/Standard/MacExpert) also keep it — byte-for-byte
-    * the pre-round-5 behavior, exact for ASCII and judged by the quality
+    * encodings (Standard/MacExpert) also keep it — byte-for-byte the
+    * pre-round-5 behavior, exact for ASCII and judged by the quality
     * gate beyond it. Malformed /Differences structures are loud.
     */
   private def simpleTable(resolve: Obj => Obj, f: PDict): Array[String] =
     resolve(f.get("Encoding").getOrElse(PNull)) match {
-      case PNull                    => Latin1Table
-      case PName("WinAnsiEncoding") => WinAnsiTable
-      case PName(_)                 => Latin1Table
+      case PNull                     => Latin1Table
+      case PName("WinAnsiEncoding")  => WinAnsiTable
+      case PName("MacRomanEncoding") => MacRomanTable
+      case PName(_)                  => Latin1Table
       case d: PDict =>
         val base = resolve(d.get("BaseEncoding").getOrElse(PNull)) match {
-          case PName("WinAnsiEncoding") => WinAnsiTable
-          case _                        => Latin1Table
+          case PName("WinAnsiEncoding")  => WinAnsiTable
+          case PName("MacRomanEncoding") => MacRomanTable
+          case _                         => Latin1Table
         }
         resolve(d.get("Differences").getOrElse(PNull)) match {
           case PNull => base
@@ -1561,6 +1579,43 @@ object PdfContainer {
               stack.clear()
             case "T*" =>
               ty -= leading * md; cursorX = lineX; stack.clear()
+            case "BI" =>
+              // inline image: the parameter tokens run to ID, then RAW
+              // pixel bytes to the EI delimiter — tokenizing those bytes
+              // would produce garbage operators or fake text strings.
+              // Skip to ID at the token level, then scan bytes for a
+              // whitespace-delimited EI (the standard heuristic; a false
+              // EI inside pixel data degrades to contained garbage ops,
+              // never silent fake text runs with valid syntax)
+              stack.clear()
+              var atId = false
+              while (!atId && !lx.atEnd) {
+                lx.skipWs()
+                if (!lx.atEnd) {
+                  val pb = lx.peek
+                  if (pb == '(' || pb == '<' || pb == '[' || pb == '/' ||
+                    pb.toChar.isDigit || pb == '+' || pb == '-' || pb == '.') {
+                    lx.obj(null)
+                    ()
+                  } else if (lx.token() == "ID") atId = true
+                }
+              }
+              if (!atId) throw PdfError("inline_image_unterminated")
+              def isWsB(x: Byte): Boolean =
+                x == ' ' || x == '\n' || x == '\r' || x == '\t' || x == '\f' || x == 0
+              val ibuf = lx.buf
+              var ip = lx.pos
+              if (ip < ibuf.length && isWsB(ibuf(ip))) ip += 1 // single separator
+              var found = -1
+              while (found < 0 && ip + 1 < ibuf.length) {
+                if (ibuf(ip) == 'E' && ibuf(ip + 1) == 'I' &&
+                  isWsB(ibuf(ip - 1)) &&
+                  (ip + 2 >= ibuf.length || isWsB(ibuf(ip + 2)))) found = ip
+                ip += 1
+              }
+              graft.util.StepBudget.tick(math.max(1L, (ip - lx.pos).toLong))
+              if (found < 0) throw PdfError("inline_image_unterminated")
+              lx.pos = found + 2
             case "q" =>
               ctmStack += ((ca, cb, cc, cd, ce, cf))
               stack.clear()

@@ -248,6 +248,54 @@ class PdfContainerSpec extends AnyFunSuite {
     assert(exC.toOption.get.text == "Form Σλ ünïcode text.")
   }
 
+  test("MacRomanEncoding decodes the Mac-era high half via the JVM's own table") {
+    // byte 0x8A is 'ä' in MacRoman (vs a C1 control in Latin-1)
+    val macText = "caf\u008a style" // 0x8A raw byte via hex strings
+    val pdf = RealPdf.document(
+      Seq(PageSpec(runs = Seq(line(100, macText)), hexStrings = true)),
+      simpleFontEncoding = Some("/MacRomanEncoding"))
+    val ex = PdfExtractor.extract(pdf)
+    assert(ex.isRight, ex)
+    assert(ex.toOption.get.text == "cafä style")
+  }
+
+  test("inline images (BI..ID..EI) are skipped, never tokenized as text") {
+    // binary payload deliberately contains '(fake) Tj' lookalike bytes and
+    // unbalanced delimiters that would wreck the lexer if tokenized
+    def doc(ops: String, rawLen: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def ascii(t: String): Unit = out.write(t.getBytes(StandardCharsets.ISO_8859_1))
+      val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def obj(b: => Unit): Unit = { offsets += out.size(); b }
+      ascii("%PDF-1.4\n")
+      obj(ascii("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"))
+      obj(ascii("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"))
+      obj(ascii("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 4 0 R /Resources << >> >>\nendobj\n"))
+      obj {
+        ascii(s"4 0 obj\n<< /Length $rawLen >>\nstream\n")
+        ascii(ops)
+        ascii("\nendstream\nendobj\n")
+      }
+      val xrefAt = out.size()
+      ascii("xref\n0 5\n0000000000 65535 f \n")
+      offsets.foreach(o => ascii(f"$o%010d 00000 n \n"))
+      ascii(s"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+      out.toByteArray
+    }
+    val pixels = "ÿ(fake) Tj <dead> [junk  þ"
+    val ops = s"BI /W 4 /H 4 /BPC 8 /CS /G ID $pixels EI\n" +
+      "BT /F1 10 Tf 1 0 0 1 72 700 Tm (real text) Tj ET"
+    val ex = PdfContainer.parsePages(doc(ops, ops.length))
+    assert(ex.isRight, ex)
+    assert(ex.toOption.get.head.runs.map(_.text).mkString == "real text")
+    // unterminated inline image is loud, not an infinite scan
+    val bad = "BI /W 4 /H 4 ID ÿþ no terminator here"
+    val exBad = PdfContainer.parsePages(doc(bad, bad.length))
+    assert(exBad.isLeft, exBad)
+    assert(exBad.left.toOption.get.contains("inline_image_unterminated"), exBad)
+  }
+
   test("cm/q/Q: CTM-positioned text and forms; rotation loud only when text shows") {
     // a cm-positioned form invocation (the common real-generator shape):
     // geometry shifts, text unchanged
