@@ -1129,9 +1129,16 @@ object PdfContainer {
     (try Some(java.nio.charset.Charset.forName("x-MacRoman"))
     catch { case _: Exception => None }) match {
       case Some(cs) =>
-        Array.tabulate(256)(i =>
+        val t = Array.tabulate(256)(i =>
           if (i < 128) i.toChar.toString
           else new String(Array(i.toByte), cs))
+        // PDF's MacRomanEncoding (ISO 32000 Annex D) diverges from the
+        // JVM's Mac OS Roman at two codes: 0xCA is 'space' (the charset
+        // says NBSP — gluing words for whitespace-based tokenizers) and
+        // 0xDB is 'currency' (the post-8.5 charset says euro)
+        t(0xca) = " "
+        t(0xdb) = "¤"
+        t
       case None => Latin1Table
     }
 
@@ -1449,8 +1456,11 @@ object PdfContainer {
 
   private def runsOf(
       content: Array[Byte],
-      fonts: Map[String, FontDec] = Map.empty,
+      fontsF: () => Map[String, FontDec] = () => Map.empty,
       onDo: String => Vector[RawRun] = _ => Vector.empty): Vector[RawRun] = {
+    // resolved on the FIRST named Tf only: a malformed-but-unused /Font
+    // resource must not fail a page that never shows text through it
+    lazy val fonts: Map[String, FontDec] = fontsF()
     val lx = new Lexer(content, 0)
     val stack = mutable.ArrayBuffer.empty[Obj]
     val runs = Vector.newBuilder[RawRun]
@@ -1471,16 +1481,21 @@ object PdfContainer {
     // current transformation matrix (cm within q/Q): FULL coefficients are
     // tracked so a rotated cm used purely for GRAPHICS stays harmless —
     // the loud refusal fires only when TEXT is shown (or a form invoked)
-    // under a rotated/skewed CTM, matching the Tm discipline
+    // under a rotated/skewed/mirrored CTM, matching the Tm discipline.
+    // The ubiquitous Quartz y-FLIP (1 0 0 -1 0 H cm) is SUPPORTED: the
+    // y map flips positions correctly and the font size uses |cd|; an
+    // x-mirror (ca < 0) or 180-degree rotation (both negative) would
+    // reverse reading order and stays loud.
     var ca = 1.0; var cb = 0.0; var cc = 0.0; var cd = 1.0
     var ce = 0.0; var cf = 0.0
     val ctmStack = mutable.ArrayBuffer.empty[(Double, Double, Double, Double, Double, Double)]
-    def ctmIsAxisAligned: Boolean = math.abs(cb) <= 1e-9 && math.abs(cc) <= 1e-9
     def requireAxisCtm(): Unit =
-      if (!ctmIsAxisAligned) throw PdfError("rotated_text_unsupported")
+      if (math.abs(cb) > 1e-9 || math.abs(cc) > 1e-9 || ca <= 1e-9 ||
+        math.abs(cd) <= 1e-9)
+        throw PdfError("rotated_text_unsupported")
     def mapX(x: Double): Double = ca * x + ce
     def mapY(y: Double): Double = cd * y + cf
-    def ctmScale: Double = (ca + cd) / 2
+    def ctmScale: Double = (ca + math.abs(cd)) / 2
 
     def effSize: Double = fs * ((ma + md) / 2) // axis-aligned: ma==md in practice
 
@@ -1740,36 +1755,44 @@ object PdfContainer {
       // pay twice the budget of synthetic ones for the same bytes (B3)
       val doc = new Doc(payload)
       val cmapCache = mutable.Map.empty[Obj, ToUniCMap]
+      // forms carrying their OWN /Resources are invoker-independent: a
+      // page stamping the same form N times (tiled watermark, table-row
+      // template) decodes and parses it once, and the work budget is
+      // charged once instead of N times (review finding)
+      val formRunsCache = mutable.Map.empty[Obj, Vector[RawRun]]
       /** Runs of a content stream, recursing through form-XObject `Do`
         * invocations: the form's own /Resources (invoker's when absent),
-        * axis-aligned /Matrix applied to positions/advance (rotation
-        * loud), cycle- and depth-guarded via the UNRESOLVED entry object
-        * (PRef identity). Image XObjects contribute no text.
+        * axis-aligned /Matrix applied to positions/advance — the common
+        * y-flip supported via |d|, mirrors/rotations loud — cycle- and
+        * depth-guarded via the UNRESOLVED entry object (PRef identity).
+        * Resources resolve LAZILY so malformed-but-unused /Font or
+        * /XObject entries never fail a page that shows no text through
+        * them. Image XObjects contribute no text.
         */
       def runsFor(
           content: Array[Byte],
-          fonts: Map[String, FontDec],
-          xobjs: Map[String, Obj],
+          fontsF: () => Map[String, FontDec],
+          xobjsF: () => Map[String, Obj],
           depth: Int,
           active: Set[Obj]): Vector[RawRun] =
-        runsOf(content, fonts, onDo = { name =>
-          xobjs.get(name) match {
+        runsOf(content, fontsF, onDo = { name =>
+          xobjsF().get(name) match {
             case None => Vector.empty // undeclared name: nothing to draw
             case Some(entry) =>
               if (active.contains(entry)) throw PdfError("form_xobject_cycle")
               if (depth >= 8) throw PdfError("form_xobject_too_deep")
-              doc.resolve(entry) match {
+              def compute(): Vector[RawRun] = doc.resolve(entry) match {
                 case s @ PStream(d, _) =>
                   doc.resolve(d.get("Subtype").getOrElse(PNull)) match {
                     case PName("Form") =>
                       val inner = decodeStream(d, s.raw, doc.resolve)
                       graft.util.StepBudget.tick(inner.length.toLong)
-                      val (fFonts, fXobjs) =
+                      val (fFonts, fXobjs): (() => Map[String, FontDec], () => Map[String, Obj]) =
                         doc.resolve(d.get("Resources").getOrElse(PNull)) match {
                           case rd: PDict =>
-                            (fontsOfRes(doc.resolve, rd, cmapCache),
-                              xobjectsOfRes(doc.resolve, rd))
-                          case PNull => (fonts, xobjs)
+                            (() => fontsOfRes(doc.resolve, rd, cmapCache),
+                              () => xobjectsOfRes(doc.resolve, rd))
+                          case PNull => (fontsF, xobjsF)
                           case other => throw PdfError(s"bad_resources:$other")
                         }
                       val sub = runsFor(inner, fFonts, fXobjs, depth + 1, active + entry)
@@ -1782,19 +1805,31 @@ object PdfContainer {
                           }
                           val a = n(a0); val b2 = n(b0); val c2 = n(c0)
                           val dd = n(d0); val e = n(e0); val f = n(f0)
-                          if (math.abs(b2) > 1e-9 || math.abs(c2) > 1e-9)
+                          // same discipline as the CTM: y-flip fine via
+                          // |dd|, skew/mirror/degenerate scale loud
+                          if (math.abs(b2) > 1e-9 || math.abs(c2) > 1e-9 ||
+                            a <= 1e-9 || math.abs(dd) <= 1e-9)
                             throw PdfError("rotated_form_unsupported")
                           if (a == 1.0 && dd == 1.0 && e == 0.0 && f == 0.0) sub
                           else
                             sub.map(r => RawRun(
                               a * r.x + e, dd * r.yUp + f,
-                              r.fs * (a + dd) / 2, r.text))
+                              r.fs * (a + math.abs(dd)) / 2, r.text))
                         case other => throw PdfError(s"bad_form_matrix:$other")
                       }
                     case _ => Vector.empty // Image/other subtypes: no text
                   }
                 case _ => throw PdfError("bad_xobject")
               }
+              // cache only invoker-independent forms (own /Resources):
+              // inherited-resource forms depend on the caller's maps
+              val cacheable = doc.resolve(entry) match {
+                case PStream(d, _) =>
+                  doc.resolve(d.get("Resources").getOrElse(PNull)).isInstanceOf[PDict]
+                case _ => false
+              }
+              if (cacheable) formRunsCache.getOrElseUpdate(entry, compute())
+              else compute()
           }
         })
       val pages = doc.pages().map { case (page, inherited) =>
@@ -1811,12 +1846,12 @@ object PdfContainer {
         }
         val content = doc.contentBytes(page)
         graft.util.StepBudget.tick(content.length.toLong)
-        val res = resourcesOf(doc.resolve, page, inherited)
-        val fonts =
+        lazy val res = resourcesOf(doc.resolve, page, inherited)
+        val fontsF = () =>
           res.map(r => fontsOfRes(doc.resolve, r, cmapCache)).getOrElse(Map.empty)
-        val xobjs =
+        val xobjsF = () =>
           res.map(r => xobjectsOfRes(doc.resolve, r)).getOrElse(Map.empty)
-        toPage(runsFor(content, fonts, xobjs, 0, Set.empty), llx, lly, w, h)
+        toPage(runsFor(content, fontsF, xobjsF, 0, Set.empty), llx, lly, w, h)
       }
       if (pages.isEmpty) Left("pdf_no_pages") else Right(pages)
     } catch {

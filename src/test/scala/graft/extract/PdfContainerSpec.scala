@@ -11,6 +11,46 @@ class PdfContainerSpec extends AnyFunSuite {
 
   private def line(y: Int, text: String, x: Int = 72) = TextRun(x, y, text)
 
+  /** Minimal classic-xref document assembler: `bodies(i)` writes the BODY
+    * of object i+1 (no `N 0 obj`/`endobj` wrapper); object 1 must be the
+    * catalog. Shared by the hand-built tests below (review finding: the
+    * header/xref/trailer assembly was copy-pasted per test).
+    */
+  private def classicDoc(bodies: Seq[java.io.ByteArrayOutputStream => Unit]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(t: String): Unit = out.write(t.getBytes(StandardCharsets.ISO_8859_1))
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    ascii("%PDF-1.4\n")
+    bodies.zipWithIndex.foreach { case (b, i) =>
+      offsets += out.size()
+      ascii(s"${i + 1} 0 obj\n")
+      b(out)
+      ascii("\nendobj\n")
+    }
+    val xrefAt = out.size()
+    ascii(s"xref\n0 ${bodies.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => ascii(f"$o%010d 00000 n \n"))
+    ascii(s"trailer\n<< /Size ${bodies.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  private def asciiBody(s: String): java.io.ByteArrayOutputStream => Unit =
+    out => out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+
+  /** One-page doc whose content stream is `ops` with a correct /Length. */
+  private def onePageDoc(ops: String, pageRes: String = "<< >>"): Array[Byte] =
+    classicDoc(Seq(
+      asciiBody("<< /Type /Catalog /Pages 2 0 R >>"),
+      asciiBody("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      asciiBody("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Contents 4 0 R /Resources $pageRes >>"),
+      out => {
+        val b = ops.getBytes(StandardCharsets.ISO_8859_1)
+        out.write(s"<< /Length ${b.length} >>\nstream\n".getBytes(StandardCharsets.ISO_8859_1))
+        out.write(b)
+        out.write("\nendstream".getBytes(StandardCharsets.ISO_8859_1))
+      }))
+
   test("real-container round trip: literal strings, escapes, reading order") {
     val pdf = RealPdf.document(Seq(PageSpec(runs = Seq(
       line(100, "First line with (parens) and back\\slash."),
@@ -136,26 +176,18 @@ class PdfContainerSpec extends AnyFunSuite {
     // classic minimal doc whose content stream carries explicit Filter +
     // DecodeParms entries and pre-encoded body bytes
     def filteredDoc(filter: String, parms: String, body: Array[Byte]): Array[Byte] = {
-      val out = new java.io.ByteArrayOutputStream()
-      def ascii(t: String): Unit = out.write(t.getBytes(StandardCharsets.ISO_8859_1))
-      val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
-      ascii("%PDF-1.4\n")
-      def obj(b: => Unit): Unit = { offsets += out.size(); b }
-      obj(ascii("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"))
-      obj(ascii("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"))
-      obj(ascii("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
-        "/Contents 4 0 R /Resources << >> >>\nendobj\n"))
-      obj {
-        val parmsEntry = if (parms.isEmpty) "" else s" /DecodeParms $parms"
-        ascii(s"4 0 obj\n<< /Length ${body.length} /Filter $filter$parmsEntry >>\nstream\n")
-        out.write(body)
-        ascii("\nendstream\nendobj\n")
-      }
-      val xrefAt = out.size()
-      ascii("xref\n0 5\n0000000000 65535 f \n")
-      offsets.foreach(o => ascii(f"$o%010d 00000 n \n"))
-      ascii(s"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
-      out.toByteArray
+      val parmsEntry = if (parms.isEmpty) "" else s" /DecodeParms $parms"
+      classicDoc(Seq(
+        asciiBody("<< /Type /Catalog /Pages 2 0 R >>"),
+        asciiBody("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        asciiBody("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+          "/Contents 4 0 R /Resources << >> >>"),
+        out => {
+          out.write((s"<< /Length ${body.length} /Filter $filter$parmsEntry >>" +
+            "\nstream\n").getBytes(StandardCharsets.ISO_8859_1))
+          out.write(body)
+          out.write("\nendstream".getBytes(StandardCharsets.ISO_8859_1))
+        }))
     }
     def hexEnc(b: Array[Byte]): Array[Byte] =
       (b.map(x => f"$x%02x").mkString + ">").getBytes(StandardCharsets.ISO_8859_1)
@@ -262,27 +294,7 @@ class PdfContainerSpec extends AnyFunSuite {
   test("inline images (BI..ID..EI) are skipped, never tokenized as text") {
     // binary payload deliberately contains '(fake) Tj' lookalike bytes and
     // unbalanced delimiters that would wreck the lexer if tokenized
-    def doc(ops: String, rawLen: Int): Array[Byte] = {
-      val out = new java.io.ByteArrayOutputStream()
-      def ascii(t: String): Unit = out.write(t.getBytes(StandardCharsets.ISO_8859_1))
-      val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
-      def obj(b: => Unit): Unit = { offsets += out.size(); b }
-      ascii("%PDF-1.4\n")
-      obj(ascii("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"))
-      obj(ascii("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"))
-      obj(ascii("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
-        "/Contents 4 0 R /Resources << >> >>\nendobj\n"))
-      obj {
-        ascii(s"4 0 obj\n<< /Length $rawLen >>\nstream\n")
-        ascii(ops)
-        ascii("\nendstream\nendobj\n")
-      }
-      val xrefAt = out.size()
-      ascii("xref\n0 5\n0000000000 65535 f \n")
-      offsets.foreach(o => ascii(f"$o%010d 00000 n \n"))
-      ascii(s"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
-      out.toByteArray
-    }
+    def doc(ops: String, rawLen: Int): Array[Byte] = onePageDoc(ops)
     val pixels = "ÿ(fake) Tj <dead> [junk  þ"
     val ops = s"BI /W 4 /H 4 /BPC 8 /CS /G ID $pixels EI\n" +
       "BT /F1 10 Tf 1 0 0 1 72 700 Tm (real text) Tj ET"
@@ -310,27 +322,7 @@ class PdfContainerSpec extends AnyFunSuite {
     // hand-built: cm inside q..Q must not leak; a scaling cm normalizes
     // away through the dominant-font-size model; a rotated cm used only
     // for graphics is harmless, but showing text under it is loud
-    def doc(ops: String): Array[Byte] = {
-      val out = new java.io.ByteArrayOutputStream()
-      def ascii(t: String): Unit = out.write(t.getBytes(StandardCharsets.ISO_8859_1))
-      val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
-      def obj(b: => Unit): Unit = { offsets += out.size(); b }
-      ascii("%PDF-1.4\n")
-      obj(ascii("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"))
-      obj(ascii("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"))
-      obj(ascii("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
-        "/Contents 4 0 R /Resources << >> >>\nendobj\n"))
-      obj {
-        ascii(s"4 0 obj\n<< /Length ${ops.length} >>\nstream\n")
-        ascii(ops)
-        ascii("\nendstream\nendobj\n")
-      }
-      val xrefAt = out.size()
-      ascii("xref\n0 5\n0000000000 65535 f \n")
-      offsets.foreach(o => ascii(f"$o%010d 00000 n \n"))
-      ascii(s"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
-      out.toByteArray
-    }
+    def doc(ops: String): Array[Byte] = onePageDoc(ops)
     // scale-2 cm: positions double, dominant size doubles, normalization
     // divides it back out — same text, same relative layout
     val scaled = doc("q\n2 0 0 2 10 10 cm\nBT /F1 10 Tf " +
@@ -354,65 +346,58 @@ class PdfContainerSpec extends AnyFunSuite {
     val exR = PdfContainer.parsePages(textRot)
     assert(exR.isLeft, exR)
     assert(exR.left.toOption.get.contains("rotated_text_unsupported"), exR)
+    // the ubiquitous Quartz y-FLIP is SUPPORTED: positions map through
+    // the negative d, font size uses |d| (no zero/negative sizes), and
+    // line ORDER comes out right — flipped-space y=100 is ABOVE y=112
+    val flip = doc("q\n1 0 0 -1 0 792 cm\nBT /F1 10 Tf " +
+      "1 0 0 1 72 100 Tm (first flipped) Tj " +
+      "1 0 0 1 72 112 Tm (second flipped) Tj ET\nQ")
+    val exF = PdfContainer.parsePages(flip)
+    assert(exF.isRight, exF)
+    val fruns = exF.toOption.get.head.runs
+    assert(fruns.map(_.text) == Vector("first flipped", "second flipped"))
+    assert(fruns(0).y < fruns(1).y, s"flip must preserve top-down order: $fruns")
+    // a 180-degree "rotation" (both diagonals negative) and an x-mirror
+    // would reverse reading order: loud, not silently scrambled
+    val rot180 = doc("q\n-1 0 0 -1 612 792 cm\nBT /F1 10 Tf " +
+      "1 0 0 1 72 700 Tm (upside down) Tj ET\nQ")
+    assert(PdfContainer.parsePages(rot180).isLeft)
+    val mirror = doc("q\n-1 0 0 1 612 0 cm\nBT /F1 10 Tf " +
+      "1 0 0 1 72 700 Tm (mirrored) Tj ET\nQ")
+    assert(PdfContainer.parsePages(mirror).isLeft)
+    // a flipped FORM /Matrix follows the same rule
+    val flippedForm = RealPdf.document(Seq(PageSpec(
+      runs = Seq(line(100, "inside flipped form")), formXObject = true,
+      formMatrix = None)))
+    val sFF = new String(flippedForm, StandardCharsets.ISO_8859_1)
+      .replace("/Subtype /Form /BBox", "/Subtype /Form /Matrix [1 0 0 -1 0 0] /BBox")
+    val exFF = PdfContainer.parsePages(sFF.getBytes(StandardCharsets.ISO_8859_1))
+    assert(exFF.isRight, exFF)
+    assert(exFF.toOption.get.head.runs.map(_.text).mkString == "inside flipped form")
+    assert(exFF.toOption.get.head.runs.head.text.nonEmpty)
   }
 
   test("form XObjects: self-invocation is a loud cycle; images and unknowns add no text") {
     // hand-built doc whose form's OWN resources point back at itself
     def cyclicDoc(): Array[Byte] = {
-      val out = new java.io.ByteArrayOutputStream()
-      def ascii(t: String): Unit = out.write(t.getBytes(StandardCharsets.ISO_8859_1))
-      val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
-      def obj(b: => Unit): Unit = { offsets += out.size(); b }
-      ascii("%PDF-1.4\n")
-      obj(ascii("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"))
-      obj(ascii("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"))
-      obj(ascii("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
-        "/Contents 4 0 R /Resources << /XObject << /Fx 5 0 R >> >> >>\nendobj\n"))
       val wrapper = "q /Fx Do Q"
-      obj {
-        ascii(s"4 0 obj\n<< /Length ${wrapper.length} >>\nstream\n")
-        ascii(wrapper)
-        ascii("\nendstream\nendobj\n")
-      }
-      obj {
-        ascii(s"5 0 obj\n<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] " +
-          s"/Resources << /XObject << /Fx 5 0 R >> >> /Length ${wrapper.length} >>\nstream\n")
-        ascii(wrapper)
-        ascii("\nendstream\nendobj\n")
-      }
-      val xrefAt = out.size()
-      ascii("xref\n0 6\n0000000000 65535 f \n")
-      offsets.foreach(o => ascii(f"$o%010d 00000 n \n"))
-      ascii(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
-      out.toByteArray
+      classicDoc(Seq(
+        asciiBody("<< /Type /Catalog /Pages 2 0 R >>"),
+        asciiBody("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        asciiBody("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+          "/Contents 4 0 R /Resources << /XObject << /Fx 5 0 R >> >> >>"),
+        asciiBody(s"<< /Length ${wrapper.length} >>\nstream\n$wrapper\nendstream"),
+        asciiBody(s"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] " +
+          s"/Resources << /XObject << /Fx 5 0 R >> >> /Length ${wrapper.length} >>" +
+          s"\nstream\n$wrapper\nendstream")))
     }
     val r = PdfContainer.parsePages(cyclicDoc())
     assert(r.isLeft, r)
     assert(r.left.toOption.get.contains("form_xobject_cycle"), r)
     // an undeclared Do name contributes nothing and does not fail
     // (hand-built so the stream /Length stays correct)
-    def undeclaredDoDoc(): Array[Byte] = {
-      val out = new java.io.ByteArrayOutputStream()
-      def ascii(t: String): Unit = out.write(t.getBytes(StandardCharsets.ISO_8859_1))
-      val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
-      def obj(b: => Unit): Unit = { offsets += out.size(); b }
-      ascii("%PDF-1.4\n")
-      obj(ascii("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"))
-      obj(ascii("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"))
-      obj(ascii("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
-        "/Contents 4 0 R /Resources << >> >>\nendobj\n"))
-      val ops = "BT /F1 10 Tf 1 0 0 1 72 700 Tm (with image) Tj ET\n/ImUndeclared Do"
-      obj {
-        ascii(s"4 0 obj\n<< /Length ${ops.length} >>\nstream\n")
-        ascii(ops)
-        ascii("\nendstream\nendobj\n")
-      }
-      val xrefAt = out.size()
-      ascii("xref\n0 5\n0000000000 65535 f \n")
-      offsets.foreach(o => ascii(f"$o%010d 00000 n \n"))
-      ascii(s"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
-      out.toByteArray
-    }
+    def undeclaredDoDoc(): Array[Byte] =
+      onePageDoc("BT /F1 10 Tf 1 0 0 1 72 700 Tm (with image) Tj ET\n/ImUndeclared Do")
     val ex = PdfContainer.parsePages(undeclaredDoDoc())
     assert(ex.isRight, ex)
     assert(ex.toOption.get.head.runs.map(_.text).mkString == "with image")
