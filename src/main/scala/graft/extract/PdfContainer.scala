@@ -1466,6 +1466,14 @@ object PdfContainer {
     val runs = Vector.newBuilder[RawRun]
     var fs = 12.0 // Tf font size
     var leading = 14.4
+    // text-state parameters (ISO 32000-1 9.3): char spacing, word spacing
+    // (applies per single-byte 0x20 code), horizontal scaling. They feed
+    // the ADVANCE model only (justified text spreads words with Tw/Tc);
+    // per spec they persist across BT/ET. q/Q save-restore of text state
+    // is out of subset (graphics state here tracks the CTM only).
+    var tc = 0.0
+    var tw = 0.0
+    var th = 1.0 // Tz/100
     // text matrix: only axis-aligned scale + translation supported. a/d
     // scale positions and advances (a generator folding the size into Tm —
     // '24 0 0 24 x y Tm' with '/F1 1 Tf' — is common); rotation/skew
@@ -1537,7 +1545,15 @@ object PdfContainer {
         requireAxisCtm()
         runs += RawRun(mapX(cursorX), mapY(ty), effSize * ctmScale, text)
       }
-      cursorX += glyphs * fs * FixedPitchEm * ma
+      // per-glyph advance (ISO 32000-1 9.4.4 shape, on the fixed-pitch
+      // model): (w*Tfs + Tc + Tw-per-space) * Th, scaled by the text
+      // matrix. Word spacing applies to single-byte 0x20 codes only
+      // (per spec it never fires for 2-byte CID strings).
+      val nSpaces = curFont match {
+        case CidFont(_, _) => 0
+        case _             => bytes.count(_ == ' '.toByte)
+      }
+      cursorX += (glyphs * (fs * FixedPitchEm + tc) + nSpaces * tw) * th * ma
     }
 
     def num(o: Obj): Double = o match {
@@ -1568,6 +1584,19 @@ object PdfContainer {
               stack.clear()
             case "TL" =>
               if (stack.nonEmpty) leading = num(stack.last)
+              stack.clear()
+            case "Tc" =>
+              if (stack.nonEmpty) tc = num(stack.last)
+              stack.clear()
+            case "Tw" =>
+              if (stack.nonEmpty) tw = num(stack.last)
+              stack.clear()
+            case "Tz" =>
+              if (stack.nonEmpty) {
+                val z = num(stack.last)
+                if (z <= 0) throw PdfError("bad_horizontal_scaling")
+                th = z / 100.0
+              }
               stack.clear()
             case "Td" | "TD" =>
               if (stack.length >= 2) {
@@ -1691,7 +1720,7 @@ object PdfContainer {
                 case PArr(items) =>
                   items.foreach {
                     case PStr(s)   => emit(s)
-                    case PNum(adj) => cursorX -= adj / 1000.0 * fs * ma
+                    case PNum(adj) => cursorX -= adj / 1000.0 * fs * th * ma
                     case _         => ()
                   }
                 case _ => ()

@@ -403,6 +403,29 @@ class PdfContainerSpec extends AnyFunSuite {
     assert(ex.toOption.get.head.runs.map(_.text).mkString == "with image")
   }
 
+  test("Tc/Tw/Tz text-state parameters feed the advance model") {
+    // Tz 200 doubles the advance: the second Tj must start at 2x the
+    // natural width of the first; Tc adds per-glyph; Tw per space byte
+    val content =
+      "BT /F1 10 Tf 1 0 0 1 72 692 Tm 200 Tz [(abc)(def)] TJ ET\n" +
+        "BT /F1 10 Tf 100 Tz 3 Tc 1 0 0 1 72 680 Tm [(ab)(cd)] TJ ET\n" +
+        "BT /F1 10 Tf 0 Tc 12 Tw 1 0 0 1 72 668 Tm [(a b)(cd)] TJ ET"
+    val pdf = onePageDoc(content)
+    val pages = PdfContainer.parsePages(pdf).toOption.get
+    val runs = pages.head.runs.sortBy(r => (r.y, r.x))
+    assert(runs.map(_.text) == Vector("abc", "def", "ab", "cd", "a b", "cd"))
+    def gap(i: Int, j: Int) = runs(j).x - runs(i).x
+    // row 1: Tz 200 -> advance 2 * 3 chars * 6px = 36
+    assert(gap(0, 1) == 36, s"Tz: ${gap(0, 1)}")
+    // row 2: Tc 3 -> (2 glyphs * (6 + 3)) = 18
+    assert(gap(2, 3) == 18, s"Tc: ${gap(2, 3)}")
+    // row 3: Tw 12 on one space byte -> 3*6 + 12 = 30
+    assert(gap(4, 5) == 30, s"Tw: ${gap(4, 5)}")
+    // a non-positive Tz is loud, never a degenerate zero advance
+    val bad = onePageDoc("BT /F1 10 Tf 0 Tz 1 0 0 1 72 700 Tm (x) Tj ET")
+    assert(PdfContainer.parsePages(bad).isLeft)
+  }
+
   test("simple-font /Encoding: WinAnsi block and /Differences glyph remaps") {
     // WinAnsi: bytes 0x93/0x94 are curly quotes, 0x96 en-dash (Latin-1
     // would decode them as C1 controls — silently wrong text)
