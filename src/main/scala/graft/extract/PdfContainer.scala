@@ -40,7 +40,8 @@ import scala.collection.mutable
   *   - the page tree (/Root -> /Pages -> /Kids recursion, cycle-guarded)
   *     with inheritable /MediaBox;
   *   - the text-showing operator set: BT/ET, Tf, Td, TD, TL, T*, Tm, Tj,
-  *     TJ (with kerning adjustments), ' and ", plus the graphics-state
+  *     TJ (with kerning adjustments), ' and ", the text-state parameters
+  *     Tc/Tw/Tz (feeding the advance model), plus the graphics-state
   *     CTM (cm within q/Q, full coefficients tracked, composed with form
   *     invocations): positions map text space -> user space; a rotated
   *     or skewed CTM is loud only when TEXT is shown under it (graphics
