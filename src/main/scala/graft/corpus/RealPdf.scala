@@ -19,6 +19,28 @@ object RealPdf {
 
   final case class TextRun(x: Double, y: Double, text: String)
 
+  /** Standard-security-handler encryption for fixtures (ISO 32000-1
+    * §7.6.3, via the shared [[graft.extract.PdfCrypto]] primitives). The
+    * interesting crawled shape is owner-password-only (`userPwd = ""`):
+    * readable by every real extractor without a password. Presets:
+    * RC4-40 (v=1, r=2), RC4-128 (v=2, r=3), AES-128 (v=4, r=4, aes).
+    */
+  final case class Encryption(
+      ownerPwd: String,
+      userPwd: String = "",
+      v: Int = 2,
+      r: Int = 3,
+      lengthBits: Int = 128,
+      aes: Boolean = false)
+  object Encryption {
+    def rc4_40(owner: String, user: String = ""): Encryption =
+      Encryption(owner, user, v = 1, r = 2, lengthBits = 40)
+    def rc4_128(owner: String, user: String = ""): Encryption =
+      Encryption(owner, user, v = 2, r = 3, lengthBits = 128)
+    def aes128(owner: String, user: String = ""): Encryption =
+      Encryption(owner, user, v = 4, r = 4, lengthBits = 128, aes = true)
+  }
+
   /** One page of positioned runs; `y` is in the DOWNWARD convention of the
     * layout pipeline ([[graft.extract.PdfExtractor.Run]]) and is flipped
     * into PDF's upward axis at write time, so round-trip expectations read
@@ -53,6 +75,7 @@ object RealPdf {
       transport: Option[String] = None,
       cidFont: Boolean = false,
       cidToUnicode: Boolean = true,
+      cidEncoding: String = "Identity-H",
       formXObject: Boolean = false,
       formMatrix: Option[(Double, Double)] = None,
       formCm: Option[(Double, Double)] = None)
@@ -289,7 +312,8 @@ object RealPdf {
       xrefStream: Boolean = false,
       objStmPack: Boolean = false,
       xrefPredictor: Boolean = false,
-      simpleFontEncoding: Option[String] = None): Array[Byte] = {
+      simpleFontEncoding: Option[String] = None,
+      encrypt: Option[Encryption] = None): Array[Byte] = {
     require(!objStmPack || xrefStream, "objStmPack requires xrefStream")
     require(!xrefPredictor || xrefStream, "xrefPredictor requires xrefStream")
     val out = new ByteArrayOutputStream()
@@ -300,6 +324,49 @@ object RealPdf {
 
     var nextObj = 1
     def alloc(): Int = { val n = nextObj; nextObj += 1; n }
+
+    import graft.extract.PdfCrypto
+    // (spec, O, U, id0, fileKey): everything derived once, deterministic
+    // (fixed /ID, per-object IVs hashed from the object number)
+    val encPerms = -44 // print + extract allowed, modify denied — typical
+    val encState: Option[(Encryption, Array[Byte], Array[Byte], Array[Byte], Array[Byte])] =
+      encrypt.map { e =>
+        val keyLen = if (e.v == 1) 5 else e.lengthBits / 8
+        val ownerB = e.ownerPwd.getBytes(StandardCharsets.ISO_8859_1)
+        val userB = e.userPwd.getBytes(StandardCharsets.ISO_8859_1)
+        val o = PdfCrypto.computeO(ownerB, userB, e.r, keyLen)
+        val id0 = PdfCrypto.md5("graft-fixture-id".getBytes(StandardCharsets.US_ASCII))
+        val key = PdfCrypto.computeKey(
+          userB, o, encPerms, id0, e.r, keyLen, encryptMetadata = true)
+        val u = PdfCrypto.computeU(key, id0, e.r)
+        (e, o, u, id0, key)
+      }
+    def encStream(num: Int, b: Array[Byte]): Array[Byte] = encState match {
+      case Some((e, _, _, _, key)) =>
+        if (e.aes)
+          PdfCrypto.aesEncrypt(
+            PdfCrypto.objectKey(key, num, 0, aes = true),
+            PdfCrypto.md5(s"graft-iv-$num".getBytes(StandardCharsets.US_ASCII)).take(16),
+            b)
+        else PdfCrypto.rc4(PdfCrypto.objectKey(key, num, 0, aes = false), b)
+      case None => b
+    }
+    // top-level dict strings: literal (...) forms re-encoded as encrypted
+    // hex strings; fixture strings carry no escapes or nested parens.
+    // ObjStm-packed dicts keep plaintext strings (§7.5.7: members of an
+    // encrypted ObjStm are not encrypted individually).
+    def encStringsIn(num: Int, body: String): String = encState match {
+      case Some(_) =>
+        val m = java.util.regex.Pattern.compile("\\(([^()\\\\]*)\\)").matcher(body)
+        val sb = new StringBuffer
+        while (m.find()) {
+          val cipher = encStream(num, m.group(1).getBytes(StandardCharsets.ISO_8859_1))
+          m.appendReplacement(sb, "<" + cipher.map("%02X".format(_)).mkString + ">")
+        }
+        m.appendTail(sb)
+        sb.toString
+      case None => body
+    }
 
     val catalogNum = alloc()
     val pagesNum = alloc()
@@ -338,7 +405,7 @@ object RealPdf {
     // when packing (objects inside an ObjStm are direct, no header)
     def dictObj(num: Int, body: String): Unit =
       if (objStmPack) { packed += ((num, body)); () }
-      else obj(num)(ascii(body))
+      else obj(num)(ascii(encStringsIn(num, body)))
 
     ascii(s"%PDF-1.${if (xrefStream) "5" else "4"}\n%âãÏÓ\n") // binary marker
 
@@ -361,10 +428,11 @@ object RealPdf {
     dictObj(fontNum, s"<< /Type /Font /Subtype /Type1 /BaseFont /Courier$encEntry >>")
     if (anyCid) {
       val toUniRef = if (anyToUni) s" /ToUnicode $toUniNum 0 R" else ""
+      val cidEnc = pages.find(_.cidFont).map(_.cidEncoding).getOrElse("Identity-H")
       dictObj(
         cidFontNum,
         s"<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
-          s"/Encoding /Identity-H /DescendantFonts [$cidDescNum 0 R]$toUniRef >>")
+          s"/Encoding /$cidEnc /DescendantFonts [$cidDescNum 0 R]$toUniRef >>")
       dictObj(
         cidDescNum,
         "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftCID " +
@@ -375,9 +443,10 @@ object RealPdf {
           pages.filter(p => p.cidFont && p.cidToUnicode)
             .flatMap(_.runs).flatMap(_.text).toSet)
           .getBytes(StandardCharsets.ISO_8859_1)
+        val zE = encStream(toUniNum, z)
         obj(toUniNum) {
-          ascii(s"<< /Length ${z.length} >>\nstream\n")
-          out.write(z)
+          ascii(s"<< /Length ${zE.length} >>\nstream\n")
+          out.write(zE)
           ascii("\nendstream")
         }
       }
@@ -404,7 +473,8 @@ object RealPdf {
         s"<< /Type /Page /Parent $parent 0 R$mb /Contents $contents " +
           s"/Resources $pageRes >>")
       if (p.formXObject) {
-        val formOps = contentOps(p).getBytes(StandardCharsets.ISO_8859_1)
+        val formOps =
+          encStream(plan.formNum, contentOps(p).getBytes(StandardCharsets.ISO_8859_1))
         val matrix = p.formMatrix
           .map { case (e, f) => s" /Matrix [1 0 0 1 ${num1(e)} ${num1(f)}]" }
           .getOrElse("")
@@ -436,7 +506,10 @@ object RealPdf {
       parts.zipWithIndex.foreach { case (part, i) =>
         val raw = part.getBytes(StandardCharsets.ISO_8859_1)
         val flateBody = if (p.compress) deflate(raw) else raw
-        val (body, filter) = applyTransport(p, flateBody)
+        // filters first, encryption LAST: readers decrypt raw stream bytes
+        // and then run the /Filter chain (§7.6.2)
+        val (plainBody, filter) = applyTransport(p, flateBody)
+        val body = encStream(plan.contentNums(i), plainBody)
         val lenField =
           if (p.indirectLength) s"${plan.lengthNums(i)} 0 R" else body.length.toString
         obj(plan.contentNums(i)) {
@@ -464,7 +537,7 @@ object RealPdf {
       }
       val header = pairs.toString
       val data = (header + bodyBlob.toString).getBytes(StandardCharsets.ISO_8859_1)
-      val z = deflate(data)
+      val z = encStream(objStmNum, deflate(data))
       obj(objStmNum) {
         ascii(
           s"<< /Type /ObjStm /N ${bodies.length} /First ${header.length} " +
@@ -474,6 +547,29 @@ object RealPdf {
       }
     }
 
+    // the /Encrypt dict: a TOP-LEVEL object (never ObjStm-packed, §7.5.7)
+    // whose /O and /U strings stay plaintext hex (§7.6.2)
+    def hexUp(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
+    val encNum = encState.map { case (e, o, u, _, _) =>
+      val n = alloc()
+      val cfPart =
+        if (e.v == 4)
+          " /CF << /StdCF << /CFM " + (if (e.aes) "/AESV2" else "/V2") +
+            s" /Length ${e.lengthBits / 8} >> >> /StmF /StdCF /StrF /StdCF"
+        else ""
+      obj(n) {
+        ascii(
+          s"<< /Filter /Standard /V ${e.v} /R ${e.r} /Length ${e.lengthBits} " +
+            s"/P $encPerms /O <${hexUp(o)}> /U <${hexUp(u)}>$cfPart >>")
+      }
+      n
+    }
+    val trailerEnc = encState
+      .map { case (_, _, _, id0, _) =>
+        s" /Encrypt ${encNum.get} 0 R /ID [<${hexUp(id0)}> <${hexUp(id0)}>]"
+      }
+      .getOrElse("")
+
     if (!xrefStream) {
       // classic xref table + trailer
       val xrefOff = out.size()
@@ -482,7 +578,7 @@ object RealPdf {
       ascii("0000000000 65535 f \n")
       byNum.foreach { case (_, off) => ascii(f"$off%010d 00000 n \n") }
       ascii(
-        s"trailer\n<< /Size $nextObj /Root $catalogNum 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+        s"trailer\n<< /Size $nextObj /Root $catalogNum 0 R$trailerEnc >>\nstartxref\n$xrefOff\n%%EOF\n")
     } else {
       // PDF 1.5 cross-reference stream: W=[1 4 2] binary rows for objects
       // 0..Size-1 (type 0 free head, type 1 at-offset, type 2 in-ObjStm),
@@ -531,7 +627,7 @@ object RealPdf {
       ascii(s"$xrefNum 0 obj\n")
       ascii(
         s"<< /Type /XRef /Size $size /W [1 4 2] /Index [0 $size] " +
-          s"/Root $catalogNum 0 R /Length ${z.length} /Filter /FlateDecode$parms >>\nstream\n")
+          s"/Root $catalogNum 0 R$trailerEnc /Length ${z.length} /Filter /FlateDecode$parms >>\nstream\n")
       out.write(z)
       ascii("\nendstream\nendobj\n")
       ascii(s"startxref\n$xrefOff\n%%EOF\n")

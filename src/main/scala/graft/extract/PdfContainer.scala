@@ -57,14 +57,22 @@ import scala.collection.mutable
   *     /Encoding /Identity-H decode their 2-byte CID strings through the
   *     /ToUnicode CMap (codespacerange, bfchar, bfrange incl. the
   *     destination-array form and multi-char ligature expansions) — the
-  *     dominant shape modern generators (LaTeX fontspec, MS Word) emit.
+  *     dominant shape modern generators (LaTeX fontspec, MS Word) emit;
+  *     the predefined UCS2 horizontal CMap families (UniGB/UniCNS/UniJIS/
+  *     UniKS-UCS2-H, the common CJK crawl shape) decode without a
+  *     ToUnicode map because their 2-byte codes ARE UCS-2 code points.
   *
-  * Out of scope (fail loudly, contained as per-row failure rows): encrypted
-  * documents, image/codec filters (DCTDecode, JBIG2Decode, JPXDecode,
-  * CCITTFaxDecode), TIFF predictor 2, predefined-CMap /Type0
-  * encodings (only Identity-H is in subset), and composite fonts WITHOUT
-  * a ToUnicode map (their strings are opaque glyph ids: refusing loudly
-  * beats emitting garbage for the quality gate to catch).
+  * Out of scope (fail loudly, contained as per-row failure rows):
+  * image/codec filters (DCTDecode, JBIG2Decode, JPXDecode, CCITTFaxDecode),
+  * TIFF predictor 2, predefined-CMap /Type0 encodings beyond Identity-H and
+  * the UCS2 horizontal families, and Identity-H composite fonts WITHOUT a
+  * ToUnicode map (their strings are opaque glyph ids: refusing loudly beats
+  * emitting garbage for the quality gate to catch). Encrypted documents:
+  * the standard security handler with an EMPTY user password (RC4-40/128
+  * and AES-128, the dominant crawled "encrypted" shape — owner-password-
+  * only files every real-world extractor opens) decrypts transparently;
+  * a real user password, a non-Standard handler, or /V 5+ (AES-256)
+  * stays a loud refusal.
   */
 object PdfContainer {
 
@@ -296,11 +304,216 @@ object PdfContainer {
   private final case class AtOffset(off: Int) extends Loc
   private final case class InObjStm(stm: Int, idx: Int) extends Loc
 
+  /** An authenticated standard-security-handler decryptor: the file key
+    * plus per-class (stream/string) cipher selection — AES-128-CBC, RC4, or
+    * identity — and the /Encrypt object number (itself never decrypted).
+    */
+  private final case class Crypt(
+      key: Array[Byte],
+      aesStreams: Boolean,
+      aesStrings: Boolean,
+      identStreams: Boolean,
+      identStrings: Boolean,
+      encryptMetadata: Boolean,
+      encObjNum: Int)
+
   private final class Doc(buf: Array[Byte]) {
     private var rootRef: Option[PRef] = None
+    // (Encrypt entry, first /ID bytes) captured from the NEWEST trailer
+    // that carries one — declared before `offsets` because xrefOffsets()
+    // (run in the initializer below) is what populates it
+    private var encryptSrc: Option[(Obj, Array[Byte])] = None
     private val offsets: Map[Int, Loc] = xrefOffsets()
     private val cache = mutable.Map.empty[Int, Obj]
     private val objStmInProgress = mutable.Set.empty[Int]
+    private var crypt: Option[Crypt] = None
+
+    /** Record a trailer's /Encrypt (+ same-trailer /ID) — newest wins,
+      * mirroring /Root capture; the xref chain walks newest-first.
+      */
+    private def noteEncrypt(trailerDict: PDict): Unit =
+      if (encryptSrc.isEmpty) trailerDict.get("Encrypt").foreach { e =>
+        val id0 = trailerDict.get("ID") match {
+          case Some(PArr(items)) if items.nonEmpty =>
+            items.head match {
+              case PStr(b) => b
+              case _       => Array.emptyByteArray
+            }
+          case _ => Array.emptyByteArray
+        }
+        encryptSrc = Some((e, id0))
+      }
+
+    /** Build + install the decryptor from a captured /Encrypt entry. The
+      * Encrypt dict resolves WITHOUT decryption (crypt is still None here —
+      * its /O and /U strings are never encrypted, ISO 32000-1 §7.6.2), and
+      * the object cache is cleared afterwards so nothing resolved
+      * pre-install leaks through undecrypted. A real user password or an
+      * unsupported scheme throws — the pre-round-6 loud refusal, now fired
+      * only when transparent decryption is impossible.
+      */
+    private def installPendingCrypt(): Unit = encryptSrc match {
+      case Some((e, id0)) if crypt.isEmpty =>
+        val built =
+          try {
+            val encDict = resolve(e) match {
+              case d: PDict => d
+              case other    => throw PdfError(s"encrypted_bad_dict:$other")
+            }
+            val encNum = e match {
+              case PRef(n, _) => n
+              case _          => -1
+            }
+            buildCrypt(encDict, id0, encNum)
+          } catch {
+            case ex: graft.util.StepBudget.Exceeded              => throw ex
+            case ex: PdfError if ex.reason.startsWith("encrypted") => throw ex
+            // an unresolvable or garbage /Encrypt dict: decryption is
+            // impossible — the classic loud refusal, not a parse error
+            // the lenient paths would swallow
+            case _: Exception => throw PdfError("encrypted_document")
+          }
+        cache.clear()
+        crypt = Some(built)
+      case _ => ()
+    }
+    // constructor-time install: a healthy xref chain captures /Encrypt
+    // during xrefOffsets() above; scan-mode documents capture it later
+    // (trailerRoot) and install there
+    installPendingCrypt()
+
+    /** Parse the /Encrypt dict into a decryptor (ISO 32000-1 §7.6.3) and
+      * authenticate the EMPTY user password — the owner-password-only shape
+      * that dominates crawled "encrypted" PDFs. Supported: /Filter
+      * /Standard, /V 1/2 (RC4 40-128) with /R 2/3, /V 4 with /R 4 and
+      * /CFM /V2 (RC4) / /AESV2 (AES-128-CBC) / /None. Anything else —
+      * including a document whose user password is NOT empty — is loud.
+      */
+    private def buildCrypt(d: PDict, id0: Array[Byte], encNum: Int): Crypt = {
+      def nameOf(k: String): Option[String] =
+        resolve(d.get(k).getOrElse(PNull)) match {
+          case PName(n) => Some(n)
+          case _        => None
+        }
+      def intOf(k: String, dflt: Int): Int =
+        resolve(d.get(k).getOrElse(PNull)) match {
+          // some writers emit /P as the unsigned 2^32 complement: the
+          // toLong.toInt wrap recovers the signed 32-bit value the key
+          // derivation hashes
+          case PNum(v) => v.toLong.toInt
+          case _       => dflt
+        }
+      def strOf(k: String): Array[Byte] =
+        resolve(d.get(k).getOrElse(PNull)) match {
+          case PStr(b) => b
+          case other   => throw PdfError(s"encrypted_bad_$k:$other")
+        }
+      if (!nameOf("Filter").contains("Standard"))
+        throw PdfError(
+          s"encrypted_unsupported_handler:${nameOf("Filter").getOrElse("?")}")
+      val v = intOf("V", 0)
+      val r = intOf("R", 0)
+      val o = strOf("O")
+      val u = strOf("U")
+      val p = intOf("P", -1)
+      val encryptMetadata =
+        resolve(d.get("EncryptMetadata").getOrElse(PNull)) match {
+          case PBool(b) => b
+          case _        => true
+        }
+      def authenticate(keyLen: Int): Array[Byte] = {
+        val key = PdfCrypto.computeKey(
+          Array.emptyByteArray, o, p, id0, r, keyLen, encryptMetadata)
+        // U mismatch = the user password is real (not empty): the document
+        // is genuinely locked — the classic loud refusal
+        if (!PdfCrypto.verifyU(key, id0, r, u))
+          throw PdfError("encrypted_document")
+        key
+      }
+      v match {
+        case 1 | 2 =>
+          if (r != 2 && r != 3)
+            throw PdfError(s"encrypted_unsupported_revision:$r")
+          val bits = if (v == 1) 40 else intOf("Length", 40)
+          if (bits < 40 || bits > 128 || bits % 8 != 0)
+            throw PdfError(s"encrypted_bad_length:$bits")
+          val key = authenticate(bits / 8)
+          Crypt(key, aesStreams = false, aesStrings = false,
+            identStreams = false, identStrings = false, encryptMetadata, encNum)
+        case 4 =>
+          if (r != 4) throw PdfError(s"encrypted_unsupported_revision:$r")
+          val bits = intOf("Length", 128)
+          if (bits < 40 || bits > 128 || bits % 8 != 0)
+            throw PdfError(s"encrypted_bad_length:$bits")
+          val cf = resolve(d.get("CF").getOrElse(PNull)) match {
+            case cd: PDict => cd
+            case _         => PDict(Map.empty)
+          }
+          // (aes, identity) per named crypt filter; per-CF /Length is
+          // redundant with the top-level /Length for the supported CFMs
+          // (AESV2 is fixed 16-byte) and is ignored
+          def methodOf(filterName: String): (Boolean, Boolean) =
+            filterName match {
+              case "Identity" => (false, true)
+              case fn =>
+                resolve(cf.get(fn).getOrElse(PNull)) match {
+                  case fd: PDict =>
+                    resolve(fd.get("CFM").getOrElse(PNull)) match {
+                      case PName("V2")    => (false, false)
+                      case PName("AESV2") => (true, false)
+                      case PName("None")  => (false, true)
+                      case other =>
+                        throw PdfError(s"encrypted_unsupported_cfm:$other")
+                    }
+                  case _ => throw PdfError(s"encrypted_missing_crypt_filter:$fn")
+                }
+            }
+          val (stmAes, stmIdent) = methodOf(nameOf("StmF").getOrElse("Identity"))
+          val (strAes, strIdent) = methodOf(nameOf("StrF").getOrElse("Identity"))
+          val key = authenticate(bits / 8)
+          Crypt(key, stmAes, strAes, stmIdent, strIdent, encryptMetadata, encNum)
+        case other =>
+          // V5/R6 (AES-256) and exotic V values stay out of subset
+          throw PdfError(s"encrypted_unsupported_v:$other")
+      }
+    }
+
+    /** Decrypt every string and stream of a freshly parsed top-level object
+      * (ISO 32000-1 §7.6.2): no-op without an installed crypt, for the
+      * /Encrypt dict itself, and for never-encrypted stream classes (xref
+      * streams always; /Type /Metadata when /EncryptMetadata false).
+      * Objects unpacked from an ObjStm are NOT run through this — the
+      * ObjStm itself was decrypted as a stream and its members' strings are
+      * not encrypted individually (§7.5.7).
+      */
+    private def decryptObj(num: Int, gen: Int, o: Obj): Obj = crypt match {
+      case Some(c) if num != c.encObjNum => decryptTree(c, num, gen, o)
+      case _                             => o
+    }
+
+    private def decryptTree(c: Crypt, num: Int, gen: Int, o: Obj): Obj = o match {
+      case PStr(b) =>
+        if (c.identStrings) o
+        else if (c.aesStrings)
+          PStr(PdfCrypto.aesDecrypt(PdfCrypto.objectKey(c.key, num, gen, aes = true), b))
+        else PStr(PdfCrypto.rc4(PdfCrypto.objectKey(c.key, num, gen, aes = false), b))
+      case PArr(v)  => PArr(v.map(decryptTree(c, num, gen, _)))
+      case PDict(m) => PDict(m.map { case (k, vv) => k -> decryptTree(c, num, gen, vv) })
+      case PStream(dict, raw) =>
+        if (dict.get("Type").contains(PName("XRef"))) o // never encrypted (incl. its /ID)
+        else if (!c.encryptMetadata && dict.get("Type").contains(PName("Metadata"))) o
+        else {
+          graft.util.StepBudget.tick(math.max(1L, raw.length.toLong))
+          val ndict = PDict(dict.v.map { case (k, vv) => k -> decryptTree(c, num, gen, vv) })
+          val nraw =
+            if (c.identStreams) raw
+            else if (c.aesStreams)
+              PdfCrypto.aesDecrypt(PdfCrypto.objectKey(c.key, num, gen, aes = true), raw)
+            else PdfCrypto.rc4(PdfCrypto.objectKey(c.key, num, gen, aes = false), raw)
+          PStream(ndict, nraw)
+        }
+      case other => other
+    }
 
     /** Object locations from the cross-reference chain — classic `xref`
       * tables AND PDF 1.5+ xref STREAMS (the modern default), mixed freely
@@ -316,11 +529,12 @@ object PdfContainer {
         // whole-buffer regex scan with the budget already exhausted would
         // be unbounded extra work exactly when containment should stop it
         case e: graft.util.StepBudget.Exceeded => throw e
-        // encryption is a REFUSAL, not a structural failure: the lenient
-        // scan would "recover" the objects and then decode RC4/AES bytes
-        // as silent garbage
-        case e @ PdfError("encrypted_document") => throw e
-        case _: Exception                       => scanOffsets()
+        // an encryption-family error is a REFUSAL (real user password,
+        // unsupported scheme), not a structural failure: the lenient scan
+        // would "recover" the objects and then decode RC4/AES bytes as
+        // silent garbage
+        case e: PdfError if e.reason.startsWith("encrypted") => throw e
+        case _: Exception                                    => scanOffsets()
       }
 
     private def xrefChain(): Map[Int, Loc] = {
@@ -376,10 +590,10 @@ object PdfContainer {
           case _             => ()
         }
         // an /Encrypt trailer entry means strings and streams are
-        // RC4/AES-encrypted: without decryption the content would parse
-        // as silent garbage (or an empty page) — refuse loudly instead
-        if (trailerDict.get("Encrypt").isDefined)
-          throw PdfError("encrypted_document")
+        // RC4/AES-encrypted: capture it (with the same trailer's /ID) so
+        // the constructor can authenticate the empty user password and
+        // decrypt transparently — or refuse loudly when it can't
+        noteEncrypt(trailerDict)
         next = trailerDict.get("Prev") match {
           case Some(PNum(p)) => p.toInt
           case _             => -1
@@ -529,7 +743,7 @@ object PdfContainer {
               val n = lx.token(); val g = lx.token(); val kw = lx.token()
               if (!n.forall(_.isDigit) || !g.forall(_.isDigit) || kw != "obj")
                 throw PdfError(s"bad_object_header:$num")
-              lx.obj(r => resolve(r))
+              decryptObj(num, g.toInt, lx.obj(r => resolve(r)))
             case InObjStm(stm, idx) =>
               loadObjStm(stm)
               cache.getOrElse(num, throw PdfError(s"objstm_$stm:missing_idx_$idx"))
@@ -620,8 +834,10 @@ object PdfContainer {
             lx.obj(r => resolve(r)) match {
               case d: PDict =>
                 // scan-mode reaches here when the xref chain was broken:
-                // the encryption refusal must still hold (see xrefOffsets)
-                if (d.get("Encrypt").isDefined) throw PdfError("encrypted_document")
+                // encryption must still be handled (see xrefOffsets) — a
+                // late install decrypts transparently or refuses loudly
+                noteEncrypt(d)
+                installPendingCrypt()
                 d.get("Root").map(r =>
                   resolve(r) match {
                     case c: PDict => c
@@ -631,9 +847,9 @@ object PdfContainer {
             }
           }
         } catch {
-          case e: graft.util.StepBudget.Exceeded  => throw e
-          case e @ PdfError("encrypted_document") => throw e
-          case _: Exception                       => None
+          case e: graft.util.StepBudget.Exceeded          => throw e
+          case e: PdfError if e.reason.startsWith("encrypted") => throw e
+          case _: Exception                               => None
         }
       }
       viaTrailer.getOrElse {
@@ -644,25 +860,71 @@ object PdfContainer {
         // ordinary /Type /XRef object: the refusal must fire here too,
         // BEFORE a plaintext catalog lets extraction decode encrypted
         // streams as garbage (review finding)
-        val objs = offsets.keys.toSeq.filter(_ >= 0).sorted
+        val nums = offsets.keys.toSeq.filter(_ >= 0).sorted
+        // The refusal pass resolves only /XRef CANDIDATES found by a cheap
+        // byte peek over each object's region — strictly resolving every
+        // body-scanned object up front parsed the whole document where the
+        // pre-refusal path stopped at the first Catalog. A false positive
+        // (the bytes "/XRef" inside an unrelated stream body) costs one
+        // extra resolve; false negatives are impossible because an xref
+        // stream's dict precedes its data inside its own region.
+        val regions: Seq[(Int, Int, Int)] = { // (num, start, end)
+          val byOff = nums
+            .flatMap(n => offsets(n) match {
+              case AtOffset(o) => Some((n, o))
+              case _           => None // ObjStm members can't be XRef streams
+            })
+            .sortBy(_._2)
+          byOff.zip(byOff.drop(1).map(_._2) :+ buf.length).map {
+            case ((n, o), end) => (n, o, end)
+          }
+        }
+        val xrefPat = "/XRef".getBytes(StandardCharsets.US_ASCII)
+        def regionHasXref(start: Int, end: Int): Boolean = {
+          var i = start
+          val last = end - xrefPat.length
+          while (i <= last) {
+            var k = 0
+            while (k < xrefPat.length && buf(i + k) == xrefPat(k)) k += 1
+            if (k == xrefPat.length) return true
+            i += 1
+          }
+          false
+        }
+        regions.foreach { case (n, start, end) =>
+          if (regionHasXref(start, end)) {
+            graft.util.StepBudget.tick(math.max(1L, (end - start).toLong))
+            val o =
+              try resolve(PRef(n, 0))
+              catch {
+                case e: graft.util.StepBudget.Exceeded => throw e
+                case _: Exception                      => PNull
+              }
+            o match {
+              case PStream(d, _)
+                  if d.get("Type").contains(PName("XRef")) &&
+                    d.get("Encrypt").isDefined =>
+                // the xref-stream dict doubles as the trailer: it carries
+                // /Encrypt AND /ID — install (or refuse) before any
+                // catalog resolution decodes encrypted streams as garbage
+                noteEncrypt(d)
+                installPendingCrypt()
+              case d: PDict
+                  if d.get("Type").contains(PName("XRef")) &&
+                    d.get("Encrypt").isDefined =>
+                noteEncrypt(d)
+                installPendingCrypt()
+              case _ => ()
+            }
+          }
+        }
+        nums.iterator
           .map(n =>
             try resolve(PRef(n, 0))
             catch {
               case e: graft.util.StepBudget.Exceeded => throw e
               case _: Exception                      => PNull
             })
-        objs.foreach {
-          case PStream(d, _)
-              if d.get("Type").contains(PName("XRef")) &&
-                d.get("Encrypt").isDefined =>
-            throw PdfError("encrypted_document")
-          case d: PDict
-              if d.get("Type").contains(PName("XRef")) &&
-                d.get("Encrypt").isDefined =>
-            throw PdfError("encrypted_document")
-          case _ => ()
-        }
-        objs
           .collectFirst {
             case d: PDict if d.get("Type").contains(PName("Catalog")) => d
           }
@@ -980,7 +1242,11 @@ object PdfContainer {
             if (nextCode < 4096) {
               prefix(nextCode) = prev; append(nextCode) = firstByteOf(code)
               nextCode += 1
-            } else throw PdfError("lzw_table_overflow") // encoder must Clear
+            }
+            // full table + existing code: legal — some encoders keep
+            // emitting 12-bit codes from the frozen table without a Clear;
+            // decode without adding an entry (the KwKwK guard above still
+            // rejects code == nextCode at a full table)
           }
           prev = code
           if (nextCode + earlyChange >= (1 << width) && width < 12) width += 1
@@ -1103,13 +1369,27 @@ object PdfContainer {
   private final case class SimpleFont(table: Array[String]) extends FontDec
   /** Composite font with a /ToUnicode CMap: fixed-width codes map to
     * Unicode strings (possibly multi-char, e.g. ligature expansions).
+    * `ucs2Fallback` is set for the predefined UCS2 encoding families
+    * (UniGB/UniCNS/UniJIS/UniKS-UCS2-H): there the 2-byte CODE is by
+    * definition the UCS-2 code point, so an unmapped (or absent) ToUnicode
+    * entry decodes as the code itself instead of U+FFFD.
     */
-  private final case class CidFont(codeLen: Int, toUni: Map[Int, String]) extends FontDec
+  private final case class CidFont(
+      codeLen: Int,
+      toUni: Map[Int, String],
+      ucs2Fallback: Boolean = false) extends FontDec
   /** Composite font WITHOUT /ToUnicode: its strings are opaque glyph ids —
     * any attempt to show text through it fails loudly (contained per page)
     * rather than emitting garbage the quality gate must catch.
     */
   private case object CidNoToUni extends FontDec
+
+  /** Predefined CMap names whose codespace is 2-byte UCS-2 (horizontal):
+    * for these the code→Unicode map is the identity by the CMaps' own
+    * definition, so extraction needs no bundled CID tables.
+    */
+  private val Ucs2Families: Set[String] = Set(
+    "UniGB-UCS2-H", "UniCNS-UCS2-H", "UniJIS-UCS2-H", "UniKS-UCS2-H")
 
   private[extract] final case class ToUniCMap(codeLen: Int, map: Map[Int, String])
 
@@ -1410,8 +1690,17 @@ object PdfContainer {
             case f: PDict =>
               resolve(f.get("Subtype").getOrElse(PNull)) match {
                 case PName("Type0") =>
-                  resolve(f.get("Encoding").getOrElse(PNull)) match {
-                    case PName("Identity-H") => ()
+                  // supported composite encodings: Identity-H (codes are
+                  // glyph ids — a ToUnicode CMap is REQUIRED) and the
+                  // predefined UCS2 horizontal families, whose 2-byte codes
+                  // are UCS-2 code points by definition (Adobe CMap
+                  // resources UniGB/UniCNS/UniJIS/UniKS-UCS2-H) — there a
+                  // missing ToUnicode falls back to code = code point.
+                  // Vertical (-V) variants and every other predefined CMap
+                  // (code→CID tables we do not ship) stay loud.
+                  val ucs2 = resolve(f.get("Encoding").getOrElse(PNull)) match {
+                    case PName("Identity-H")              => false
+                    case PName(n) if Ucs2Families.contains(n) => true
                     case other => throw PdfError(s"unsupported_cid_encoding:$other")
                   }
                   val toUniRef = f.get("ToUnicode").getOrElse(PNull)
@@ -1429,9 +1718,10 @@ object PdfContainer {
                           throw PdfError(s"cid_code_width_${parsed.codeLen}")
                         parsed
                       })
-                      CidFont(cm.codeLen, cm.map)
-                    case PNull  => CidNoToUni
-                    case other  => throw PdfError(s"bad_tounicode:$other")
+                      CidFont(cm.codeLen, cm.map, ucs2)
+                    case PNull if ucs2 => CidFont(2, Map.empty, ucs2Fallback = true)
+                    case PNull         => CidNoToUni
+                    case other         => throw PdfError(s"bad_tounicode:$other")
                   }
                 case _ => SimpleFont(simpleTable(resolve, f))
               }
@@ -1525,7 +1815,7 @@ object PdfContainer {
             bytes.foreach(b => sb.append(table(b & 0xff)))
             (sb.toString, bytes.length)
           }
-        case CidFont(len, toUni) =>
+        case CidFont(len, toUni, ucs2) =>
           if (bytes.length % len != 0) throw PdfError("cid_string_misaligned")
           val sb = new StringBuilder(bytes.length / len)
           var i = 0
@@ -1533,10 +1823,18 @@ object PdfContainer {
             var code = 0
             var k = 0
             while (k < len) { code = (code << 8) | (bytes(i + k) & 0xff); k += 1 }
-            // an unmapped code is a data defect in the producer's CMap:
-            // U+FFFD keeps the page recoverable and lets the downstream
-            // quality gate judge the damage (PyMuPDF does the same)
-            sb.append(toUni.getOrElse(code, "�"))
+            toUni.get(code) match {
+              case Some(s) => sb.append(s)
+              case None if ucs2 && !(code >= 0xd800 && code <= 0xdfff) =>
+                // UCS2 predefined encodings: the code IS the code point
+                // (surrogate halves cannot occur in valid UCS-2 — U+FFFD)
+                sb.append(code.toChar)
+              case None =>
+                // an unmapped code is a data defect in the producer's CMap:
+                // U+FFFD keeps the page recoverable and lets the downstream
+                // quality gate judge the damage (PyMuPDF does the same)
+                sb.append('�')
+            }
             i += len
           }
           (sb.toString, bytes.length / len)
@@ -1551,8 +1849,8 @@ object PdfContainer {
       // matrix. Word spacing applies to single-byte 0x20 codes only
       // (per spec it never fires for 2-byte CID strings).
       val nSpaces = curFont match {
-        case CidFont(_, _) => 0
-        case _             => bytes.count(_ == ' '.toByte)
+        case CidFont(_, _, _) => 0
+        case _                => bytes.count(_ == ' '.toByte)
       }
       cursorX += (glyphs * (fs * FixedPitchEm + tc) + nSpaces * tw) * th * ma
     }
@@ -1713,7 +2011,14 @@ object PdfContainer {
               stack.lastOption.foreach { case PStr(s) => emit(s); case _ => () }
               stack.clear()
             case "\"" =>
+              // ISO 32000-1 Table 107: `aw ac string "` sets word spacing
+              // (Tw) and char spacing (Tc) as PERSISTENT text state before
+              // showing — they stay in force for subsequent shows too
               ty -= leading * md; cursorX = lineX
+              if (stack.length >= 3) {
+                tw = num(stack(stack.length - 3))
+                tc = num(stack(stack.length - 2))
+              }
               stack.lastOption.foreach { case PStr(s) => emit(s); case _ => () }
               stack.clear()
             case "TJ" =>

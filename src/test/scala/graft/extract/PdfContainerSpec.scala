@@ -525,10 +525,12 @@ class PdfContainerSpec extends AnyFunSuite {
   }
 
   test("a predefined-CMap Type0 encoding is out of subset and loud") {
+    // (UCS2 horizontal families became supported in round 6 — a CID-table
+    // CMap like GBK-EUC-H is the representative still-unsupported shape)
     val pdf = RealPdf.document(Seq(PageSpec(
       runs = Seq(line(100, "x")), cidFont = true)))
     val s = new String(pdf, StandardCharsets.ISO_8859_1)
-      .replace("/Identity-H", "/UniJIS-UCS2-H")
+      .replace("/Identity-H", "/GBK-EUC-H")
     val r = PdfContainer.parsePages(s.getBytes(StandardCharsets.ISO_8859_1))
     assert(r.isLeft, r)
     assert(r.left.toOption.get.contains("unsupported_cid_encoding"), r)
@@ -882,6 +884,158 @@ class PdfContainerSpec extends AnyFunSuite {
     assert(dReal.engine == dSynth.engine)
     assert(dSynth.engine == graft.model.Engines.Mixed)
     assert(dReal.spans == dSynth.spans)
+  }
+
+  test("\" show operator sets Tw/Tc persistently before showing") {
+    // ISO 32000-1 Table 107: aw ac string " — word/char spacing become
+    // TEXT STATE, in force for this show and every later one
+    val content =
+      "BT /F1 10 Tf 12 TL 1 0 0 1 72 692 Tm 12 3 (a b) \" ET\n" +
+        "BT /F1 10 Tf 1 0 0 1 72 668 Tm [(a b)(cd)] TJ ET"
+    val pages = PdfContainer.parsePages(onePageDoc(content)).toOption.get
+    val runs = pages.head.runs.sortBy(r => (r.y, r.x))
+    assert(runs.map(_.text) == Vector("a b", "a b", "cd"))
+    // persistence: the SECOND line's advance carries Tc 3 and Tw 12 set by
+    // the " operator — 3 glyphs * (6 + 3) + 1 space * 12 = 39
+    assert(runs(2).x - runs(1).x == 39, runs)
+  }
+
+  test("LZW: a full table without Clear keeps decoding existing codes") {
+    // some real encoders legally emit 12-bit codes from the frozen table
+    // instead of clearing; craft such a stream with a no-Clear encoder
+    val rnd = new scala.util.Random(7)
+    val data = Array.fill(12000)(rnd.nextInt(256).toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0; var width = 9
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code.toLong; bitCnt += width
+      while (bitCnt >= 8) { out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8 }
+    }
+    val dict = new java.util.HashMap[String, Integer]()
+    var nextCode = 258
+    put(256) // single initial Clear; NEVER again
+    val cur = new StringBuilder
+    def codeOf(s: CharSequence): Int =
+      if (s.length == 1) s.charAt(0).toInt else dict.get(s.toString).intValue()
+    data.foreach { byte =>
+      val k = (byte & 0xff).toChar
+      if (cur.isEmpty) cur.append(k)
+      else {
+        cur.append(k)
+        if (!dict.containsKey(cur.toString)) {
+          val candidate = cur.toString
+          cur.setLength(cur.length - 1)
+          put(codeOf(cur))
+          if (nextCode < 4096) { // table full: STOP adding, keep emitting
+            dict.put(candidate, nextCode)
+            nextCode += 1
+            if (nextCode >= (1 << width) && width < 12) width += 1
+          }
+          cur.setLength(0); cur.append(k)
+        }
+      }
+    }
+    if (cur.nonEmpty) put(codeOf(cur))
+    put(257) // EOD
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    val enc = out.toByteArray
+    val dec = PdfContainer.decodeTransportForTest("LZWDecode", enc)
+    assert(java.util.Arrays.equals(dec, data))
+  }
+
+  test("empty-user-password encrypted PDFs decrypt transparently") {
+    val runs = Seq(
+      line(100, "Owner-locked but readable content."),
+      line(112, "Second line survives decryption."),
+      line(160, "Third paragraph, new block."))
+    val plainText = PdfExtractor.extract(
+      RealPdf.document(Seq(PageSpec(runs = runs)))).toOption.get.text
+    // RC4-40 (R2), RC4-128 (R3), AES-128 (R4/AESV2): classic container
+    for (enc <- Seq(
+        RealPdf.Encryption.rc4_40("owner-secret"),
+        RealPdf.Encryption.rc4_128("owner-secret"),
+        RealPdf.Encryption.aes128("owner-secret"))) {
+      val pdf = RealPdf.document(Seq(PageSpec(runs = runs)), encrypt = Some(enc))
+      val ex = PdfExtractor.extract(pdf)
+      assert(ex.isRight, s"$enc -> $ex")
+      assert(ex.toOption.get.text == plainText, enc)
+    }
+    // compressed content + indirect length through RC4
+    val pdfZ = RealPdf.document(
+      Seq(PageSpec(runs = runs, compress = true, indirectLength = true)),
+      encrypt = Some(RealPdf.Encryption.rc4_128("owner-secret")))
+    assert(PdfExtractor.extract(pdfZ).toOption.get.text == plainText)
+    // modern container: xref STREAM + ObjStm packing + AES-128 — the xref
+    // stream must stay unencrypted while the ObjStm decrypts as a stream
+    val pdfModern = RealPdf.document(
+      Seq(PageSpec(runs = runs, compress = true)),
+      xrefStream = true,
+      objStmPack = true,
+      encrypt = Some(RealPdf.Encryption.aes128("owner-secret")))
+    assert(PdfExtractor.extract(pdfModern).toOption.get.text == plainText)
+    // CID font with an encrypted /ToUnicode CMap stream
+    val cidRuns = Seq(line(100, "Unicode päge • done"))
+    val cidPlain = PdfExtractor.extract(
+      RealPdf.document(Seq(PageSpec(runs = cidRuns, cidFont = true)))).toOption.get.text
+    val pdfCid = RealPdf.document(
+      Seq(PageSpec(runs = cidRuns, cidFont = true)),
+      encrypt = Some(RealPdf.Encryption.aes128("owner-secret")))
+    assert(PdfExtractor.extract(pdfCid).toOption.get.text == cidPlain)
+  }
+
+  test("a REAL user password (and unsupported /V) stays a loud refusal") {
+    val runs = Seq(line(100, "locked"))
+    for (enc <- Seq(
+        RealPdf.Encryption.rc4_40("owner", "realpw"),
+        RealPdf.Encryption.rc4_128("owner", "realpw"),
+        RealPdf.Encryption.aes128("owner", "realpw"))) {
+      val r = PdfContainer.parsePages(RealPdf.document(Seq(PageSpec(runs = runs)), encrypt = Some(enc)))
+      assert(r.isLeft, enc)
+      assert(r.left.toOption.get.contains("encrypted_document"), s"$enc -> $r")
+    }
+    // AES-256 (/V 5) is out of subset: loud, named
+    val pdf = RealPdf.document(
+      Seq(PageSpec(runs = runs)),
+      encrypt = Some(RealPdf.Encryption.rc4_128("owner")))
+    val s = new String(pdf, StandardCharsets.ISO_8859_1)
+    val doctored = s.replace("/Filter /Standard /V 2 /R 3", "/Filter /Standard /V 5 /R 6")
+    assert(doctored != s)
+    val r5 = PdfContainer.parsePages(doctored.getBytes(StandardCharsets.ISO_8859_1))
+    assert(r5.isLeft, r5)
+    assert(r5.left.toOption.get.contains("encrypted_unsupported"), r5)
+  }
+
+  test("predefined UCS2 CMaps decode CID text without a ToUnicode map") {
+    // UniGB-UCS2-H: 2-byte codes ARE UCS-2 code points — extraction needs
+    // no CID tables; ToUnicode-absent is the interesting CJK crawl shape
+    val text = "中文期刊 mixed ascii 混合"
+    val pdf = RealPdf.document(Seq(PageSpec(
+      runs = Seq(line(100, text)),
+      cidFont = true,
+      cidToUnicode = false,
+      cidEncoding = "UniGB-UCS2-H")))
+    val ex = PdfExtractor.extract(pdf)
+    assert(ex.isRight, ex)
+    assert(ex.toOption.get.text == text)
+    // with a ToUnicode CMap present the CMap wins (same output here)
+    val pdfToUni = RealPdf.document(Seq(PageSpec(
+      runs = Seq(line(100, text)),
+      cidFont = true,
+      cidEncoding = "UniJIS-UCS2-H")))
+    assert(PdfExtractor.extract(pdfToUni).toOption.get.text == text)
+    // vertical variants and non-UCS2 predefined CMaps stay loud
+    for (bad <- Seq("UniGB-UCS2-V", "UniJIS-UTF16-H", "GBK-EUC-H")) {
+      val r = PdfContainer.parsePages(RealPdf.document(Seq(PageSpec(
+        runs = Seq(line(100, "x")),
+        cidFont = true,
+        cidToUnicode = false,
+        cidEncoding = bad))))
+      assert(r.isLeft && r.left.toOption.get.contains("unsupported_cid_encoding"), s"$bad -> $r")
+    }
+    // Identity-H without ToUnicode is still opaque glyph ids: loud
+    val rId = PdfContainer.parsePages(RealPdf.document(Seq(PageSpec(
+      runs = Seq(line(100, "x")), cidFont = true, cidToUnicode = false))))
+    assert(rId.isLeft && rId.left.toOption.get.contains("cid_font_without_tounicode"), rId)
   }
 
   private def handBuiltWithBox(content: String, mediaBox: String): Array[Byte] = {
