@@ -233,8 +233,18 @@ object Dedup {
     // low-df table both annotates and drops capped shingles in one step
     // (hot probe partitions are AQE-skew-splittable: one build row per key).
     val dfTab = posts0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val kept = posts0
-      .join(dfTab.filter(col("df") <= maxShingleDf).select(col("sh")), Seq("sh"))
+    // The kept postings are MATERIALIZED once (reliable checkpoint when a
+    // dir is set, eager localCheckpoint otherwise — see [[truncateLineage]]):
+    // without this the a-side, b-side and both docSizes joins below each
+    // re-plan the whole explode+df subtree, scanning the corpus up to 8x
+    // and re-shingling it 4x (r5 PLANS.md evidence), and cluster builders
+    // ([[dupClusters]]/[[dupClustersStar]]) pay the subtree AGAIN for their
+    // pair set. At 100 TB eight corpus scans was the single largest
+    // avoidable cost left; after the checkpoint every consumer reads the
+    // one materialized (sh, doc_id) posting set and `documents` is scanned
+    // in exactly one job.
+    val kept = truncateLineage(posts0
+      .join(dfTab.filter(col("df") <= maxShingleDf).select(col("sh")), Seq("sh")))
     if (logDropped) {
       val dropped = dfTab.filter(col("df") > maxShingleDf).count()
       println(s"ngramJaccardPairs: dropped $dropped shingles with df > $maxShingleDf")
@@ -267,9 +277,12 @@ object Dedup {
     * output contains no false positives. Degenerate buckets are capped at
     * `maxBucket` docs — a cap that only binds on mass-duplicate clusters,
     * where pairwise output is the wrong shape anyway (cluster these via
-    * `exact`/`markDuplicates` instead). Shingling is recomputed per use
-    * rather than cached: a persist here would outlive the returned (lazy)
-    * DataFrame with no unpersist point, and the shingle pass is cheap.
+    * `exact`/`markDuplicates` instead). The shingle+signature projection is
+    * materialized once via [[truncateLineage]]: band generation AND both
+    * sides of the verification join consume it, and without truncation each
+    * consumer re-scans and re-shingles the corpus (the r5 PLANS.md
+    * redundant-subtree finding). Checkpoint blocks are reclaimed by the
+    * ContextCleaner once the returned plan is unreferenced.
     */
   def minhashPairs(
       docs: DataFrame,
@@ -285,10 +298,10 @@ object Dedup {
     // object boundaries
     graft.expressions.GraftFunctions.register(docs.sparkSession)
     import graft.expressions.GraftFunctions.{minhashBands, minhashSig, shingleHashes64}
-    val shingled = docs.select(
+    val shingled = truncateLineage(docs.select(
       col("doc_id"),
       shingleHashes64(col("text"), n).as("shingles"))
-      .withColumn("sig", minhashSig(col("shingles"), numHashes))
+      .withColumn("sig", minhashSig(col("shingles"), numHashes)))
 
     // band buckets: (band, hash(slice)) -> doc list
     val bandRows = shingled
