@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the 64-bit SimHash document sketch.
@@ -113,6 +113,20 @@ object GraftFunctions {
         throw new IllegalArgumentException(s"$name: expected long literal, got $other")
     }
 
+  private def centroidsArg(
+      exprs: Seq[Expression], idx: Int, name: String, arity: Int): Seq[Seq[Double]] =
+    litOf(exprs, idx, name, arity) match {
+      case ad: org.apache.spark.sql.catalyst.util.ArrayData =>
+        ad.toObjectArray(ArrayType(DoubleType, containsNull = false)).toSeq.map {
+          case inner: org.apache.spark.sql.catalyst.util.ArrayData =>
+            inner.toDoubleArray().toSeq
+          case other =>
+            throw new IllegalArgumentException(s"$name: bad centroid row $other")
+        }
+      case other => throw new IllegalArgumentException(
+        s"$name: expected array<array<double>> literal, got $other")
+    }
+
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "simhash64" -> ((exprs: Seq[Expression]) => SimHash64Expr(exprs.head)),
     "shingle_hashes64" -> ((exprs: Seq[Expression]) =>
@@ -128,7 +142,10 @@ object GraftFunctions {
         intArg(exprs, 2, "sign_lsh_packed", 4), intArg(exprs, 3, "sign_lsh_packed", 4))),
     "sign_lsh_probes" -> ((exprs: Seq[Expression]) =>
       SignLshProbesExpr(exprs.head, longArg(exprs, 1, "sign_lsh_probes", 4),
-        intArg(exprs, 2, "sign_lsh_probes", 4), intArg(exprs, 3, "sign_lsh_probes", 4)))
+        intArg(exprs, 2, "sign_lsh_probes", 4), intArg(exprs, 3, "sign_lsh_probes", 4))),
+    "ivf_cells" -> ((exprs: Seq[Expression]) =>
+      IvfCellsExpr(exprs.head, centroidsArg(exprs, 1, "ivf_cells", 3),
+        intArg(exprs, 2, "ivf_cells", 3)))
   )
 
   /** Inject every native function into a SparkSessionExtensions hook. */
@@ -170,6 +187,10 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function(
       "sign_lsh_probes", c, org.apache.spark.sql.functions.lit(seed),
       org.apache.spark.sql.functions.lit(planes), org.apache.spark.sql.functions.lit(tables))
+  def ivfCells(c: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      "ivf_cells", c, org.apache.spark.sql.functions.typedlit(centroids),
+      org.apache.spark.sql.functions.lit(nProbe))
 }
 
 /** `spark.sql.extensions=graft.expressions.GraftExtensions` injector. */

@@ -157,19 +157,16 @@ object Similarity {
     * `nProbe` nearest cells. At scale the corpus is written cell-partitioned
     * so a query reads nProbe partitions instead of scanning the corpus; here
     * the cell id is the join key.
+    *
+    * Cell lookup is the native `ivf_cells` codegen expression
+    * ([[graft.expressions.IvfCellsExpr]]): the centroid matrix (unit
+    * vectors — argmax dot == argmax cosine) rides in the plan, and
+    * candidate generation has NO udf/closure boundary anywhere. Ordering is
+    * bit-identical to the closure formulation this replaces (descending
+    * dot, ties to the lower cell id).
     */
-  // centroids are unit vectors: argmax dot == argmax cosine for a fixed v
-  private def cosTo(v: Seq[Double], c: (Int, Array[Double])): Double = {
-    var dot = 0.0
-    var d = 0
-    while (d < c._2.length) { dot += v(d) * c._2(d); d += 1 }
-    dot
-  }
-
-  private def indexedCentroids(e: DataFrame, nCentroids: Int)(
-      implicit spark: SparkSession): org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Double])]] =
-    spark.sparkContext.broadcast(
-      trainCentroids(e, nCentroids).zipWithIndex.map { case (v, i) => (i, v) })
+  private def trainedCentroids(e: DataFrame, nCentroids: Int): Seq[Seq[Double]] =
+    trainCentroids(e, nCentroids).map(_.toSeq).toSeq
 
   /** The corpus with its IVF cell id appended (original columns + `cell`) —
     * the AT-REST layout hook: write this `partitionBy("cell")` and a query
@@ -181,13 +178,16 @@ object Similarity {
     */
   def assignCells(embeddings: DataFrame, nCentroids: Int = 16)(
       implicit spark: SparkSession): DataFrame =
-    assignCellsWith(embeddings, indexedCentroids(withNorm(embeddings), nCentroids))
+    assignCellsWith(embeddings, trainedCentroids(withNorm(embeddings), nCentroids))
 
   private def assignCellsWith(
       embeddings: DataFrame,
-      bc: org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Double])]]): DataFrame = {
-    val cellUdf = udf { v: Seq[Double] => bc.value.maxBy(c => (cosTo(v, c), -c._1))._1 }
-    embeddings.withColumn("cell", cellUdf(col("embedding").cast("array<double>")))
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    graft.expressions.GraftFunctions.register(embeddings.sparkSession)
+    embeddings.withColumn("cell",
+      element_at(
+        graft.expressions.GraftFunctions.ivfCells(
+          col("embedding").cast("array<double>"), centroids, 1), 1))
   }
 
   /** One row per (query, probed cell): the `nProbe` cells nearest each
@@ -200,20 +200,19 @@ object Similarity {
       nProbe: Int = 4
   )(implicit spark: SparkSession): DataFrame = {
     val e = withNorm(embeddings)
-    probeCellsWith(e, queryFilter, indexedCentroids(e, nCentroids), nProbe)
+    probeCellsWith(e, queryFilter, trainedCentroids(e, nCentroids), nProbe)
   }
 
   private def probeCellsWith(
       e: DataFrame,
       queryFilter: Column,
-      bc: org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Double])]],
+      centroids: Seq[Seq[Double]],
       nProbe: Int): DataFrame = {
-    val probesUdf = udf { v: Seq[Double] =>
-      bc.value.sortBy(c => (-cosTo(v, c), c._1)).take(nProbe).map(_._1)
-    }
+    graft.expressions.GraftFunctions.register(e.sparkSession)
     e.filter(queryFilter)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("norm").as("q_norm"),
-        explode(probesUdf(col("v"))).as("cell"))
+        explode(
+          graft.expressions.GraftFunctions.ivfCells(col("v"), centroids, nProbe)).as("cell"))
   }
 
   def ivfTopK(
@@ -228,11 +227,11 @@ object Similarity {
     // assignment and the query probe lists (training is deterministic, so
     // separate assignCells/probeCells calls agree too — they just pay a
     // second training)
-    val bc = indexedCentroids(e, nCentroids)
-    val corpus = assignCellsWith(embeddings, bc)
+    val cents = trainedCentroids(e, nCentroids)
+    val corpus = assignCellsWith(embeddings, cents)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("cell"))
       .withColumn("norm", sqrt(dotCol(col("v"), col("v"))))
-    val queries = probeCellsWith(e, queryFilter, bc, nProbe)
+    val queries = probeCellsWith(e, queryFilter, cents, nProbe)
     val scored = corpus
       .join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))

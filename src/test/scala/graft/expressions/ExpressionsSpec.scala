@@ -44,6 +44,58 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("ivf_cells matches the closure-reference ordering, stays in codegen") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    val k = 16
+    val centroids: Seq[Seq[Double]] = Seq.fill(k) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n).toSeq
+    }
+    val vecs = Seq.tabulate(40)(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian()).toSeq))
+    val df = vecs.toDF("vec_id", "v")
+    for (nProbe <- Seq(1, 4)) {
+      val out = df
+        .select(col("vec_id"), GraftFunctions.ivfCells(col("v"), centroids, nProbe).as("cells"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1))
+        .toMap
+      vecs.foreach { case (id, v) =>
+        // the closure formulation this expression replaced: descending dot,
+        // ties to the lower cell id
+        def dot(c: Seq[Double]) = c.zip(v).map { case (a, b) => a * b }.sum
+        val expect = centroids.zipWithIndex
+          .sortBy { case (c, i) => (-dot(c), i) }.take(nProbe).map(_._2)
+        assert(out(id) == expect, s"vec $id nProbe $nProbe")
+      }
+    }
+    val planDf = spark.range(6).select(
+      GraftFunctions.ivfCells(array((0 until dim).map(d => rand(d)): _*), centroids, 2).as("c"))
+    val plan = planDf.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+    assert(planDf.queryExecution.executedPlan.find(
+      _.getClass.getSimpleName.startsWith("WholeStageCodegen")).nonEmpty, plan)
+  }
+
+  test("ivfTopK plans with no UDF boundary anywhere (q_ann_ivf shape)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val emb = Seq.tabulate(120)(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian()), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.ops.Similarity.ivfTopK(emb, col("vec_id") < 5, k = 3)(spark)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+    assert(!plan.toLowerCase.contains("batchevalpython"), plan)
+    // the surface still returns sane ranked neighbors
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getInt(1)).forall(r => r >= 1 && r <= 3))
+  }
+
   test("null propagates (nullIntolerant)") {
     import spark.implicits._
     GraftFunctions.register(spark)
