@@ -19,6 +19,10 @@ import graft.job.ExtractionJob
   * graft.Main --status --output <dir>   # resume/status probe (the
   *   reference's ocr_status job table, mcp_server.py:106-254, as a
   *   lineage-table read)
+  * graft.Main --prepare --input <documents parquet> --output <dir>
+  *   # one-command training-corpus prep: fused gopher-gate + exact dedup +
+  *   # train/val/test split (graft.job.PrepareJob), survivors written
+  *   # partitionBy(split) with a write-then-commit lineage table
   * }}}
   *
   * Exit code 0 iff no failure rows (cli.py:404 contract).
@@ -36,7 +40,8 @@ object Main {
       groupsPerCommit: Int = 16,
       repartitionInput: Boolean = false,
       batchedHeavy: Boolean = false,
-      status: Boolean = false
+      status: Boolean = false,
+      prepare: Boolean = false
   )
 
   def parse(argv: List[String], acc: Args = Args()): Args = argv match {
@@ -52,6 +57,7 @@ object Main {
     case "--repartition-input" :: rest => parse(rest, acc.copy(repartitionInput = true))
     case "--batched-heavy" :: rest => parse(rest, acc.copy(batchedHeavy = true))
     case "--status" :: rest => parse(rest, acc.copy(status = true))
+    case "--prepare" :: rest => parse(rest, acc.copy(prepare = true))
     case other :: _ => throw new IllegalArgumentException(s"unknown arg: $other")
   }
 
@@ -94,6 +100,20 @@ object Main {
         println(
           s"""{"committed_groups":${row.getLong(0)},"docs":${row.getLong(1)},"failures":${row.getLong(2)}}""")
       }
+      spark.stop()
+      return
+    }
+
+    if (args.prepare) {
+      // one-command training-corpus prep over a documents table
+      // (doc_id, text, ...): fused gate+dedup+split, survivors written
+      // partitioned by split, lineage committed last (graft.job.PrepareJob)
+      require(args.input != null, "--input is required")
+      require(!args.input.startsWith("synth:") && !args.input.startsWith("warc:"),
+        "--prepare reads a documents-shaped parquet table (doc_id, text, ...)")
+      val docs = spark.read.parquet(args.input)
+      val res = graft.job.PrepareJob.run(docs, args.output)
+      println(res.json)
       spark.stop()
       return
     }
