@@ -518,10 +518,14 @@ object SparkEntry {
     "q_extract_summary_gate" -> ((s, dir) => {
       val pages = CorpusGen.pages(s, 2000).toDF()
       val cfg = ExtractionJob.JobConfig(numGroups = 16, numPartitions = 8)
+      // integer columns only: mean_quality is a cross-row double AVG whose
+      // partial-combine order depends on partitioning, so freezing its
+      // formatted value could flake on an ulp at a rounding boundary under
+      // a different parallelism. Score drift is already caught per row (no
+      // accumulation) by q_extract_pipeline_gate's round(score,6) repr.
       val repr = concat_ws("|",
         col("engine"), col("docs").cast("string"), col("errors").cast("string"),
-        col("flagged").cast("string"), format_string("%.6f", col("mean_quality")),
-        col("bytes").cast("string"))
+        col("flagged").cast("string"), col("bytes").cast("string"))
       ExtractionJob.summarize(ExtractionJob.extract(pages, cfg)(s))
         .select(repr.as("r"))
         .agg(count(lit(1)).as("n_rows"),
@@ -708,7 +712,7 @@ object SparkEntry {
     "q_extract_pipeline_gate" ->
       "SELECT CAST(2000 AS BIGINT) AS n_rows, '574392a05aa24b40ca5f56314bfe4bad' AS digest",
     "q_extract_summary_gate" ->
-      "SELECT CAST(5 AS BIGINT) AS n_rows, '77435fb22f746ffc7501c26c3c7e137a' AS digest",
+      "SELECT CAST(5 AS BIGINT) AS n_rows, 'b23b4b84bd0c971ec3278011a627f44f' AS digest",
     "q_dedup_simhash" ->
       s"WITH $SimhashCte SELECT doc_id, simhash FROM sim",
     // the multi-table Manku construction is exact within the radius (and the

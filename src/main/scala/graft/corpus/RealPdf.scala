@@ -306,6 +306,12 @@ object RealPdf {
     *   - `xrefPredictor`: apply the PNG Up predictor (/Predictor 12) to
     *     the xref stream data, as common writers do.
     */
+  /** `emptyCatalogString` plants a zero-length string in the catalog dict
+    * that stays PLAINTEXT even when `encrypt` is set (written as the empty
+    * hex string `<>`, which the string encryptor leaves alone) — the
+    * sloppy-real-writer shape where `()` entries are left unencrypted in
+    * otherwise encrypted documents.
+    */
   def document(
       pages: Seq[PageSpec],
       nestedKids: Boolean = false,
@@ -313,7 +319,8 @@ object RealPdf {
       objStmPack: Boolean = false,
       xrefPredictor: Boolean = false,
       simpleFontEncoding: Option[String] = None,
-      encrypt: Option[Encryption] = None): Array[Byte] = {
+      encrypt: Option[Encryption] = None,
+      emptyCatalogString: Boolean = false): Array[Byte] = {
     require(!objStmPack || xrefStream, "objStmPack requires xrefStream")
     require(!xrefPredictor || xrefStream, "xrefPredictor requires xrefStream")
     val out = new ByteArrayOutputStream()
@@ -409,7 +416,8 @@ object RealPdf {
 
     ascii(s"%PDF-1.${if (xrefStream) "5" else "4"}\n%âãÏÓ\n") // binary marker
 
-    dictObj(catalogNum, s"<< /Type /Catalog /Pages $pagesNum 0 R >>")
+    val catalogExtra = if (emptyCatalogString) " /GraftEmpty <>" else ""
+    dictObj(catalogNum, s"<< /Type /Catalog /Pages $pagesNum 0 R$catalogExtra >>")
     val kidRefs =
       if (nestedKids) s"[$innerPagesNum 0 R]"
       else plans.map(p => s"${p.pageNum} 0 R").mkString("[", " ", "]")

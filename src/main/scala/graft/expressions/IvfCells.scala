@@ -67,17 +67,26 @@ object IvfImpl {
 
   /** Top-`nProbe` centroid indices by dot product, descending, ties to the
     * lower index (strict `>` in an index-ordered selection scan). A null
-    * vector element reads as 0.0, mirroring SignLshImpl.
+    * vector element reads as 0.0, mirroring SignLshImpl. A vector whose
+    * length differs from the centroid dimension is LOUD (the closure it
+    * replaced crashed on short vectors too — silently zero-padding would
+    * assign a cell to malformed data). NaN semantics are defined, not
+    * inherited: a NaN dot product never wins a strict-`>` comparison, so a
+    * NaN-poisoned vector deterministically lands in the lowest-indexed
+    * remaining cell (the replaced Scala `maxBy` treated NaN as greatest —
+    * the one documented divergence, on inputs that are garbage either way).
     */
   def cells(v: ArrayData, flat: Array[Double], dim: Int, k: Int, nProbe: Int): ArrayData = {
     val n = v.numElements()
+    if (n != dim)
+      throw new IllegalArgumentException(
+        s"ivf_cells: vector length $n != centroid dimension $dim")
     val dots = new Array[Double](k)
     var j = 0
     while (j < k) {
       var dot = 0.0
       var d = 0
-      val lim = math.min(n, dim)
-      while (d < lim) {
+      while (d < dim) {
         if (!v.isNullAt(d)) dot += v.getDouble(d) * flat(j * dim + d)
         d += 1
       }

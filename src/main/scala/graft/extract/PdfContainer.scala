@@ -493,7 +493,11 @@ object PdfContainer {
 
     private def decryptTree(c: Crypt, num: Int, gen: Int, o: Obj): Obj = o match {
       case PStr(b) =>
-        if (c.identStrings) o
+        // zero-length literal strings `()` are routinely left unencrypted
+        // by sloppy writers (an encrypted empty string would be a 32-byte
+        // AES ciphertext); refusing the whole document over one harmless
+        // empty string would fail files every real extractor opens
+        if (c.identStrings || b.isEmpty) o
         else if (c.aesStrings)
           PStr(PdfCrypto.aesDecrypt(PdfCrypto.objectKey(c.key, num, gen, aes = true), b))
         else PStr(PdfCrypto.rc4(PdfCrypto.objectKey(c.key, num, gen, aes = false), b))

@@ -77,6 +77,14 @@ object PrepareJob {
         // committed lineage = the run finished: resume is a no-op report
         fromLineage(lin, resumed = true)
       case None =>
+        // fail FAST on schema collisions: the output appends these three
+        // columns to the input row, and a duplicate name would surface as
+        // an ambiguous-column error only AFTER the gate+dedup work ran
+        // (e.g. re-preparing an already-prepared table)
+        val clash = docs.columns.toSet.intersect(Set("split", "ws_tokens", "dup_count"))
+        require(clash.isEmpty,
+          s"--prepare input already carries ${clash.mkString(", ")}: " +
+            "drop or rename before preparing (is this table already prepared?)")
         val inputDocs = docs.count()
         val prep = Pipeline.prepare(docs)
         val survivors = prep

@@ -242,7 +242,10 @@ object Dedup {
     // pair set. At 100 TB eight corpus scans was the single largest
     // avoidable cost left; after the checkpoint every consumer reads the
     // one materialized (sh, doc_id) posting set and `documents` is scanned
-    // in exactly one job.
+    // in exactly one job. Construction is therefore EAGER, and reliable
+    // checkpoints (dir set) persist until cleanCheckpoints=true or the dir
+    // is removed — the truncateLineage storage contract, see minhashPairs'
+    // scaladoc.
     val kept = truncateLineage(posts0
       .join(dfTab.filter(col("df") <= maxShingleDf).select(col("sh")), Seq("sh")))
     if (logDropped) {
@@ -281,8 +284,15 @@ object Dedup {
     * materialized once via [[truncateLineage]]: band generation AND both
     * sides of the verification join consume it, and without truncation each
     * consumer re-scans and re-shingles the corpus (the r5 PLANS.md
-    * redundant-subtree finding). Checkpoint blocks are reclaimed by the
-    * ContextCleaner once the returned plan is unreferenced.
+    * redundant-subtree finding). Two consequences callers own: CONSTRUCTING
+    * the returned DataFrame now runs the shingle scan eagerly (it is no
+    * longer a free lazy plan), and checkpoint storage follows the
+    * [[truncateLineage]] contract — localCheckpoint blocks are reclaimed by
+    * the ContextCleaner when the plan is dropped, but RELIABLE checkpoints
+    * (checkpoint dir set) persist until
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` or the dir is
+    * removed, so long-lived sessions calling this repeatedly must set one
+    * of those up (same dial the cluster loop already documents).
     */
   def minhashPairs(
       docs: DataFrame,

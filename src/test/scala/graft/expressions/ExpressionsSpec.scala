@@ -78,6 +78,15 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("scalaudf"), plan)
     assert(planDf.queryExecution.executedPlan.find(
       _.getClass.getSimpleName.startsWith("WholeStageCodegen")).nonEmpty, plan)
+    // a vector whose length disagrees with the centroid dim is LOUD —
+    // zero-padding would silently assign a cell to malformed data
+    val short = Seq((1L, Seq.fill(dim - 2)(0.5))).toDF("vec_id", "v")
+    val err = intercept[Exception] {
+      short.select(GraftFunctions.ivfCells(col("v"), centroids, 1)).collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+    assert(rootMessages(err).exists(_.contains("centroid dimension")), err.toString)
   }
 
   test("ivfTopK plans with no UDF boundary anywhere (q_ann_ivf shape)") {

@@ -973,6 +973,14 @@ class PdfContainerSpec extends AnyFunSuite {
       objStmPack = true,
       encrypt = Some(RealPdf.Encryption.aes128("owner-secret")))
     assert(PdfExtractor.extract(pdfModern).toOption.get.text == plainText)
+    // sloppy-writer shape: an UNencrypted zero-length string reachable in
+    // an AES document must pass through, not refuse the whole file
+    // (an encrypted empty string would be 32 bytes of ciphertext)
+    val pdfEmptyStr = RealPdf.document(
+      Seq(PageSpec(runs = runs)),
+      encrypt = Some(RealPdf.Encryption.aes128("owner-secret")),
+      emptyCatalogString = true)
+    assert(PdfExtractor.extract(pdfEmptyStr).toOption.get.text == plainText)
     // CID font with an encrypted /ToUnicode CMap stream
     val cidRuns = Seq(line(100, "Unicode päge • done"))
     val cidPlain = PdfExtractor.extract(

@@ -48,6 +48,14 @@ class PrepareJobSpec extends AnyFunSuite {
       .filter(col("expect") =!= col("split")).count()
     assert(expectSplits == 0)
 
+    // a documents table already carrying an output column name fails FAST
+    // (before any gate/dedup work), e.g. re-preparing a prepared table
+    val clashErr = intercept[IllegalArgumentException] {
+      PrepareJob.run(docs.withColumn("split", lit("train")),
+        Files.createTempDirectory("prepclash").toFile.getAbsolutePath)
+    }
+    assert(clashErr.getMessage.contains("already prepared"), clashErr.getMessage)
+
     // resume: committed lineage short-circuits; counts replayed, no rewrite
     val before = new java.io.File(s"$dir/prepared").lastModified()
     val r2 = PrepareJob.run(docs.limit(1), dir) // different input would change output if re-run
