@@ -416,6 +416,43 @@ $footerBlock
     spark.range(from, from + n, 1, 2).map(i => cidPdfRow(seed, i))
   }
 
+  /** Same deterministic layouts inside an ENCRYPTED container: standard
+    * security handler, owner password only (EMPTY user password) — the
+    * dominant crawled "encrypted" shape, which PdfContainer (round 6)
+    * decrypts transparently. Even ids: RC4-128 (V2/R3) in a classic
+    * container; odd ids: AES-128 (V4/R4 AESV2) in a modern xref-stream +
+    * ObjStm container. Extraction must be byte-identical to the SAME
+    * layouts written unencrypted.
+    */
+  def encryptedPdfRow(seed: Long, idx: Long): RawPage = {
+    val modern = idx % 2 == 1
+    val enc =
+      if (modern) RealPdf.Encryption.aes128(s"owner-$idx")
+      else RealPdf.Encryption.rc4_128(s"owner-$idx")
+    RawPage(
+      url(seed, idx),
+      new Timestamp(Epoch + idx * 1000L),
+      RealPdf.document(
+        realPdfSpecs(seed, idx),
+        xrefStream = modern,
+        objStmPack = modern,
+        encrypt = Some(enc)),
+      "",
+      "en")
+  }
+
+  def encryptedPdfPages(spark: SparkSession, from: Long, n: Long, seed: Long = DefaultSeed): Dataset[RawPage] = {
+    import spark.implicits._
+    spark.range(from, from + n, 1, 2).map(i => encryptedPdfRow(seed, i))
+  }
+
+  /** Test hook: the deterministic page specs behind realPdfRow /
+    * modernPdfRow / encryptedPdfRow, so specs can compare an encrypted
+    * document's extraction against the identical plaintext layout.
+    */
+  def realPdfSpecsForTest(seed: Long, idx: Long): Seq[RealPdf.PageSpec] =
+    realPdfSpecs(seed, idx)
+
   private def realPdfSpecs(seed: Long, idx: Long): Seq[RealPdf.PageSpec] = {
     val paras = cleanParagraphs(seed, idx, int(seed, idx, 600, 3, 4))
     def wrap(p: String): Seq[String] = {

@@ -32,6 +32,10 @@ object FixtureGen {
   // CID/Type0 container (id Rows+SplicedRows+RealPdfRows+ModernPdfRows):
   // Identity-H composite font + ToUnicode CMap, non-Latin-1 text (round 5)
   val CidPdfRows = 1L
+  // ENCRYPTED owner-password-only containers (ids ...+CidPdfRows and +1):
+  // RC4-128 classic and AES-128 modern, empty user password — decrypt
+  // transparently and extract byte-identically to plaintext (round 6)
+  val EncPdfRows = 2L
 
   def main(args: Array[String]): Unit = {
     val out = Paths.get(
@@ -53,6 +57,10 @@ object FixtureGen {
       .unionByName(
         CorpusGen.cidPdfPages(
           spark, Rows + SplicedRows + RealPdfRows + ModernPdfRows, CidPdfRows).toDF())
+      .unionByName(
+        CorpusGen.encryptedPdfPages(
+          spark, Rows + SplicedRows + RealPdfRows + ModernPdfRows + CidPdfRows,
+          EncPdfRows).toDF())
     val cfg = ExtractionJob.JobConfig(numGroups = 8, numPartitions = 4, diagnostics = true)
     val results = ExtractionJob.extract(pages, cfg).collect().sortBy(_.url)
 

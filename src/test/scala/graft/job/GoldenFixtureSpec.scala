@@ -22,7 +22,7 @@ class GoldenFixtureSpec extends AnyFunSuite {
 
   private val AllRows =
     FixtureGen.Rows + FixtureGen.SplicedRows + FixtureGen.RealPdfRows +
-      FixtureGen.ModernPdfRows + FixtureGen.CidPdfRows
+      FixtureGen.ModernPdfRows + FixtureGen.CidPdfRows + FixtureGen.EncPdfRows
 
   private lazy val results = {
     val pages = CorpusGen.pages(spark, FixtureGen.Rows).toDF()
@@ -39,6 +39,11 @@ class GoldenFixtureSpec extends AnyFunSuite {
         FixtureGen.Rows + FixtureGen.SplicedRows + FixtureGen.RealPdfRows +
           FixtureGen.ModernPdfRows,
         FixtureGen.CidPdfRows).toDF())
+      .unionByName(CorpusGen.encryptedPdfPages(
+        spark,
+        FixtureGen.Rows + FixtureGen.SplicedRows + FixtureGen.RealPdfRows +
+          FixtureGen.ModernPdfRows + FixtureGen.CidPdfRows,
+        FixtureGen.EncPdfRows).toDF())
     val cfg = ExtractionJob.JobConfig(numGroups = 8, numPartitions = 4, diagnostics = true)
     ExtractionJob.extract(pages, cfg).collect()
       .map(r => r.url.substring(r.url.lastIndexOf('/') + 1).toLong -> r)
@@ -64,7 +69,7 @@ class GoldenFixtureSpec extends AnyFunSuite {
     // successful extraction, nonempty pdf-col spans
     val realFrom = FixtureGen.Rows + FixtureGen.SplicedRows
     val realRows = FixtureGen.RealPdfRows + FixtureGen.ModernPdfRows +
-      FixtureGen.CidPdfRows
+      FixtureGen.CidPdfRows + FixtureGen.EncPdfRows
     (realFrom until realFrom + realRows).foreach { i =>
       assert(results(i).success, s"doc_$i real-pdf success")
       assert(results(i).spans.exists(_.kind.startsWith("pdf-p")), s"doc_$i spans")
@@ -74,6 +79,28 @@ class GoldenFixtureSpec extends AnyFunSuite {
     // must survive the ToUnicode decode byte-exactly
     val cidIdx = realFrom + FixtureGen.RealPdfRows + FixtureGen.ModernPdfRows
     assert(results(cidIdx).extracted_text.contains("Σλ ünïcode"), s"doc_$cidIdx cid salt")
+    // the ENCRYPTED fixtures (owner-password-only RC4-128 and AES-128) pin
+    // transparent decryption through the FULL job: beyond the frozen bytes
+    // above, extraction must equal the SAME layouts written UNencrypted —
+    // the self-contained form of the byte-identity contract
+    val encFrom = cidIdx + FixtureGen.CidPdfRows
+    (encFrom until encFrom + FixtureGen.EncPdfRows).foreach { i =>
+      assert(results(i).success, s"doc_$i encrypted success")
+      // extractor-level byte identity: the ENCRYPTED payload (as the job
+      // saw it) and the SAME layout written unencrypted must decode to
+      // the same text (the full-job output above additionally runs the
+      // postprocess chain — that path is pinned by the frozen bytes)
+      val plain = graft.extract.PdfExtractor
+        .extract(graft.corpus.RealPdf.document(
+          CorpusGen.realPdfSpecsForTest(42L, i),
+          xrefStream = i % 2 == 1,
+          objStmPack = i % 2 == 1))
+        .toOption.get.text
+      val enc = graft.extract.PdfExtractor
+        .extract(CorpusGen.encryptedPdfRow(42L, i).html)
+        .toOption.get.text
+      assert(enc == plain, s"doc_$i encrypted-vs-plain")
+    }
   }
 
   test("engine, flags, scores and spans match the frozen metadata") {
