@@ -31,7 +31,8 @@ object RealPdf {
       v: Int = 2,
       r: Int = 3,
       lengthBits: Int = 128,
-      aes: Boolean = false)
+      aes: Boolean = false,
+      encryptMetadata: Boolean = true)
   object Encryption {
     def rc4_40(owner: String, user: String = ""): Encryption =
       Encryption(owner, user, v = 1, r = 2, lengthBits = 40)
@@ -344,7 +345,7 @@ object RealPdf {
         val o = PdfCrypto.computeO(ownerB, userB, e.r, keyLen)
         val id0 = PdfCrypto.md5("graft-fixture-id".getBytes(StandardCharsets.US_ASCII))
         val key = PdfCrypto.computeKey(
-          userB, o, encPerms, id0, e.r, keyLen, encryptMetadata = true)
+          userB, o, encPerms, id0, e.r, keyLen, e.encryptMetadata)
         val u = PdfCrypto.computeU(key, id0, e.r)
         (e, o, u, id0, key)
       }
@@ -563,7 +564,8 @@ object RealPdf {
       val cfPart =
         if (e.v == 4)
           " /CF << /StdCF << /CFM " + (if (e.aes) "/AESV2" else "/V2") +
-            s" /Length ${e.lengthBits / 8} >> >> /StmF /StdCF /StrF /StdCF"
+            s" /Length ${e.lengthBits / 8} >> >> /StmF /StdCF /StrF /StdCF" +
+            (if (e.encryptMetadata) "" else " /EncryptMetadata false")
         else ""
       obj(n) {
         ascii(

@@ -33,7 +33,16 @@ object PdfContainerProps extends Properties("PdfContainer") {
       split: Boolean,
       indirect: Boolean,
       hex: Boolean,
-      transport: Option[String])
+      transport: Option[String],
+      encrypt: Option[RealPdf.Encryption])
+
+  // owner-password-only encryption under every supported scheme — the
+  // round-6 decryption path composed with every other feature axis
+  private val encGen: Gen[Option[RealPdf.Encryption]] = Gen.oneOf(
+    None, None, None,
+    Some(RealPdf.Encryption.rc4_40("prop-owner")),
+    Some(RealPdf.Encryption.rc4_128("prop-owner")),
+    Some(RealPdf.Encryption.aes128("prop-owner")))
 
   private val shapeGen: Gen[Shape] = for {
     n <- Gen.chooseNum(1, 12)
@@ -47,7 +56,8 @@ object PdfContainerProps extends Properties("PdfContainer") {
     // compress=true + LZW/85 drives high-entropy BINARY through the codecs
     transport <- Gen.oneOf(None, None, Some("ASCIIHexDecode"),
       Some("ASCII85Decode"), Some("RunLengthDecode"), Some("LZWDecode"))
-  } yield Shape(lines, compress, split, indirect, hex, transport)
+    encrypt <- encGen
+  } yield Shape(lines, compress, split, indirect, hex, transport, encrypt)
 
   property("round trip: any escaped content, any feature combination") =
     forAll(shapeGen) { shape =>
@@ -56,13 +66,15 @@ object PdfContainerProps extends Properties("PdfContainer") {
       val runs = shape.lines.zipWithIndex.map { case (t, i) =>
         TextRun(72, 100 + 12 * i, t)
       }
-      val pdf = RealPdf.document(Seq(PageSpec(
-        runs = runs,
-        compress = shape.compress,
-        splitContents = shape.split,
-        indirectLength = shape.indirect,
-        hexStrings = shape.hex,
-        transport = shape.transport)))
+      val pdf = RealPdf.document(
+        Seq(PageSpec(
+          runs = runs,
+          compress = shape.compress,
+          splitContents = shape.split,
+          indirectLength = shape.indirect,
+          hexStrings = shape.hex,
+          transport = shape.transport)),
+        encrypt = shape.encrypt)
       val got = PdfExtractor.extract(pdf)
       // the fast sweep joins same-y runs with spaces; distinct y per line
       // here, so equality is exact per line

@@ -973,6 +973,32 @@ class PdfContainerSpec extends AnyFunSuite {
       objStmPack = true,
       encrypt = Some(RealPdf.Encryption.aes128("owner-secret")))
     assert(PdfExtractor.extract(pdfModern).toOption.get.text == plainText)
+    // V4 with /CFM /V2 (RC4 named through a crypt filter) and the
+    // /EncryptMetadata false key-derivation branch (R4 appends ffffffff)
+    val pdfV4Rc4 = RealPdf.document(
+      Seq(PageSpec(runs = runs)),
+      encrypt = Some(RealPdf.Encryption("owner-secret", v = 4, r = 4, aes = false)))
+    assert(PdfExtractor.extract(pdfV4Rc4).toOption.get.text == plainText)
+    val pdfNoMeta = RealPdf.document(
+      Seq(PageSpec(runs = runs)),
+      encrypt = Some(
+        RealPdf.Encryption("owner-secret", v = 4, r = 4, aes = true, encryptMetadata = false)))
+    assert(PdfExtractor.extract(pdfNoMeta).toOption.get.text == plainText)
+    // corrupted ciphertext stays a CONTAINED loud failure, never a crash:
+    // flip the first ciphertext byte of the Flate+AES content stream — the
+    // decrypted block becomes garbage and inflate fails on its magic
+    val encPdf = RealPdf.document(
+      Seq(PageSpec(runs = runs, compress = true)),
+      encrypt = Some(RealPdf.Encryption.aes128("owner-secret")))
+    val corrupted = encPdf.clone()
+    val streamAt = {
+      val s = new String(corrupted, StandardCharsets.ISO_8859_1)
+      s.indexOf("stream\n", s.indexOf("/Contents")) // first content stream
+    }
+    val flipAt = streamAt + "stream\n".length + 16 // skip the AES IV
+    corrupted(flipAt) = (corrupted(flipAt) ^ 0x5a).toByte
+    val rCorrupt = PdfContainer.parsePages(corrupted)
+    assert(rCorrupt.isLeft, "corrupted ciphertext must fail loudly")
     // sloppy-writer shape: an UNencrypted zero-length string reachable in
     // an AES document must pass through, not refuse the whole file
     // (an encrypted empty string would be 32 bytes of ciphertext)
