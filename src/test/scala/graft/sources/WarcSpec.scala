@@ -239,6 +239,42 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("end to end: an ENCRYPTED owner-only PDF captured in a WARC extracts") {
+    // crawl reality for the round-6 decryption path: an AES-128 (and an
+    // RC4-128) owner-password-only PDF served as a crawl response must
+    // survive the WARC envelope strip, binary sniff, transparent decrypt
+    // and full extraction — byte-identical to the same layout unencrypted
+    val encRows = Seq(CorpusGen.encryptedPdfRow(42L, 108L),
+      CorpusGen.encryptedPdfRow(42L, 109L))
+    val htmlRows = rows(3).filter(_.html != null)
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-enc")
+    try {
+      java.nio.file.Files.write(
+        dir.resolve("mix.warc.gz"),
+        WarcGen.archive(htmlRows ++ encRows, gzip = true))
+      val table = Warc.toTable(spark, dir.toString + "/*")
+      val cfg = ExtractionJob.JobConfig(numGroups = 4, numPartitions = 2)
+      val results = ExtractionJob.extract(table, cfg).collect()
+      encRows.zipWithIndex.foreach { case (row, k) =>
+        val res = results.find(_.url == row.url)
+        assert(res.isDefined, s"missing ${row.url}")
+        assert(res.get.success, Option(res.get.error).getOrElse(""))
+        assert(res.get.engine.startsWith("pdf"), res.get.engine)
+        val plain = graft.extract.PdfExtractor
+          .extract(graft.corpus.RealPdf.document(
+            CorpusGen.realPdfSpecsForTest(42L, 108L + k),
+            xrefStream = (108L + k) % 2 == 1,
+            objStmPack = (108L + k) % 2 == 1))
+          .toOption.get.text
+        val viaWarc = graft.extract.PdfExtractor.extract(row.html).toOption.get.text
+        assert(viaWarc == plain, s"doc ${row.url} encrypted-vs-plain")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+      ()
+    }
+  }
+
   test("end to end: WARC archives -> page table -> extraction equals direct rows") {
     import org.apache.spark.sql.functions.col
     val in = rows(40)
