@@ -108,9 +108,14 @@ object RealPdf {
       val pdfY = p.height - r.y // downward spec -> upward PDF axis
       sb.append(s"1 0 0 1 ${num1(r.x)} ${num1(pdfY)} Tm\n")
       if (p.cidFont) {
-        // 2-byte Identity-H codes (= codepoints here), hex-string form
+        // 2-byte codes, hex-string form: codepoints for Identity-H/UCS2
+        // (BMP only), raw UTF-16 code units for the UTF16 families (a
+        // surrogate pair becomes two consecutive 2-byte codes — exactly
+        // the UTF-16BE byte sequence those CMaps define)
+        val utf16 = p.cidEncoding.contains("UTF16")
         val codes = r.text.map { c =>
-          require(!Character.isSurrogate(c), "BMP text only for CID pages")
+          require(utf16 || !Character.isSurrogate(c),
+            "BMP text only for non-UTF16 CID pages")
           f"${c.toInt}%04X"
         }.mkString
         sb.append(s"<$codes> Tj\n")

@@ -60,7 +60,9 @@ import scala.collection.mutable
   *     dominant shape modern generators (LaTeX fontspec, MS Word) emit;
   *     the predefined UCS2 horizontal CMap families (UniGB/UniCNS/UniJIS/
   *     UniKS-UCS2-H, the common CJK crawl shape) decode without a
-  *     ToUnicode map because their 2-byte codes ARE UCS-2 code points.
+  *     ToUnicode map because their 2-byte codes ARE UCS-2 code points,
+  *     and the UTF16 horizontal families decode their codes as UTF-16BE
+  *     code units (surrogate pairs reassemble supplementary characters).
   *
   * Out of scope (fail loudly, contained as per-row failure rows):
   * image/codec filters (DCTDecode, JBIG2Decode, JPXDecode, CCITTFaxDecode),
@@ -1371,17 +1373,31 @@ object PdfContainer {
     * individual codes via Adobe glyph names (AGL subset + uniXXXX).
     */
   private final case class SimpleFont(table: Array[String]) extends FontDec
+  /** How a composite font decodes a code with no ToUnicode entry. */
+  private sealed trait CidFallback
+  /** Identity-H: codes are opaque glyph ids — unmapped is U+FFFD. */
+  private case object GlyphIdCodes extends CidFallback
+  /** Predefined UCS2 families: the 2-byte code IS the UCS-2 code point;
+    * surrogate halves cannot occur in valid UCS-2 (U+FFFD).
+    */
+  private case object Ucs2Codes extends CidFallback
+  /** Predefined UTF16 families: codes are UTF-16BE code units — they pass
+    * through verbatim, so a high+low surrogate pair of consecutive codes
+    * reassembles the supplementary character in the output string (a LONE
+    * half degrades to U+FFFD when the neighbor doesn't pair, judged by the
+    * quality gate like any other producer defect).
+    */
+  private case object Utf16Codes extends CidFallback
+
   /** Composite font with a /ToUnicode CMap: fixed-width codes map to
-    * Unicode strings (possibly multi-char, e.g. ligature expansions).
-    * `ucs2Fallback` is set for the predefined UCS2 encoding families
-    * (UniGB/UniCNS/UniJIS/UniKS-UCS2-H): there the 2-byte CODE is by
-    * definition the UCS-2 code point, so an unmapped (or absent) ToUnicode
-    * entry decodes as the code itself instead of U+FFFD.
+    * Unicode strings (possibly multi-char, e.g. ligature expansions);
+    * unmapped codes decode per the `fallback` mode of the font's
+    * predefined encoding family.
     */
   private final case class CidFont(
       codeLen: Int,
       toUni: Map[Int, String],
-      ucs2Fallback: Boolean = false) extends FontDec
+      fallback: CidFallback = GlyphIdCodes) extends FontDec
   /** Composite font WITHOUT /ToUnicode: its strings are opaque glyph ids —
     * any attempt to show text through it fails loudly (contained per page)
     * rather than emitting garbage the quality gate must catch.
@@ -1394,6 +1410,15 @@ object PdfContainer {
     */
   private val Ucs2Families: Set[String] = Set(
     "UniGB-UCS2-H", "UniCNS-UCS2-H", "UniJIS-UCS2-H", "UniKS-UCS2-H")
+
+  /** Predefined CMap families whose codes are UTF-16BE byte sequences (the
+    * modern CJK superset of UCS2: supplementary-plane characters appear as
+    * surrogate pairs of 2-byte code units). Code units decode verbatim and
+    * pairs reassemble in the output string.
+    */
+  private val Utf16Families: Set[String] = Set(
+    "UniGB-UTF16-H", "UniCNS-UTF16-H", "UniJIS-UTF16-H", "UniKS-UTF16-H",
+    "UniJIS2004-UTF16-H")
 
   private[extract] final case class ToUniCMap(codeLen: Int, map: Map[Int, String])
 
@@ -1695,18 +1720,22 @@ object PdfContainer {
               resolve(f.get("Subtype").getOrElse(PNull)) match {
                 case PName("Type0") =>
                   // supported composite encodings: Identity-H (codes are
-                  // glyph ids — a ToUnicode CMap is REQUIRED) and the
-                  // predefined UCS2 horizontal families, whose 2-byte codes
-                  // are UCS-2 code points by definition (Adobe CMap
-                  // resources UniGB/UniCNS/UniJIS/UniKS-UCS2-H) — there a
-                  // missing ToUnicode falls back to code = code point.
-                  // Vertical (-V) variants and every other predefined CMap
-                  // (code→CID tables we do not ship) stay loud.
-                  val ucs2 = resolve(f.get("Encoding").getOrElse(PNull)) match {
-                    case PName("Identity-H")              => false
-                    case PName(n) if Ucs2Families.contains(n) => true
-                    case other => throw PdfError(s"unsupported_cid_encoding:$other")
-                  }
+                  // glyph ids — a ToUnicode CMap is REQUIRED), the
+                  // predefined UCS2 horizontal families (2-byte codes ARE
+                  // UCS-2 code points), and the UTF16 horizontal families
+                  // (codes are UTF-16BE code units; surrogate pairs
+                  // reassemble) — for both Uni* classes a missing
+                  // ToUnicode falls back to the codes' own Unicode
+                  // meaning, exactly what those CMaps define. Vertical
+                  // (-V) variants and CID-table predefined CMaps (tables
+                  // we do not ship) stay loud.
+                  val fallback: CidFallback =
+                    resolve(f.get("Encoding").getOrElse(PNull)) match {
+                      case PName("Identity-H")                   => GlyphIdCodes
+                      case PName(n) if Ucs2Families.contains(n)  => Ucs2Codes
+                      case PName(n) if Utf16Families.contains(n) => Utf16Codes
+                      case other => throw PdfError(s"unsupported_cid_encoding:$other")
+                    }
                   val toUniRef = f.get("ToUnicode").getOrElse(PNull)
                   resolve(toUniRef) match {
                     case s: PStream =>
@@ -1722,10 +1751,11 @@ object PdfContainer {
                           throw PdfError(s"cid_code_width_${parsed.codeLen}")
                         parsed
                       })
-                      CidFont(cm.codeLen, cm.map, ucs2)
-                    case PNull if ucs2 => CidFont(2, Map.empty, ucs2Fallback = true)
-                    case PNull         => CidNoToUni
-                    case other         => throw PdfError(s"bad_tounicode:$other")
+                      CidFont(cm.codeLen, cm.map, fallback)
+                    case PNull if fallback != GlyphIdCodes =>
+                      CidFont(2, Map.empty, fallback)
+                    case PNull => CidNoToUni
+                    case other => throw PdfError(s"bad_tounicode:$other")
                   }
                 case _ => SimpleFont(simpleTable(resolve, f))
               }
@@ -1819,7 +1849,7 @@ object PdfContainer {
             bytes.foreach(b => sb.append(table(b & 0xff)))
             (sb.toString, bytes.length)
           }
-        case CidFont(len, toUni, ucs2) =>
+        case CidFont(len, toUni, fallback) =>
           if (bytes.length % len != 0) throw PdfError("cid_string_misaligned")
           val sb = new StringBuilder(bytes.length / len)
           var i = 0
@@ -1829,15 +1859,22 @@ object PdfContainer {
             while (k < len) { code = (code << 8) | (bytes(i + k) & 0xff); k += 1 }
             toUni.get(code) match {
               case Some(s) => sb.append(s)
-              case None if ucs2 && !(code >= 0xd800 && code <= 0xdfff) =>
-                // UCS2 predefined encodings: the code IS the code point
-                // (surrogate halves cannot occur in valid UCS-2 — U+FFFD)
-                sb.append(code.toChar)
-              case None =>
-                // an unmapped code is a data defect in the producer's CMap:
-                // U+FFFD keeps the page recoverable and lets the downstream
-                // quality gate judge the damage (PyMuPDF does the same)
-                sb.append('�')
+              case None => fallback match {
+                case Ucs2Codes if !(code >= 0xd800 && code <= 0xdfff) =>
+                  // the code IS the code point (surrogate halves cannot
+                  // occur in valid UCS-2 — fall through to U+FFFD)
+                  sb.append(code.toChar)
+                case Utf16Codes =>
+                  // UTF-16BE code unit, verbatim: surrogate pairs of
+                  // consecutive codes reassemble in the output string
+                  sb.append(code.toChar)
+                case _ =>
+                  // an unmapped code is a data defect in the producer's
+                  // CMap: U+FFFD keeps the page recoverable and lets the
+                  // downstream quality gate judge the damage (PyMuPDF
+                  // does the same)
+                  sb.append('�')
+              }
             }
             i += len
           }

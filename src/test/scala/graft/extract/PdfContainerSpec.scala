@@ -1057,8 +1057,17 @@ class PdfContainerSpec extends AnyFunSuite {
       cidFont = true,
       cidEncoding = "UniJIS-UCS2-H")))
     assert(PdfExtractor.extract(pdfToUni).toOption.get.text == text)
-    // vertical variants and non-UCS2 predefined CMaps stay loud
-    for (bad <- Seq("UniGB-UCS2-V", "UniJIS-UTF16-H", "GBK-EUC-H")) {
+    // UTF16 families: code units pass through, surrogate PAIRS reassemble
+    // supplementary-plane characters (CJK extension B here)
+    val utf16Text = "新字体 𠀀𪛖 mixed"
+    val pdfUtf16 = RealPdf.document(Seq(PageSpec(
+      runs = Seq(line(100, utf16Text)),
+      cidFont = true,
+      cidToUnicode = false,
+      cidEncoding = "UniGB-UTF16-H")))
+    assert(PdfExtractor.extract(pdfUtf16).toOption.get.text == utf16Text)
+    // vertical variants and CID-table predefined CMaps stay loud
+    for (bad <- Seq("UniGB-UCS2-V", "UniJIS-UTF16-V", "GBK-EUC-H")) {
       val r = PdfContainer.parsePages(RealPdf.document(Seq(PageSpec(
         runs = Seq(line(100, "x")),
         cidFont = true,
