@@ -342,6 +342,11 @@ object SparkEntry {
     "q_dedup_mark" -> ((s, dir) =>
       Dedup.markDuplicates(s.read.parquet(t(dir, "documents")))
         .select(col("doc_id"), col("canonical_id"), col("is_duplicate"))),
+    // the skinny form (text pruned before any exchange) must agree with
+    // the annotating form row for row — previously value-parity-tested
+    // only; now a driver-oracled row of its own (r6)
+    "q_dedup_mark_ids" -> ((s, dir) =>
+      Dedup.markDuplicatesIds(s.read.parquet(t(dir, "documents")))),
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(s.read.parquet(t(dir, "documents")), n = 4, threshold = 0.8)(s)),
     "q_dedup_minhash" -> ((s, dir) =>
@@ -995,6 +1000,11 @@ object SparkEntry {
          ORDER BY count(*) DESC, word ASC
          LIMIT 20""",
     "q_dedup_mark" ->
+      """SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+         doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+         FROM documents""",
+    "q_dedup_mark_ids" ->
       """SELECT doc_id,
          min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
          doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
