@@ -34,7 +34,9 @@ object PdfContainerProps extends Properties("PdfContainer") {
       indirect: Boolean,
       hex: Boolean,
       transport: Option[String],
-      encrypt: Option[RealPdf.Encryption])
+      encrypt: Option[RealPdf.Encryption],
+      modern: Boolean, // PDF 1.5 xref stream + ObjStm + PNG predictor
+      cid: Option[String]) // composite font: Identity-H / UCS2 / UTF16
 
   // owner-password-only encryption under every supported scheme — the
   // round-6 decryption path composed with every other feature axis
@@ -57,7 +59,14 @@ object PdfContainerProps extends Properties("PdfContainer") {
     transport <- Gen.oneOf(None, None, Some("ASCIIHexDecode"),
       Some("ASCII85Decode"), Some("RunLengthDecode"), Some("LZWDecode"))
     encrypt <- encGen
-  } yield Shape(lines, compress, split, indirect, hex, transport, encrypt)
+    modern <- Gen.oneOf(true, false)
+    // composite-font axis: Identity-H (+ToUnicode) or a ToUnicode-free
+    // predefined UCS2/UTF16 family — composed with every other feature.
+    // CID pages write plain hex codes, so the split/hex/transport axes
+    // stay as generated; the writer handles the combination.
+    cid <- Gen.oneOf(None, None, None,
+      Some("Identity-H"), Some("UniGB-UCS2-H"), Some("UniJIS-UTF16-H"))
+  } yield Shape(lines, compress, split, indirect, hex, transport, encrypt, modern, cid)
 
   property("round trip: any escaped content, any feature combination") =
     forAll(shapeGen) { shape =>
@@ -73,8 +82,16 @@ object PdfContainerProps extends Properties("PdfContainer") {
           splitContents = shape.split,
           indirectLength = shape.indirect,
           hexStrings = shape.hex,
-          transport = shape.transport)),
-        encrypt = shape.encrypt)
+          transport = shape.transport,
+          cidFont = shape.cid.isDefined,
+          // Identity-H needs its ToUnicode CMap; the Uni* predefined
+          // families decode ToUnicode-free (the round-6 fallback path)
+          cidToUnicode = shape.cid.contains("Identity-H"),
+          cidEncoding = shape.cid.getOrElse("Identity-H"))),
+        encrypt = shape.encrypt,
+        xrefStream = shape.modern,
+        objStmPack = shape.modern,
+        xrefPredictor = shape.modern)
       val got = PdfExtractor.extract(pdf)
       // the fast sweep joins same-y runs with spaces; distinct y per line
       // here, so equality is exact per line
