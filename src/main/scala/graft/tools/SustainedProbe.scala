@@ -11,6 +11,8 @@ import graft.job.ExtractionJob
 object SustainedProbe {
   def main(args: Array[String]): Unit = {
     val rows = sys.env.getOrElse("GRAFT_PROBE_ROWS", "1000000").toLong
+    val parts = sys.env.getOrElse("GRAFT_PROBE_PARTS", "256").toInt
+    val groups = sys.env.getOrElse("GRAFT_PROBE_GROUPS", "256").toInt
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -21,8 +23,8 @@ object SustainedProbe {
     // warmup
     ExtractionJob.extract(CorpusGen.pages(spark, 40000, partitions = 128).toDF(),
       ExtractionJob.JobConfig(numPartitions = 128))(spark).count()
-    val pages = CorpusGen.pages(spark, rows, partitions = 256).toDF()
-    val cfg = ExtractionJob.JobConfig(numGroups = 256, numPartitions = 256)
+    val pages = CorpusGen.pages(spark, rows, partitions = parts).toDF()
+    val cfg = ExtractionJob.JobConfig(numGroups = groups, numPartitions = parts)
     val t0 = System.nanoTime()
     val n = ExtractionJob.extract(pages, cfg)(spark).count()
     val secs = (System.nanoTime() - t0) / 1e9
