@@ -419,16 +419,22 @@ $footerBlock
   /** Same deterministic layouts inside an ENCRYPTED container: standard
     * security handler, owner password only (EMPTY user password) — the
     * dominant crawled "encrypted" shape, which PdfContainer (round 6)
-    * decrypts transparently. Even ids: RC4-128 (V2/R3) in a classic
-    * container; odd ids: AES-128 (V4/R4 AESV2) in a modern xref-stream +
-    * ObjStm container. Extraction must be byte-identical to the SAME
-    * layouts written unencrypted.
+    * decrypts transparently. By id mod 3: 0 → RC4-128 (V2/R3) in a classic
+    * container; 1 → AES-128 (V4/R4 AESV2) modern xref-stream + ObjStm;
+    * 2 → AES-256 (V5/R6 AESV3, the current writer default) modern. The
+    * modulus-3 split keeps the frozen golden ids stable (108 mod 3 = 0 and
+    * 109 mod 3 = 1 reproduce the round-6 fixtures byte-identically).
+    * Extraction must be byte-identical to the SAME layouts written
+    * unencrypted.
     */
   def encryptedPdfRow(seed: Long, idx: Long): RawPage = {
-    val modern = idx % 2 == 1
-    val enc =
-      if (modern) RealPdf.Encryption.aes128(s"owner-$idx")
-      else RealPdf.Encryption.rc4_128(s"owner-$idx")
+    val kind = (idx % 3).toInt
+    val modern = kind != 0
+    val enc = kind match {
+      case 0 => RealPdf.Encryption.rc4_128(s"owner-$idx")
+      case 1 => RealPdf.Encryption.aes128(s"owner-$idx")
+      case _ => RealPdf.Encryption.aes256(s"owner-$idx")
+    }
     RawPage(
       url(seed, idx),
       new Timestamp(Epoch + idx * 1000L),

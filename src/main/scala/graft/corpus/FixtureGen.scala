@@ -32,10 +32,11 @@ object FixtureGen {
   // CID/Type0 container (id Rows+SplicedRows+RealPdfRows+ModernPdfRows):
   // Identity-H composite font + ToUnicode CMap, non-Latin-1 text (round 5)
   val CidPdfRows = 1L
-  // ENCRYPTED owner-password-only containers (ids ...+CidPdfRows and +1):
-  // RC4-128 classic and AES-128 modern, empty user password — decrypt
-  // transparently and extract byte-identically to plaintext (round 6)
-  val EncPdfRows = 2L
+  // ENCRYPTED owner-password-only containers (ids ...+CidPdfRows onward):
+  // RC4-128 classic, AES-128 modern, and AES-256 (V5/R6) modern — empty
+  // user password in all three: decrypt transparently and extract
+  // byte-identically to plaintext (round 6)
+  val EncPdfRows = 3L
 
   def main(args: Array[String]): Unit = {
     val out = Paths.get(

@@ -20,10 +20,12 @@ object RealPdf {
   final case class TextRun(x: Double, y: Double, text: String)
 
   /** Standard-security-handler encryption for fixtures (ISO 32000-1
-    * §7.6.3, via the shared [[graft.extract.PdfCrypto]] primitives). The
-    * interesting crawled shape is owner-password-only (`userPwd = ""`):
-    * readable by every real extractor without a password. Presets:
-    * RC4-40 (v=1, r=2), RC4-128 (v=2, r=3), AES-128 (v=4, r=4, aes).
+    * §7.6.3 and ISO 32000-2 §7.6.4, via the shared
+    * [[graft.extract.PdfCrypto]] primitives). The interesting crawled
+    * shape is owner-password-only (`userPwd = ""`): readable by every real
+    * extractor without a password. Presets: RC4-40 (v=1, r=2), RC4-128
+    * (v=2, r=3), AES-128 (v=4, r=4, aes), AES-256 (v=5, r=6 — or r=5 for
+    * the deprecated Acrobat-9 hash).
     */
   final case class Encryption(
       ownerPwd: String,
@@ -40,6 +42,10 @@ object RealPdf {
       Encryption(owner, user, v = 2, r = 3, lengthBits = 128)
     def aes128(owner: String, user: String = ""): Encryption =
       Encryption(owner, user, v = 4, r = 4, lengthBits = 128, aes = true)
+    def aes256(owner: String, user: String = ""): Encryption =
+      Encryption(owner, user, v = 5, r = 6, lengthBits = 256, aes = true)
+    def aes256r5(owner: String, user: String = ""): Encryption =
+      Encryption(owner, user, v = 5, r = 5, lengthBits = 256, aes = true)
   }
 
   /** One page of positioned runs; `y` is in the DOWNWARD convention of the
@@ -339,29 +345,54 @@ object RealPdf {
     def alloc(): Int = { val n = nextObj; nextObj += 1; n }
 
     import graft.extract.PdfCrypto
-    // (spec, O, U, id0, fileKey): everything derived once, deterministic
-    // (fixed /ID, per-object IVs hashed from the object number)
+    // everything derived once, deterministic (fixed /ID, fixed V5 salts
+    // and file key, per-object IVs hashed from the object number); the
+    // V5 extras (oe/ue/perms) are empty for the legacy revisions
     val encPerms = -44 // print + extract allowed, modify denied — typical
-    val encState: Option[(Encryption, Array[Byte], Array[Byte], Array[Byte], Array[Byte])] =
+    final case class EncComputed(
+        e: Encryption,
+        o: Array[Byte], u: Array[Byte],
+        oe: Array[Byte], ue: Array[Byte], perms: Array[Byte],
+        id0: Array[Byte], key: Array[Byte])
+    val encState: Option[EncComputed] =
       encrypt.map { e =>
-        val keyLen = if (e.v == 1) 5 else e.lengthBits / 8
         val ownerB = e.ownerPwd.getBytes(StandardCharsets.ISO_8859_1)
         val userB = e.userPwd.getBytes(StandardCharsets.ISO_8859_1)
-        val o = PdfCrypto.computeO(ownerB, userB, e.r, keyLen)
         val id0 = PdfCrypto.md5("graft-fixture-id".getBytes(StandardCharsets.US_ASCII))
-        val key = PdfCrypto.computeKey(
-          userB, o, encPerms, id0, e.r, keyLen, e.encryptMetadata)
-        val u = PdfCrypto.computeU(key, id0, e.r)
-        (e, o, u, id0, key)
+        if (e.v == 5) {
+          // AES-256: the file key is free-standing (not password-derived);
+          // /U//UE wrap it under the user password, /O//OE under the owner
+          def b8(tag: String): Array[Byte] =
+            PdfCrypto.md5(tag.getBytes(StandardCharsets.US_ASCII)).take(8)
+          val fileKey =
+            PdfCrypto.md5("graft-v5-key-a".getBytes(StandardCharsets.US_ASCII)) ++
+              PdfCrypto.md5("graft-v5-key-b".getBytes(StandardCharsets.US_ASCII))
+          val (u, ue) = PdfCrypto.makeUV5(e.r, userB, fileKey, b8("u-vs"), b8("u-ks"))
+          val (o, oe) = PdfCrypto.makeOV5(e.r, ownerB, fileKey, u, b8("o-vs"), b8("o-ks"))
+          val perms = PdfCrypto.makePermsV5(fileKey, encPerms, e.encryptMetadata)
+          EncComputed(e, o, u, oe, ue, perms, id0, fileKey)
+        } else {
+          val keyLen = if (e.v == 1) 5 else e.lengthBits / 8
+          val o = PdfCrypto.computeO(ownerB, userB, e.r, keyLen)
+          val key = PdfCrypto.computeKey(
+            userB, o, encPerms, id0, e.r, keyLen, e.encryptMetadata)
+          val u = PdfCrypto.computeU(key, id0, e.r)
+          EncComputed(e, o, u,
+            Array.emptyByteArray, Array.emptyByteArray, Array.emptyByteArray,
+            id0, key)
+        }
       }
     def encStream(num: Int, b: Array[Byte]): Array[Byte] = encState match {
-      case Some((e, _, _, _, key)) =>
-        if (e.aes)
+      case Some(s) =>
+        val objKey =
+          if (s.e.v == 5) s.key // AES-256: the file key directly, no derivation
+          else PdfCrypto.objectKey(s.key, num, 0, aes = s.e.aes)
+        if (s.e.aes)
           PdfCrypto.aesEncrypt(
-            PdfCrypto.objectKey(key, num, 0, aes = true),
+            objKey,
             PdfCrypto.md5(s"graft-iv-$num".getBytes(StandardCharsets.US_ASCII)).take(16),
             b)
-        else PdfCrypto.rc4(PdfCrypto.objectKey(key, num, 0, aes = false), b)
+        else PdfCrypto.rc4(objKey, b)
       case None => b
     }
     // top-level dict strings: literal (...) forms re-encoded as encrypted
@@ -564,10 +595,17 @@ object RealPdf {
     // the /Encrypt dict: a TOP-LEVEL object (never ObjStm-packed, §7.5.7)
     // whose /O and /U strings stay plaintext hex (§7.6.2)
     def hexUp(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
-    val encNum = encState.map { case (e, o, u, _, _) =>
+    val encNum = encState.map { s =>
+      val e = s.e
       val n = alloc()
       val cfPart =
-        if (e.v == 4)
+        if (e.v == 5)
+          // AES-256: key-wrap strings /OE //UE, the /Perms sentinel, and
+          // the /AESV3 crypt filter (ISO 32000-2 §7.6.4 dictionary shape)
+          s" /OE <${hexUp(s.oe)}> /UE <${hexUp(s.ue)}> /Perms <${hexUp(s.perms)}>" +
+            " /CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF" +
+            (if (e.encryptMetadata) "" else " /EncryptMetadata false")
+        else if (e.v == 4)
           " /CF << /StdCF << /CFM " + (if (e.aes) "/AESV2" else "/V2") +
             s" /Length ${e.lengthBits / 8} >> >> /StmF /StdCF /StrF /StdCF" +
             (if (e.encryptMetadata) "" else " /EncryptMetadata false")
@@ -575,13 +613,13 @@ object RealPdf {
       obj(n) {
         ascii(
           s"<< /Filter /Standard /V ${e.v} /R ${e.r} /Length ${e.lengthBits} " +
-            s"/P $encPerms /O <${hexUp(o)}> /U <${hexUp(u)}>$cfPart >>")
+            s"/P $encPerms /O <${hexUp(s.o)}> /U <${hexUp(s.u)}>$cfPart >>")
       }
       n
     }
     val trailerEnc = encState
-      .map { case (_, _, _, id0, _) =>
-        s" /Encrypt ${encNum.get} 0 R /ID [<${hexUp(id0)}> <${hexUp(id0)}>]"
+      .map { s =>
+        s" /Encrypt ${encNum.get} 0 R /ID [<${hexUp(s.id0)}> <${hexUp(s.id0)}>]"
       }
       .getOrElse("")
 

@@ -307,8 +307,11 @@ object PdfContainer {
   private final case class InObjStm(stm: Int, idx: Int) extends Loc
 
   /** An authenticated standard-security-handler decryptor: the file key
-    * plus per-class (stream/string) cipher selection — AES-128-CBC, RC4, or
+    * plus per-class (stream/string) cipher selection — AES CBC, RC4, or
     * identity — and the /Encrypt object number (itself never decrypted).
+    * `v5` selects the AES-256 object-key rule: the 32-byte file key is used
+    * DIRECTLY for every object (ISO 32000-2 §7.6.3.2 — no per-object MD5
+    * derivation, which only exists for /V <= 4).
     */
   private final case class Crypt(
       key: Array[Byte],
@@ -317,7 +320,8 @@ object PdfContainer {
       identStreams: Boolean,
       identStrings: Boolean,
       encryptMetadata: Boolean,
-      encObjNum: Int)
+      encObjNum: Int,
+      v5: Boolean = false)
 
   private final class Doc(buf: Array[Byte]) {
     private var rootRef: Option[PRef] = None
@@ -388,8 +392,10 @@ object PdfContainer {
       * authenticate the EMPTY user password — the owner-password-only shape
       * that dominates crawled "encrypted" PDFs. Supported: /Filter
       * /Standard, /V 1/2 (RC4 40-128) with /R 2/3, /V 4 with /R 4 and
-      * /CFM /V2 (RC4) / /AESV2 (AES-128-CBC) / /None. Anything else —
-      * including a document whose user password is NOT empty — is loud.
+      * /CFM /V2 (RC4) / /AESV2 (AES-128-CBC) / /None, and /V 5 with
+      * /R 5/6 and /CFM /AESV3 (AES-256-CBC, the modern default). Anything
+      * else — including a document whose user password is NOT empty — is
+      * loud.
       */
     private def buildCrypt(d: PDict, id0: Array[Byte], encNum: Int): Crypt = {
       def nameOf(k: String): Option[String] =
@@ -474,8 +480,53 @@ object PdfContainer {
           val (strAes, strIdent) = methodOf(nameOf("StrF").getOrElse("Identity"))
           val key = authenticate(bits / 8)
           Crypt(key, stmAes, strAes, stmIdent, strIdent, encryptMetadata, encNum)
+        case 5 =>
+          // AES-256 (ISO 32000-2 §7.6.4): /R 5 is the deprecated Acrobat-9
+          // single-SHA-256 revision, /R 6 the hardened-hash standard one
+          if (r != 5 && r != 6)
+            throw PdfError(s"encrypted_unsupported_revision:$r")
+          val ue = strOf("UE")
+          val cf = resolve(d.get("CF").getOrElse(PNull)) match {
+            case cd: PDict => cd
+            case _         => PDict(Map.empty)
+          }
+          // only /AESV3 (and explicit identity) are legal under /V 5; a
+          // V2/AESV2 method here means a confused writer — loud, since
+          // guessing the cipher silently corrupts every stream
+          def methodOf5(filterName: String): (Boolean, Boolean) =
+            filterName match {
+              case "Identity" => (false, true)
+              case fn =>
+                resolve(cf.get(fn).getOrElse(PNull)) match {
+                  case fd: PDict =>
+                    resolve(fd.get("CFM").getOrElse(PNull)) match {
+                      case PName("AESV3") => (true, false)
+                      case PName("None")  => (false, true)
+                      case other =>
+                        throw PdfError(s"encrypted_unsupported_cfm:$other")
+                    }
+                  case _ => throw PdfError(s"encrypted_missing_crypt_filter:$fn")
+                }
+            }
+          val (stmAes, stmIdent) = methodOf5(nameOf("StmF").getOrElse("Identity"))
+          val (strAes, strIdent) = methodOf5(nameOf("StrF").getOrElse("Identity"))
+          // authenticate the EMPTY user password and unwrap the file key
+          // from /UE; a hash mismatch = a real user password = locked
+          val key = PdfCrypto
+            .recoverKeyV5(r, Array.emptyByteArray, u, ue)
+            .getOrElse(throw PdfError("encrypted_document"))
+          // /Perms carries an "adb" sentinel decryptable only by the true
+          // file key — when present, a failed check means /UE is corrupt
+          // and every "decrypted" byte downstream would be garbage
+          resolve(d.get("Perms").getOrElse(PNull)) match {
+            case PStr(perms) =>
+              if (!PdfCrypto.checkPermsV5(key, perms))
+                throw PdfError("encrypted_bad_perms")
+            case _ => () // required by spec but absent in the wild: skip
+          }
+          Crypt(key, stmAes, strAes, stmIdent, strIdent, encryptMetadata, encNum, v5 = true)
         case other =>
-          // V5/R6 (AES-256) and exotic V values stay out of subset
+          // exotic /V values stay out of subset
           throw PdfError(s"encrypted_unsupported_v:$other")
       }
     }
@@ -501,7 +552,7 @@ object PdfContainer {
         // empty string would fail files every real extractor opens
         if (c.identStrings || b.isEmpty) o
         else if (c.aesStrings)
-          PStr(PdfCrypto.aesDecrypt(PdfCrypto.objectKey(c.key, num, gen, aes = true), b))
+          PStr(PdfCrypto.aesDecrypt(strKeyOf(c, num, gen), b))
         else PStr(PdfCrypto.rc4(PdfCrypto.objectKey(c.key, num, gen, aes = false), b))
       case PArr(v)  => PArr(v.map(decryptTree(c, num, gen, _)))
       case PDict(m) => PDict(m.map { case (k, vv) => k -> decryptTree(c, num, gen, vv) })
@@ -514,12 +565,19 @@ object PdfContainer {
           val nraw =
             if (c.identStreams) raw
             else if (c.aesStreams)
-              PdfCrypto.aesDecrypt(PdfCrypto.objectKey(c.key, num, gen, aes = true), raw)
+              PdfCrypto.aesDecrypt(strKeyOf(c, num, gen), raw)
             else PdfCrypto.rc4(PdfCrypto.objectKey(c.key, num, gen, aes = false), raw)
           PStream(ndict, nraw)
         }
       case other => other
     }
+
+    /** The AES key for one object: V5 uses the file key directly (no
+      * per-object derivation exists for AES-256); V<=4 derives the MD5
+      * object key with the AES salt.
+      */
+    private def strKeyOf(c: Crypt, num: Int, gen: Int): Array[Byte] =
+      if (c.v5) c.key else PdfCrypto.objectKey(c.key, num, gen, aes = true)
 
     /** Object locations from the cross-reference chain — classic `xref`
       * tables AND PDF 1.5+ xref STREAMS (the modern default), mixed freely

@@ -1017,6 +1017,82 @@ class PdfContainerSpec extends AnyFunSuite {
     assert(PdfExtractor.extract(pdfCid).toOption.get.text == cidPlain)
   }
 
+  test("AES-256 (V5 R5/R6) empty-user-password PDFs decrypt transparently") {
+    val runs = Seq(
+      line(100, "Modern AES-256 owner-locked content."),
+      line(112, "Second line survives the V5 handler."))
+    val plainText = PdfExtractor.extract(
+      RealPdf.document(Seq(PageSpec(runs = runs)))).toOption.get.text
+    // R6 (the hardened 2.B hash — today's writer default) and R5 (the
+    // deprecated Acrobat-9 single-SHA-256 revision), classic container
+    for (enc <- Seq(
+        RealPdf.Encryption.aes256("owner-secret"),
+        RealPdf.Encryption.aes256r5("owner-secret"))) {
+      val pdf = RealPdf.document(Seq(PageSpec(runs = runs)), encrypt = Some(enc))
+      val ex = PdfExtractor.extract(pdf)
+      assert(ex.isRight, s"$enc -> $ex")
+      assert(ex.toOption.get.text == plainText, enc)
+    }
+    // modern container: xref STREAM + ObjStm under AES-256 — the xref
+    // stream stays plaintext, the ObjStm decrypts with the FILE key
+    val pdfModern = RealPdf.document(
+      Seq(PageSpec(runs = runs, compress = true)),
+      xrefStream = true,
+      objStmPack = true,
+      encrypt = Some(RealPdf.Encryption.aes256("owner-secret")))
+    assert(PdfExtractor.extract(pdfModern).toOption.get.text == plainText)
+    // /EncryptMetadata false under V5 (no key-derivation effect for
+    // AES-256 — the flag only gates metadata-stream decryption)
+    val pdfNoMeta = RealPdf.document(
+      Seq(PageSpec(runs = runs)),
+      encrypt = Some(
+        RealPdf.Encryption("owner-secret", v = 5, r = 6, lengthBits = 256,
+          aes = true, encryptMetadata = false)))
+    assert(PdfExtractor.extract(pdfNoMeta).toOption.get.text == plainText)
+    // CID font whose /ToUnicode CMap stream is AES-256 encrypted
+    val cidRuns = Seq(line(100, "Unicode päge • via V5"))
+    val cidPlain = PdfExtractor.extract(
+      RealPdf.document(Seq(PageSpec(runs = cidRuns, cidFont = true)))).toOption.get.text
+    val pdfCid = RealPdf.document(
+      Seq(PageSpec(runs = cidRuns, cidFont = true)),
+      encrypt = Some(RealPdf.Encryption.aes256("owner-secret")))
+    assert(PdfExtractor.extract(pdfCid).toOption.get.text == cidPlain)
+  }
+
+  test("V5 refusals: real user password, corrupt /UE, bad revision") {
+    val runs = Seq(line(100, "locked"))
+    // a REAL (non-empty) user password fails the /U hash — locked
+    for (enc <- Seq(
+        RealPdf.Encryption.aes256("owner", "realpw"),
+        RealPdf.Encryption.aes256r5("owner", "realpw"))) {
+      val r = PdfContainer.parsePages(
+        RealPdf.document(Seq(PageSpec(runs = runs)), encrypt = Some(enc)))
+      assert(r.isLeft, enc)
+      assert(r.left.toOption.get.contains("encrypted_document"), s"$enc -> $r")
+    }
+    // corrupt /UE: the /U hash still verifies (salts untouched) so the
+    // unwrap yields a WRONG file key — the /Perms "adb" sentinel is the
+    // only thing standing between that and silent garbage
+    val good = RealPdf.document(
+      Seq(PageSpec(runs = runs)),
+      encrypt = Some(RealPdf.Encryption.aes256("owner-secret")))
+    val s = new String(good, StandardCharsets.ISO_8859_1)
+    val ueAt = s.indexOf("/UE <")
+    assert(ueAt > 0)
+    val corrupted = good.clone()
+    val hexAt = ueAt + "/UE <".length
+    corrupted(hexAt) = (if (corrupted(hexAt) == '0') '1' else '0').toByte
+    val rC = PdfContainer.parsePages(corrupted)
+    assert(rC.isLeft, rC)
+    assert(rC.left.toOption.get.contains("encrypted_bad_perms"), rC)
+    // /V 5 with a legacy /R is a confused writer: loud, named
+    val doctoredR = s.replace("/V 5 /R 6", "/V 5 /R 4")
+    assert(doctoredR != s)
+    val rR = PdfContainer.parsePages(doctoredR.getBytes(StandardCharsets.ISO_8859_1))
+    assert(rR.isLeft, rR)
+    assert(rR.left.toOption.get.contains("encrypted_unsupported_revision"), rR)
+  }
+
   test("a REAL user password (and unsupported /V) stays a loud refusal") {
     val runs = Seq(line(100, "locked"))
     for (enc <- Seq(
@@ -1027,16 +1103,16 @@ class PdfContainerSpec extends AnyFunSuite {
       assert(r.isLeft, enc)
       assert(r.left.toOption.get.contains("encrypted_document"), s"$enc -> $r")
     }
-    // AES-256 (/V 5) is out of subset: loud, named
+    // an exotic /V value is out of subset: loud, named
     val pdf = RealPdf.document(
       Seq(PageSpec(runs = runs)),
       encrypt = Some(RealPdf.Encryption.rc4_128("owner")))
     val s = new String(pdf, StandardCharsets.ISO_8859_1)
-    val doctored = s.replace("/Filter /Standard /V 2 /R 3", "/Filter /Standard /V 5 /R 6")
+    val doctored = s.replace("/Filter /Standard /V 2 /R 3", "/Filter /Standard /V 7 /R 7")
     assert(doctored != s)
-    val r5 = PdfContainer.parsePages(doctored.getBytes(StandardCharsets.ISO_8859_1))
-    assert(r5.isLeft, r5)
-    assert(r5.left.toOption.get.contains("encrypted_unsupported"), r5)
+    val r7 = PdfContainer.parsePages(doctored.getBytes(StandardCharsets.ISO_8859_1))
+    assert(r7.isLeft, r7)
+    assert(r7.left.toOption.get.contains("encrypted_unsupported"), r7)
   }
 
   test("predefined UCS2 CMaps decode CID text without a ToUnicode map") {

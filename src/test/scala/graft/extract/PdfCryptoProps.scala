@@ -71,4 +71,57 @@ object PdfCryptoProps extends Properties("PdfCrypto") {
       catch { case e: PdfContainer.PdfError => e.reason.startsWith("encrypted_bad_aes") }
     }
   }
+
+  // ---- AES-256 standard security handler (/V 5) ----------------------------
+
+  private val salt8Gen: Gen[Array[Byte]] =
+    Gen.listOfN(8, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray)
+  private val key32Gen: Gen[Array[Byte]] =
+    Gen.listOfN(32, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray)
+  private val rV5Gen: Gen[Int] = Gen.oneOf(5, 6)
+
+  property("V5: /U//UE wrap authenticates its password and unwraps the key") =
+    forAll(rV5Gen, pwdGen, key32Gen, salt8Gen, salt8Gen) { (r, pwd, fileKey, vs, ks) =>
+      val pwdB = pwd.getBytes("UTF-8")
+      val (u, ue) = PdfCrypto.makeUV5(r, pwdB, fileKey, vs, ks)
+      val back = PdfCrypto.recoverKeyV5(r, pwdB, u, ue)
+      // V5 passwords are significant to 127 bytes (vs 32 for the legacy
+      // pad), so ANY prefix change is a different password
+      val wrong = PdfCrypto.recoverKeyV5(r, ("x" + pwd).getBytes("UTF-8"), u, ue)
+      u.length == 48 && ue.length == 32 &&
+      back.exists(java.util.Arrays.equals(_, fileKey)) && wrong.isEmpty
+    }
+
+  property("V5: /O//OE owner wrap recovers the same file key") =
+    forAll(rV5Gen, pwdGen.suchThat(_.nonEmpty), key32Gen, salt8Gen, salt8Gen) {
+      (r, owner, fileKey, vs, ks) =>
+        val ownerB = owner.getBytes("UTF-8")
+        val (u, _) = PdfCrypto.makeUV5(r, Array.emptyByteArray, fileKey, vs, ks)
+        val (o, oe) = PdfCrypto.makeOV5(r, ownerB, fileKey, u, vs, ks)
+        // owner-side unwrap mirrors Algorithm 12: hash with udata = /U
+        val expect = PdfCrypto.hashV5(r, ownerB, o.slice(32, 40), u)
+        val ik = PdfCrypto.hashV5(r, ownerB, o.slice(40, 48), u)
+        val back = PdfCrypto.aesCbcRaw(ik, new Array[Byte](16), oe, encrypt = false)
+        java.util.Arrays.equals(expect, o.take(32)) &&
+        java.util.Arrays.equals(back, fileKey)
+    }
+
+  property("V5: the R6 hardened hash differs from R5's single SHA-256") =
+    forAll(pwdGen, salt8Gen) { (pwd, salt) =>
+      val pwdB = pwd.getBytes("UTF-8")
+      val h5 = PdfCrypto.hashV5(5, pwdB, salt, Array.emptyByteArray)
+      val h6 = PdfCrypto.hashV5(6, pwdB, salt, Array.emptyByteArray)
+      h5.length == 32 && h6.length == 32 && !java.util.Arrays.equals(h5, h6)
+    }
+
+  property("V5: /Perms round-trips and the adb sentinel gates wrong keys") =
+    forAll(key32Gen, key32Gen, Gen.chooseNum(Int.MinValue, Int.MaxValue), Gen.oneOf(true, false)) {
+      (fileKey, otherKey, p, meta) =>
+        val perms = PdfCrypto.makePermsV5(fileKey, p, meta)
+        perms.length == 16 &&
+        PdfCrypto.checkPermsV5(fileKey, perms) &&
+        // a different key decrypts to a non-"adb" blob (2^-24 collision
+        // odds; scalacheck seeds make a flake astronomically unlikely)
+        (java.util.Arrays.equals(fileKey, otherKey) || !PdfCrypto.checkPermsV5(otherKey, perms))
+    }
 }
