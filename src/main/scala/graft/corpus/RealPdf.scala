@@ -64,7 +64,12 @@ object RealPdf {
     * codes equal to the Unicode codepoints, written as hex strings; the
     * /ToUnicode CMap maps ASCII through one bfrange and every other used
     * char through bfchar entries. `cidToUnicode = false` omits the CMap
-    * (the reader must refuse loudly — opaque glyph ids).
+    * (the reader must refuse loudly — opaque glyph ids). `cidEncoding`
+    * also accepts "Embedded-2" / "Embedded-1": the /Encoding becomes an
+    * embedded CMap STREAM (codespace <0000><FFFF> / <00><FF> plus an
+    * identity cidrange) — the subsetted-CJK shape; Embedded-1 assigns
+    * PRIVATE sequential 1-byte codes to the distinct chars and maps them
+    * back only through the ToUnicode CMap.
     */
   /** `formXObject = true` wraps the page's text in a /Form XObject
     * carrying its OWN /Resources, invoked from a minimal `q /Fx1 Do Q`
@@ -107,24 +112,31 @@ object RealPdf {
   private def num1(x: Double): String =
     String.format(java.util.Locale.ROOT, "%.1f", Double.box(x))
 
-  private def contentOps(p: PageSpec): String = {
+  private def contentOps(p: PageSpec, cid1Map: Map[Char, Int] = Map.empty): String = {
     val sb = new StringBuilder
     sb.append(s"BT\n${if (p.cidFont) "/F2" else "/F1"} 10 Tf\n12 TL\n")
     p.runs.foreach { r =>
       val pdfY = p.height - r.y // downward spec -> upward PDF axis
       sb.append(s"1 0 0 1 ${num1(r.x)} ${num1(pdfY)} Tm\n")
       if (p.cidFont) {
-        // 2-byte codes, hex-string form: codepoints for Identity-H/UCS2
-        // (BMP only), raw UTF-16 code units for the UTF16 families (a
-        // surrogate pair becomes two consecutive 2-byte codes — exactly
-        // the UTF-16BE byte sequence those CMaps define)
-        val utf16 = p.cidEncoding.contains("UTF16")
-        val codes = r.text.map { c =>
-          require(utf16 || !Character.isSurrogate(c),
-            "BMP text only for non-UTF16 CID pages")
-          f"${c.toInt}%04X"
-        }.mkString
-        sb.append(s"<$codes> Tj\n")
+        if (cid1Map.nonEmpty) {
+          // Embedded-1: PRIVATE sequential 1-byte codes — meaningless
+          // without the ToUnicode CMap, exactly like a subset font
+          val codes = r.text.map(c => f"${cid1Map(c)}%02X").mkString
+          sb.append(s"<$codes> Tj\n")
+        } else {
+          // 2-byte codes, hex-string form: codepoints for Identity-H/UCS2
+          // (BMP only), raw UTF-16 code units for the UTF16 families (a
+          // surrogate pair becomes two consecutive 2-byte codes — exactly
+          // the UTF-16BE byte sequence those CMaps define)
+          val utf16 = p.cidEncoding.contains("UTF16")
+          val codes = r.text.map { c =>
+            require(utf16 || !Character.isSurrogate(c),
+              "BMP text only for non-UTF16 CID pages")
+            f"${c.toInt}%04X"
+          }.mkString
+          sb.append(s"<$codes> Tj\n")
+        }
       } else if (p.hexStrings) sb.append(s"<${hexOf(r.text)}> Tj\n")
       else sb.append(s"(${escLiteral(r.text)}) Tj\n")
     }
@@ -148,6 +160,43 @@ object RealPdf {
       extra.foreach(c => sb.append(f"<${c.toInt}%04X> <${c.toInt}%04X>\n"))
       sb.append("endbfchar\n")
     }
+    sb.append("endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend")
+    sb.toString
+  }
+
+  /** A 1-byte-codespace /ToUnicode CMap from explicit (code, text)
+    * entries — for simple fonts and Embedded-1 composite fonts, whose
+    * codes are private.
+    */
+  private def toUnicode1CMap(entries: Seq[(Int, String)]): String = {
+    val sb = new StringBuilder
+    sb.append("/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n")
+    sb.append("/CIDSystemInfo << /Registry (Graft) /Ordering (UCS1) /Supplement 0 >> def\n")
+    sb.append("/CMapName /Graft-UCS1 def\n/CMapType 2 def\n")
+    sb.append("1 begincodespacerange\n<00> <FF>\nendcodespacerange\n")
+    sb.append(s"${entries.length} beginbfchar\n")
+    entries.foreach { case (code, txt) =>
+      val dst = txt.map(c => f"${c.toInt}%04X").mkString
+      sb.append(f"<$code%02X> <$dst>\n")
+    }
+    sb.append("endbfchar\n")
+    sb.append("endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend")
+    sb.toString
+  }
+
+  /** An embedded /Encoding CMap stream (Adobe CMap spec): the codespace
+    * plus an identity cidrange — what a subset-font writer emits. The
+    * reader only consumes the codespace width; the cidrange makes the
+    * stream structurally faithful (and exercises skipping it).
+    */
+  private def encodingCMap(twoByte: Boolean): String = {
+    val (lo, hi) = if (twoByte) ("<0000>", "<FFFF>") else ("<00>", "<FF>")
+    val sb = new StringBuilder
+    sb.append("/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n")
+    sb.append("/CIDSystemInfo << /Registry (Graft) /Ordering (Private) /Supplement 0 >> def\n")
+    sb.append("/CMapName /Graft-Private def\n/CMapType 1 def\n")
+    sb.append(s"1 begincodespacerange\n$lo $hi\nendcodespacerange\n")
+    sb.append(s"1 begincidrange\n$lo $hi 0\nendcidrange\n")
     sb.append("endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend")
     sb.toString
   }
@@ -331,6 +380,7 @@ object RealPdf {
       objStmPack: Boolean = false,
       xrefPredictor: Boolean = false,
       simpleFontEncoding: Option[String] = None,
+      simpleFontToUnicode: Option[Seq[(Int, String)]] = None,
       encrypt: Option[Encryption] = None,
       emptyCatalogString: Boolean = false): Array[Byte] = {
     require(!objStmPack || xrefStream, "objStmPack requires xrefStream")
@@ -421,6 +471,19 @@ object RealPdf {
     val cidFontNum = if (anyCid) alloc() else -1
     val cidDescNum = if (anyCid) alloc() else -1
     val toUniNum = if (anyToUni) alloc() else -1
+    val cidEncName = pages.find(_.cidFont).map(_.cidEncoding).getOrElse("Identity-H")
+    val cidEncEmbedded = cidEncName.startsWith("Embedded")
+    val cidEncNum = if (anyCid && cidEncEmbedded) alloc() else -1
+    val simpleToUniNum = if (simpleFontToUnicode.isDefined) alloc() else -1
+    // Embedded-1: private sequential 1-byte codes over the distinct chars
+    // of all CID pages, in order of first appearance (a subset font's
+    // code assignment); the ToUnicode CMap is the ONLY way back to text
+    val cid1Map: Map[Char, Int] =
+      if (cidEncName == "Embedded-1") {
+        val distinct = pages.filter(_.cidFont).flatMap(_.runs).flatMap(_.text).distinct
+        require(distinct.length <= 255, "Embedded-1 pages limited to 255 distinct chars")
+        distinct.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
+      } else Map.empty
 
     // per page: page obj + content obj(s) + optional length obj(s)
     final case class PagePlan(
@@ -470,24 +533,51 @@ object RealPdf {
           plans.map(p => s"${p.pageNum} 0 R").mkString("[", " ", "]") +
           s" /Count ${plans.length} >>")
     val encEntry = simpleFontEncoding.map(e => s" /Encoding $e").getOrElse("")
-    dictObj(fontNum, s"<< /Type /Font /Subtype /Type1 /BaseFont /Courier$encEntry >>")
+    val f1ToUni =
+      if (simpleFontToUnicode.isDefined) s" /ToUnicode $simpleToUniNum 0 R" else ""
+    dictObj(fontNum, s"<< /Type /Font /Subtype /Type1 /BaseFont /Courier$encEntry$f1ToUni >>")
+    simpleFontToUnicode.foreach { entries =>
+      val z = toUnicode1CMap(entries).getBytes(StandardCharsets.ISO_8859_1)
+      val zE = encStream(simpleToUniNum, z)
+      obj(simpleToUniNum) {
+        ascii(s"<< /Length ${zE.length} >>\nstream\n")
+        out.write(zE)
+        ascii("\nendstream")
+      }
+    }
     if (anyCid) {
       val toUniRef = if (anyToUni) s" /ToUnicode $toUniNum 0 R" else ""
-      val cidEnc = pages.find(_.cidFont).map(_.cidEncoding).getOrElse("Identity-H")
+      val encSpec =
+        if (cidEncEmbedded) s"/Encoding $cidEncNum 0 R" else s"/Encoding /$cidEncName"
       dictObj(
         cidFontNum,
         s"<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
-          s"/Encoding /$cidEnc /DescendantFonts [$cidDescNum 0 R]$toUniRef >>")
+          s"$encSpec /DescendantFonts [$cidDescNum 0 R]$toUniRef >>")
+      if (cidEncEmbedded) {
+        val z = encodingCMap(twoByte = cidEncName == "Embedded-2")
+          .getBytes(StandardCharsets.ISO_8859_1)
+        val zE = encStream(cidEncNum, z)
+        obj(cidEncNum) {
+          ascii(s"<< /Length ${zE.length} >>\nstream\n")
+          out.write(zE)
+          ascii("\nendstream")
+        }
+      }
       dictObj(
         cidDescNum,
         "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftCID " +
           "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> " +
           "/CIDToGIDMap /Identity /DW 600 >>")
       if (anyToUni) {
-        val z = toUnicodeCMap(
-          pages.filter(p => p.cidFont && p.cidToUnicode)
-            .flatMap(_.runs).flatMap(_.text).toSet)
-          .getBytes(StandardCharsets.ISO_8859_1)
+        val cmapText =
+          if (cid1Map.nonEmpty)
+            toUnicode1CMap(
+              cid1Map.toSeq.sortBy(_._2).map { case (c, code) => code -> c.toString })
+          else
+            toUnicodeCMap(
+              pages.filter(p => p.cidFont && p.cidToUnicode)
+                .flatMap(_.runs).flatMap(_.text).toSet)
+        val z = cmapText.getBytes(StandardCharsets.ISO_8859_1)
         val zE = encStream(toUniNum, z)
         obj(toUniNum) {
           ascii(s"<< /Length ${zE.length} >>\nstream\n")
@@ -519,7 +609,7 @@ object RealPdf {
           s"/Resources $pageRes >>")
       if (p.formXObject) {
         val formOps =
-          encStream(plan.formNum, contentOps(p).getBytes(StandardCharsets.ISO_8859_1))
+          encStream(plan.formNum, contentOps(p, cid1Map).getBytes(StandardCharsets.ISO_8859_1))
         val matrix = p.formMatrix
           .map { case (e, f) => s" /Matrix [1 0 0 1 ${num1(e)} ${num1(f)}]" }
           .getOrElse("")
@@ -539,7 +629,7 @@ object RealPdf {
             .map { case (e, f) => s"1 0 0 1 ${num1(e)} ${num1(f)} cm\n" }
             .getOrElse("")
           s"q\n$cm/Fx1 Do\nQ"
-        } else contentOps(p)
+        } else contentOps(p, cid1Map)
       val parts: Seq[String] =
         if (p.splitContents) {
           // split roughly in half at an operator boundary: token halves of a

@@ -1429,8 +1429,16 @@ object PdfContainer {
     * Standard printable range); /WinAnsiEncoding swaps in the cp1252
     * 0x80-0x9F block, and an /Encoding dict's /Differences array remaps
     * individual codes via Adobe glyph names (AGL subset + uniXXXX).
+    * `toUni` is the font's 1-byte /ToUnicode CMap when present — it takes
+    * PRECEDENCE over the encoding table per code (ISO 32000-1 §9.10.2
+    * lists ToUnicode first in the extraction order; every real extractor
+    * prefers it because subsetted fonts carry private encodings the
+    * table cannot describe), with unmapped codes falling back to the
+    * table.
     */
-  private final case class SimpleFont(table: Array[String]) extends FontDec
+  private final case class SimpleFont(
+      table: Array[String],
+      toUni: Map[Int, String] = Map.empty) extends FontDec
   /** How a composite font decodes a code with no ToUnicode entry. */
   private sealed trait CidFallback
   /** Identity-H: codes are opaque glyph ids — unmapped is U+FFFD. */
@@ -1736,6 +1744,47 @@ object PdfContainer {
     ToUniCMap(if (codeLen < 0) 2 else codeLen, map.toMap)
   }
 
+  /** Scan an EMBEDDED /Encoding CMap stream (Adobe CMap spec, the
+    * subsetted-CJK-font shape) for its codespace: returns the uniform code
+    * byte-width (1 or 2). The code→CID body (`cidchar`/`cidrange`) is
+    * deliberately ignored — extraction reads Unicode from the font's
+    * ToUnicode CMap, which is keyed by the SAME codes; only the
+    * string-segmentation width is needed here. Mixed-width codespaces
+    * (the Shift-JIS-style 1+2-byte spaces) stay loud: fixed-width
+    * segmentation would misalign those strings silently.
+    */
+  private[extract] def encodingCMapWidth(bytes: Array[Byte]): Int = {
+    val lx = new Lexer(bytes, 0)
+    var width = -1
+    var inCodespace = false
+    while (!lx.atEnd) {
+      lx.skipWs()
+      if (!lx.atEnd) {
+        val b = lx.peek
+        if (b == '(' || b == '<' || b == '[' || b == '/' || b.toChar.isDigit ||
+          b == '+' || b == '-' || b == '.') {
+          val o = lx.obj(null)
+          if (inCodespace) o match {
+            case PStr(s) =>
+              if (s.length < 1 || s.length > 2)
+                throw PdfError(s"cmap_code_width_${s.length}")
+              if (width < 0) width = s.length
+              else if (width != s.length) throw PdfError("cmap_mixed_code_width")
+            case other => throw PdfError(s"cmap_bad_codespace:$other")
+          }
+        } else {
+          lx.token() match {
+            case "begincodespacerange" => inCodespace = true
+            case "endcodespacerange"   => inCodespace = false
+            case _                     => ()
+          }
+        }
+      }
+    }
+    if (width < 0) throw PdfError("cmap_no_codespace")
+    width
+  }
+
   /** Resolve the page's /Resources /Font dictionary (inheritable through
     * the page tree) into per-name decode behaviors. Only /Type0 changes
     * decoding; Identity-H is the supported (modern-generator standard)
@@ -1768,7 +1817,8 @@ object PdfContainer {
   private def fontsOfRes(
       resolve: Obj => Obj,
       res: PDict,
-      cmapCache: mutable.Map[Obj, ToUniCMap]): Map[String, FontDec] =
+      cmapCache: mutable.Map[Obj, ToUniCMap],
+      encWidthCache: mutable.Map[Obj, Int]): Map[String, FontDec] =
     resolve(res.get("Font").getOrElse(PNull)) match {
       case PNull => Map.empty
       case fd: PDict =>
@@ -1780,18 +1830,29 @@ object PdfContainer {
                   // supported composite encodings: Identity-H (codes are
                   // glyph ids — a ToUnicode CMap is REQUIRED), the
                   // predefined UCS2 horizontal families (2-byte codes ARE
-                  // UCS-2 code points), and the UTF16 horizontal families
+                  // UCS-2 code points), the UTF16 horizontal families
                   // (codes are UTF-16BE code units; surrogate pairs
                   // reassemble) — for both Uni* classes a missing
                   // ToUnicode falls back to the codes' own Unicode
-                  // meaning, exactly what those CMaps define. Vertical
+                  // meaning, exactly what those CMaps define — and
+                  // EMBEDDED CMap streams (subsetted CJK fonts carry
+                  // private encodings this way): their codespace fixes
+                  // the code width and a ToUnicode is REQUIRED (the
+                  // code→CID table carries no Unicode meaning). Vertical
                   // (-V) variants and CID-table predefined CMaps (tables
                   // we do not ship) stay loud.
-                  val fallback: CidFallback =
-                    resolve(f.get("Encoding").getOrElse(PNull)) match {
-                      case PName("Identity-H")                   => GlyphIdCodes
-                      case PName(n) if Ucs2Families.contains(n)  => Ucs2Codes
-                      case PName(n) if Utf16Families.contains(n) => Utf16Codes
+                  val encRef = f.get("Encoding").getOrElse(PNull)
+                  val (codeW, fallback): (Int, CidFallback) =
+                    resolve(encRef) match {
+                      case PName("Identity-H")                   => (2, GlyphIdCodes)
+                      case PName(n) if Ucs2Families.contains(n)  => (2, Ucs2Codes)
+                      case PName(n) if Utf16Families.contains(n) => (2, Utf16Codes)
+                      case s: PStream =>
+                        // cached like ToUnicode: shared across pages
+                        val w = encWidthCache.getOrElseUpdate(
+                          encRef,
+                          encodingCMapWidth(decodeStream(s.dict, s.raw, resolve)))
+                        (w, GlyphIdCodes)
                       case other => throw PdfError(s"unsupported_cid_encoding:$other")
                     }
                   val toUniRef = f.get("ToUnicode").getOrElse(PNull)
@@ -1803,9 +1864,10 @@ object PdfContainer {
                       val cm = cmapCache.getOrElseUpdate(toUniRef, {
                         val parsed =
                           parseToUnicode(decodeStream(s.dict, s.raw, resolve))
-                        // Identity-H strings are 2-byte codes; a CMap whose
-                        // codespace disagrees would misalign every string
-                        if (parsed.codeLen != 2)
+                        // the show strings are codeW-byte codes; a CMap
+                        // whose codespace disagrees would misalign every
+                        // string
+                        if (parsed.codeLen != codeW)
                           throw PdfError(s"cid_code_width_${parsed.codeLen}")
                         parsed
                       })
@@ -1815,7 +1877,27 @@ object PdfContainer {
                     case PNull => CidNoToUni
                     case other => throw PdfError(s"bad_tounicode:$other")
                   }
-                case _ => SimpleFont(simpleTable(resolve, f))
+                case _ =>
+                  // a simple font's /ToUnicode (1-byte codespace) takes
+                  // precedence over the encoding table — the subsetted-
+                  // TrueType-with-private-encoding shape that dominates
+                  // modern crawled PDFs
+                  val toUniRef = f.get("ToUnicode").getOrElse(PNull)
+                  resolve(toUniRef) match {
+                    case s: PStream =>
+                      val cm = cmapCache.getOrElseUpdate(toUniRef, {
+                        val parsed =
+                          parseToUnicode(decodeStream(s.dict, s.raw, resolve))
+                        // a 2-byte CMap on a 1-byte font would misalign
+                        // every string: a producer defect, loud
+                        if (parsed.codeLen != 1)
+                          throw PdfError(s"simple_font_code_width_${parsed.codeLen}")
+                        parsed
+                      })
+                      SimpleFont(simpleTable(resolve, f), cm.map)
+                    case PNull  => SimpleFont(simpleTable(resolve, f))
+                    case other  => throw PdfError(s"bad_tounicode:$other")
+                  }
               }
             case other => throw PdfError(s"bad_font:$other")
           }
@@ -1899,12 +1981,18 @@ object PdfContainer {
       // decoded text + GLYPH count: the advance model is per glyph code,
       // which for a CID ligature expansion differs from the char count
       val (text, glyphs) = curFont match {
-        case SimpleFont(table) =>
-          if (table eq Latin1Table) // fast path: identity decode
+        case SimpleFont(table, toUni) =>
+          if ((table eq Latin1Table) && toUni.isEmpty) // fast path: identity
             (new String(bytes, StandardCharsets.ISO_8859_1), bytes.length)
           else {
             val sb = new StringBuilder(bytes.length)
-            bytes.foreach(b => sb.append(table(b & 0xff)))
+            bytes.foreach { b =>
+              val code = b & 0xff
+              toUni.get(code) match {
+                case Some(s) => sb.append(s)
+                case None    => sb.append(table(code))
+              }
+            }
             (sb.toString, bytes.length)
           }
         case CidFont(len, toUni, fallback) =>
@@ -1945,11 +2033,12 @@ object PdfContainer {
       }
       // per-glyph advance (ISO 32000-1 9.4.4 shape, on the fixed-pitch
       // model): (w*Tfs + Tc + Tw-per-space) * Th, scaled by the text
-      // matrix. Word spacing applies to single-byte 0x20 codes only
-      // (per spec it never fires for 2-byte CID strings).
+      // matrix. Word spacing applies to single-byte 0x20 codes only —
+      // per §9.3.3 that includes a composite font whose codespace is
+      // 1-byte, but never 2-byte CID strings.
       val nSpaces = curFont match {
-        case CidFont(_, _, _) => 0
-        case _                => bytes.count(_ == ' '.toByte)
+        case CidFont(len, _, _) if len != 1 => 0
+        case _                              => bytes.count(_ == ' '.toByte)
       }
       cursorX += (glyphs * (fs * FixedPitchEm + tc) + nSpaces * tw) * th * ma
     }
@@ -2189,6 +2278,7 @@ object PdfContainer {
       // pay twice the budget of synthetic ones for the same bytes (B3)
       val doc = new Doc(payload)
       val cmapCache = mutable.Map.empty[Obj, ToUniCMap]
+      val encWidthCache = mutable.Map.empty[Obj, Int]
       // forms carrying their OWN /Resources are invoker-independent: a
       // page stamping the same form N times (tiled watermark, table-row
       // template) decodes and parses it once, and the work budget is
@@ -2224,7 +2314,7 @@ object PdfContainer {
                       val (fFonts, fXobjs): (() => Map[String, FontDec], () => Map[String, Obj]) =
                         doc.resolve(d.get("Resources").getOrElse(PNull)) match {
                           case rd: PDict =>
-                            (() => fontsOfRes(doc.resolve, rd, cmapCache),
+                            (() => fontsOfRes(doc.resolve, rd, cmapCache, encWidthCache),
                               () => xobjectsOfRes(doc.resolve, rd))
                           case PNull => (fontsF, xobjsF)
                           case other => throw PdfError(s"bad_resources:$other")
@@ -2282,7 +2372,8 @@ object PdfContainer {
         graft.util.StepBudget.tick(content.length.toLong)
         lazy val res = resourcesOf(doc.resolve, page, inherited)
         val fontsF = () =>
-          res.map(r => fontsOfRes(doc.resolve, r, cmapCache)).getOrElse(Map.empty)
+          res.map(r => fontsOfRes(doc.resolve, r, cmapCache, encWidthCache))
+            .getOrElse(Map.empty)
         val xobjsF = () =>
           res.map(r => xobjectsOfRes(doc.resolve, r)).getOrElse(Map.empty)
         toPage(runsFor(content, fontsF, xobjsF, 0, Set.empty), llx, lly, w, h)

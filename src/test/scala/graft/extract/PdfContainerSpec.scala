@@ -1115,6 +1115,106 @@ class PdfContainerSpec extends AnyFunSuite {
     assert(r7.left.toOption.get.contains("encrypted_unsupported"), r7)
   }
 
+  test("embedded /Encoding CMap streams: subset-font shapes decode via ToUnicode") {
+    // Embedded-2: a private 2-byte CMap stream fixes the codespace; the
+    // ToUnicode CMap (keyed by the same codes) carries the text
+    val text = "Embedded 编码 subset façade"
+    val pdf2 = RealPdf.document(Seq(PageSpec(
+      runs = Seq(line(100, text)),
+      cidFont = true,
+      cidEncoding = "Embedded-2")))
+    val ex2 = PdfExtractor.extract(pdf2)
+    assert(ex2.isRight, ex2)
+    assert(ex2.toOption.get.text == text)
+    // Embedded-1: PRIVATE sequential 1-byte codes — nothing but the
+    // ToUnicode CMap can recover the text (the true subset-font shape)
+    val pdf1 = RealPdf.document(Seq(PageSpec(
+      runs = Seq(line(100, text)),
+      cidFont = true,
+      cidEncoding = "Embedded-1")))
+    val ex1 = PdfExtractor.extract(pdf1)
+    assert(ex1.isRight, ex1)
+    assert(ex1.toOption.get.text == text)
+    // the private codes really are private: the raw bytes of the 1-byte
+    // show string must NOT contain the text (guards against the writer
+    // accidentally emitting Latin-1)
+    assert(!new String(pdf1, StandardCharsets.ISO_8859_1).contains("Embedded "))
+    // an embedded encoding WITHOUT ToUnicode is opaque glyph soup: loud
+    val pdfNoUni = RealPdf.document(Seq(PageSpec(
+      runs = Seq(line(100, text)),
+      cidFont = true,
+      cidToUnicode = false,
+      cidEncoding = "Embedded-2")))
+    val rNoUni = PdfContainer.parsePages(pdfNoUni)
+    assert(rNoUni.isLeft, rNoUni)
+    assert(rNoUni.left.toOption.get.contains("cid_font_without_tounicode"), rNoUni)
+    // the embedded-CMap + AES-256 combination: the /Encoding stream is
+    // itself encrypted and must decrypt before the codespace scan
+    val pdfEnc = RealPdf.document(
+      Seq(PageSpec(runs = Seq(line(100, text)), cidFont = true, cidEncoding = "Embedded-1")),
+      encrypt = Some(RealPdf.Encryption.aes256("owner-secret")))
+    assert(PdfExtractor.extract(pdfEnc).toOption.get.text == text)
+  }
+
+  test("encodingCMapWidth: uniform widths pass, mixed/absent codespaces are loud") {
+    def cmap(body: String): Array[Byte] =
+      s"""/CIDInit /ProcSet findresource begin
+         |begincmap
+         |$body
+         |endcmap end""".stripMargin.getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfContainer.encodingCMapWidth(cmap(
+      "1 begincodespacerange\n<00> <FF>\nendcodespacerange")) == 1)
+    assert(PdfContainer.encodingCMapWidth(cmap(
+      "2 begincodespacerange\n<0000> <80FF>\n<A000> <FFFF>\nendcodespacerange\n" +
+        "1 begincidrange\n<0000> <FFFF> 0\nendcidrange")) == 2)
+    def loud(body: String, reason: String): Unit = {
+      val e = intercept[PdfContainer.PdfError](PdfContainer.encodingCMapWidth(cmap(body)))
+      assert(e.reason.contains(reason), e.reason)
+    }
+    loud("1 begincodespacerange\n<00> <FFFF>\nendcodespacerange", "cmap_mixed_code_width")
+    loud("1 begincidrange\n<0000> <FFFF> 0\nendcidrange", "cmap_no_codespace")
+    loud("1 begincodespacerange\n<000000> <FFFFFF>\nendcodespacerange", "cmap_code_width_3")
+  }
+
+  test("a simple font's ToUnicode CMap takes precedence over its encoding table") {
+    // subsetted-TrueType shape: the 1-byte codes carry a private meaning
+    // only the ToUnicode CMap knows — here 'X' really means Ж and '~'
+    // means ≈, with a ligature expansion for 'f'; unmapped codes fall
+    // back to the table
+    val pdf = RealPdf.document(
+      Seq(PageSpec(runs = Seq(line(100, "fiX ~ plain")))),
+      simpleFontToUnicode = Some(Seq(
+        'X'.toInt -> "Ж",
+        '~'.toInt -> "≈",
+        'f'.toInt -> "fi")))
+    val ex = PdfExtractor.extract(pdf)
+    assert(ex.isRight, ex)
+    assert(ex.toOption.get.text == "fiiЖ ≈ plain")
+    // combined with /WinAnsiEncoding: table handles the 0x80-0x9F block,
+    // ToUnicode still wins where it maps
+    val pdfWin = RealPdf.document(
+      Seq(PageSpec(runs = Seq(line(100, "Xquoted")), hexStrings = true)),
+      simpleFontEncoding = Some("/WinAnsiEncoding"),
+      simpleFontToUnicode = Some(Seq('X'.toInt -> "Ж")))
+    val exWin = PdfExtractor.extract(pdfWin)
+    assert(exWin.isRight, exWin)
+    assert(exWin.toOption.get.text == "Ж“quoted”")
+    // the width guard's input: parseToUnicode reports the codespace
+    // width, and fontsOfRes refuses a 2-byte CMap on a 1-byte font
+    // (simple_font_code_width_2) just as it refuses width mismatches on
+    // composite fonts — here pin the width detection both ways
+    val one = PdfContainer.parseToUnicode(
+      ("begincmap\n1 begincodespacerange\n<00> <FF>\nendcodespacerange\n" +
+        "1 beginbfchar\n<78> <0416>\nendbfchar\nendcmap")
+        .getBytes(StandardCharsets.ISO_8859_1))
+    assert(one.codeLen == 1 && one.map(0x78) == "Ж")
+    val two = PdfContainer.parseToUnicode(
+      ("begincmap\n1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+        "1 beginbfchar\n<0078> <0416>\nendbfchar\nendcmap")
+        .getBytes(StandardCharsets.ISO_8859_1))
+    assert(two.codeLen == 2)
+  }
+
   test("predefined UCS2 CMaps decode CID text without a ToUnicode map") {
     // UniGB-UCS2-H: 2-byte codes ARE UCS-2 code points — extraction needs
     // no CID tables; ToUnicode-absent is the interesting CJK crawl shape
