@@ -323,6 +323,16 @@ object PdfContainer {
       encObjNum: Int,
       v5: Boolean = false)
 
+  /** (aes, identity) per CFM name legal under /V 4 and /V 5. Object-level
+    * on purpose: `installPendingCrypt()` runs in Doc's CONSTRUCTOR, before
+    * any Doc-level val would be initialized (a member here would be null
+    * during the install and turn every V4/V5 document into a refusal).
+    */
+  private val V4Cfms: Map[String, (Boolean, Boolean)] =
+    Map("V2" -> (false, false), "AESV2" -> (true, false), "None" -> (false, true))
+  private val V5Cfms: Map[String, (Boolean, Boolean)] =
+    Map("AESV3" -> (true, false), "None" -> (false, true))
+
   private final class Doc(buf: Array[Byte]) {
     private var rootRef: Option[PRef] = None
     // (Encrypt entry, first /ID bytes) captured from the NEWEST trailer
@@ -387,6 +397,29 @@ object PdfContainer {
     // during xrefOffsets() above; scan-mode documents capture it later
     // (trailerRoot) and install there
     installPendingCrypt()
+
+    /** Resolve a /StmF //StrF crypt-filter name to its (aes, identity)
+      * method through the /CF dictionary, accepting only the CFM set
+      * legal for the document's /V; anything else is loud — guessing the
+      * cipher would silently corrupt every stream.
+      */
+    private def cryptMethodOf(
+        cf: PDict,
+        cfms: Map[String, (Boolean, Boolean)],
+        filterName: String): (Boolean, Boolean) =
+      filterName match {
+        case "Identity" => (false, true)
+        case fn =>
+          resolve(cf.get(fn).getOrElse(PNull)) match {
+            case fd: PDict =>
+              resolve(fd.get("CFM").getOrElse(PNull)) match {
+                case PName(m) if cfms.contains(m) => cfms(m)
+                case other =>
+                  throw PdfError(s"encrypted_unsupported_cfm:$other")
+              }
+            case _ => throw PdfError(s"encrypted_missing_crypt_filter:$fn")
+          }
+      }
 
     /** Parse the /Encrypt dict into a decryptor (ISO 32000-1 §7.6.3) and
       * authenticate the EMPTY user password — the owner-password-only shape
@@ -457,27 +490,10 @@ object PdfContainer {
             case cd: PDict => cd
             case _         => PDict(Map.empty)
           }
-          // (aes, identity) per named crypt filter; per-CF /Length is
-          // redundant with the top-level /Length for the supported CFMs
-          // (AESV2 is fixed 16-byte) and is ignored
-          def methodOf(filterName: String): (Boolean, Boolean) =
-            filterName match {
-              case "Identity" => (false, true)
-              case fn =>
-                resolve(cf.get(fn).getOrElse(PNull)) match {
-                  case fd: PDict =>
-                    resolve(fd.get("CFM").getOrElse(PNull)) match {
-                      case PName("V2")    => (false, false)
-                      case PName("AESV2") => (true, false)
-                      case PName("None")  => (false, true)
-                      case other =>
-                        throw PdfError(s"encrypted_unsupported_cfm:$other")
-                    }
-                  case _ => throw PdfError(s"encrypted_missing_crypt_filter:$fn")
-                }
-            }
-          val (stmAes, stmIdent) = methodOf(nameOf("StmF").getOrElse("Identity"))
-          val (strAes, strIdent) = methodOf(nameOf("StrF").getOrElse("Identity"))
+          // per-CF /Length is redundant with the top-level /Length for
+          // the supported CFMs (AESV2 is fixed 16-byte) and is ignored
+          val (stmAes, stmIdent) = cryptMethodOf(cf, V4Cfms, nameOf("StmF").getOrElse("Identity"))
+          val (strAes, strIdent) = cryptMethodOf(cf, V4Cfms, nameOf("StrF").getOrElse("Identity"))
           val key = authenticate(bits / 8)
           Crypt(key, stmAes, strAes, stmIdent, strIdent, encryptMetadata, encNum)
         case 5 =>
@@ -493,36 +509,25 @@ object PdfContainer {
           // only /AESV3 (and explicit identity) are legal under /V 5; a
           // V2/AESV2 method here means a confused writer — loud, since
           // guessing the cipher silently corrupts every stream
-          def methodOf5(filterName: String): (Boolean, Boolean) =
-            filterName match {
-              case "Identity" => (false, true)
-              case fn =>
-                resolve(cf.get(fn).getOrElse(PNull)) match {
-                  case fd: PDict =>
-                    resolve(fd.get("CFM").getOrElse(PNull)) match {
-                      case PName("AESV3") => (true, false)
-                      case PName("None")  => (false, true)
-                      case other =>
-                        throw PdfError(s"encrypted_unsupported_cfm:$other")
-                    }
-                  case _ => throw PdfError(s"encrypted_missing_crypt_filter:$fn")
-                }
-            }
-          val (stmAes, stmIdent) = methodOf5(nameOf("StmF").getOrElse("Identity"))
-          val (strAes, strIdent) = methodOf5(nameOf("StrF").getOrElse("Identity"))
+          val (stmAes, stmIdent) = cryptMethodOf(cf, V5Cfms, nameOf("StmF").getOrElse("Identity"))
+          val (strAes, strIdent) = cryptMethodOf(cf, V5Cfms, nameOf("StrF").getOrElse("Identity"))
           // authenticate the EMPTY user password and unwrap the file key
           // from /UE; a hash mismatch = a real user password = locked
           val key = PdfCrypto
             .recoverKeyV5(r, Array.emptyByteArray, u, ue)
             .getOrElse(throw PdfError("encrypted_document"))
           // /Perms carries an "adb" sentinel decryptable only by the true
-          // file key — when present, a failed check means /UE is corrupt
-          // and every "decrypted" byte downstream would be garbage
+          // file key — a well-formed 16-byte blob that fails it means /UE
+          // is corrupt and every "decrypted" byte downstream would be
+          // garbage. A WRONG-LENGTH /Perms is a broken writer, not a
+          // wrong key (the /U hash already authenticated): treat it like
+          // the absent case, as the reference extractors do, instead of
+          // refusing a document they all open.
           resolve(d.get("Perms").getOrElse(PNull)) match {
-            case PStr(perms) =>
+            case PStr(perms) if perms.length == 16 =>
               if (!PdfCrypto.checkPermsV5(key, perms))
                 throw PdfError("encrypted_bad_perms")
-            case _ => () // required by spec but absent in the wild: skip
+            case _ => () // absent (or malformed-length): skip the check
           }
           Crypt(key, stmAes, strAes, stmIdent, strIdent, encryptMetadata, encNum, v5 = true)
         case other =>
@@ -552,7 +557,7 @@ object PdfContainer {
         // empty string would fail files every real extractor opens
         if (c.identStrings || b.isEmpty) o
         else if (c.aesStrings)
-          PStr(PdfCrypto.aesDecrypt(strKeyOf(c, num, gen), b))
+          PStr(PdfCrypto.aesDecrypt(aesKeyOf(c, num, gen), b))
         else PStr(PdfCrypto.rc4(PdfCrypto.objectKey(c.key, num, gen, aes = false), b))
       case PArr(v)  => PArr(v.map(decryptTree(c, num, gen, _)))
       case PDict(m) => PDict(m.map { case (k, vv) => k -> decryptTree(c, num, gen, vv) })
@@ -565,18 +570,19 @@ object PdfContainer {
           val nraw =
             if (c.identStreams) raw
             else if (c.aesStreams)
-              PdfCrypto.aesDecrypt(strKeyOf(c, num, gen), raw)
+              PdfCrypto.aesDecrypt(aesKeyOf(c, num, gen), raw)
             else PdfCrypto.rc4(PdfCrypto.objectKey(c.key, num, gen, aes = false), raw)
           PStream(ndict, nraw)
         }
       case other => other
     }
 
-    /** The AES key for one object: V5 uses the file key directly (no
-      * per-object derivation exists for AES-256); V<=4 derives the MD5
-      * object key with the AES salt.
+    /** The AES key for one object (strings AND streams — for V<=4 the
+      * two AES object keys are identical): V5 uses the file key directly
+      * (no per-object derivation exists for AES-256); V<=4 derives the
+      * MD5 object key with the AES salt.
       */
-    private def strKeyOf(c: Crypt, num: Int, gen: Int): Array[Byte] =
+    private def aesKeyOf(c: Crypt, num: Int, gen: Int): Array[Byte] =
       if (c.v5) c.key else PdfCrypto.objectKey(c.key, num, gen, aes = true)
 
     /** Object locations from the cross-reference chain — classic `xref`
@@ -1486,7 +1492,10 @@ object PdfContainer {
     "UniGB-UTF16-H", "UniCNS-UTF16-H", "UniJIS-UTF16-H", "UniKS-UTF16-H",
     "UniJIS2004-UTF16-H")
 
-  private[extract] final case class ToUniCMap(codeLen: Int, map: Map[Int, String])
+  private[extract] final case class ToUniCMap(
+      codeLen: Int,
+      map: Map[Int, String],
+      sawCodespace: Boolean)
 
   /** Latin-1 identity table: code = codepoint (the historical default this
     * reader always used; keeps every existing fixture byte-identical when
@@ -1673,6 +1682,7 @@ object PdfContainer {
     def guard(): Unit =
       if (map.size > (1 << 20)) throw PdfError("cmap_bomb")
     var mode = 0 // 0 outside, 1 codespace, 2 bfchar, 3 bfrange
+    var sawCodespace = false
     while (!lx.atEnd) {
       lx.skipWs()
       if (!lx.atEnd) {
@@ -1683,7 +1693,8 @@ object PdfContainer {
           mode match {
             case 1 if stack.length == 2 =>
               (stack(0), stack(1)) match {
-                case (PStr(lo), PStr(hi)) => codeOf(lo); codeOf(hi)
+                case (PStr(lo), PStr(hi)) =>
+                  codeOf(lo); codeOf(hi); sawCodespace = true
                 case other                => throw PdfError(s"cmap_bad_codespace:$other")
               }
               stack.clear()
@@ -1726,7 +1737,12 @@ object PdfContainer {
                 case other => throw PdfError(s"cmap_bad_bfrange:$other")
               }
               stack.clear()
-            case _ => ()
+            case _ =>
+              // outside a bf/codespace section the operands are never
+              // consumed (cidrange bodies, wrapper numbers): cap the
+              // idle stack so a huge embedded cidrange block cannot
+              // accumulate its operands between clearing tokens
+              if (mode == 0 && stack.length > 8) stack.clear()
           }
         } else {
           lx.token() match {
@@ -1741,48 +1757,21 @@ object PdfContainer {
         }
       }
     }
-    ToUniCMap(if (codeLen < 0) 2 else codeLen, map.toMap)
+    ToUniCMap(if (codeLen < 0) 2 else codeLen, map.toMap, sawCodespace)
   }
 
-  /** Scan an EMBEDDED /Encoding CMap stream (Adobe CMap spec, the
-    * subsetted-CJK-font shape) for its codespace: returns the uniform code
-    * byte-width (1 or 2). The code→CID body (`cidchar`/`cidrange`) is
-    * deliberately ignored — extraction reads Unicode from the font's
-    * ToUnicode CMap, which is keyed by the SAME codes; only the
-    * string-segmentation width is needed here. Mixed-width codespaces
-    * (the Shift-JIS-style 1+2-byte spaces) stay loud: fixed-width
-    * segmentation would misalign those strings silently.
+  /** Code byte-width of an EMBEDDED /Encoding CMap stream (Adobe CMap
+    * spec, the subsetted-CJK-font shape), from its codespacerange — the
+    * same scanner as /ToUnicode parsing (the code→CID body is structural
+    * noise there and is skipped). A CMap that never declares a codespace
+    * cannot segment strings: loud. Mixed-width codespaces (the
+    * Shift-JIS-style 1+2-byte spaces) are refused inside the scan — fixed
+    * width segmentation would misalign those strings silently.
     */
   private[extract] def encodingCMapWidth(bytes: Array[Byte]): Int = {
-    val lx = new Lexer(bytes, 0)
-    var width = -1
-    var inCodespace = false
-    while (!lx.atEnd) {
-      lx.skipWs()
-      if (!lx.atEnd) {
-        val b = lx.peek
-        if (b == '(' || b == '<' || b == '[' || b == '/' || b.toChar.isDigit ||
-          b == '+' || b == '-' || b == '.') {
-          val o = lx.obj(null)
-          if (inCodespace) o match {
-            case PStr(s) =>
-              if (s.length < 1 || s.length > 2)
-                throw PdfError(s"cmap_code_width_${s.length}")
-              if (width < 0) width = s.length
-              else if (width != s.length) throw PdfError("cmap_mixed_code_width")
-            case other => throw PdfError(s"cmap_bad_codespace:$other")
-          }
-        } else {
-          lx.token() match {
-            case "begincodespacerange" => inCodespace = true
-            case "endcodespacerange"   => inCodespace = false
-            case _                     => ()
-          }
-        }
-      }
-    }
-    if (width < 0) throw PdfError("cmap_no_codespace")
-    width
+    val cm = parseToUnicode(bytes)
+    if (!cm.sawCodespace) throw PdfError("cmap_no_codespace")
+    cm.codeLen
   }
 
   /** Resolve the page's /Resources /Font dictionary (inheritable through
@@ -1861,16 +1850,17 @@ object PdfContainer {
                       // one parse per document, not per page: multi-page
                       // docs share the font object (the LaTeX/Word shape),
                       // and the PRef key makes the cache hit across pages
-                      val cm = cmapCache.getOrElseUpdate(toUniRef, {
-                        val parsed =
-                          parseToUnicode(decodeStream(s.dict, s.raw, resolve))
-                        // the show strings are codeW-byte codes; a CMap
-                        // whose codespace disagrees would misalign every
-                        // string
-                        if (parsed.codeLen != codeW)
-                          throw PdfError(s"cid_code_width_${parsed.codeLen}")
-                        parsed
-                      })
+                      val cm = cmapCache.getOrElseUpdate(
+                        toUniRef,
+                        parseToUnicode(decodeStream(s.dict, s.raw, resolve)))
+                      // the show strings are codeW-byte codes; a CMap
+                      // whose codespace disagrees would misalign every
+                      // string. Checked OUTSIDE the cache insert: a
+                      // stream shared between fonts of different widths
+                      // must fail on EVERY mismatched use, not only the
+                      // first parse (cache-hit bypass)
+                      if (cm.codeLen != codeW)
+                        throw PdfError(s"cid_code_width_${cm.codeLen}")
                       CidFont(cm.codeLen, cm.map, fallback)
                     case PNull if fallback != GlyphIdCodes =>
                       CidFont(2, Map.empty, fallback)
@@ -1885,15 +1875,14 @@ object PdfContainer {
                   val toUniRef = f.get("ToUnicode").getOrElse(PNull)
                   resolve(toUniRef) match {
                     case s: PStream =>
-                      val cm = cmapCache.getOrElseUpdate(toUniRef, {
-                        val parsed =
-                          parseToUnicode(decodeStream(s.dict, s.raw, resolve))
-                        // a 2-byte CMap on a 1-byte font would misalign
-                        // every string: a producer defect, loud
-                        if (parsed.codeLen != 1)
-                          throw PdfError(s"simple_font_code_width_${parsed.codeLen}")
-                        parsed
-                      })
+                      val cm = cmapCache.getOrElseUpdate(
+                        toUniRef,
+                        parseToUnicode(decodeStream(s.dict, s.raw, resolve)))
+                      // a 2-byte CMap on a 1-byte font would misalign
+                      // every string: a producer defect, loud — checked
+                      // outside the cache insert (see the Type0 twin)
+                      if (cm.codeLen != 1)
+                        throw PdfError(s"simple_font_code_width_${cm.codeLen}")
                       SimpleFont(simpleTable(resolve, f), cm.map)
                     case PNull  => SimpleFont(simpleTable(resolve, f))
                     case other  => throw PdfError(s"bad_tounicode:$other")

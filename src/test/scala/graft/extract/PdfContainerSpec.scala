@@ -1091,6 +1091,37 @@ class PdfContainerSpec extends AnyFunSuite {
     val rR = PdfContainer.parsePages(doctoredR.getBytes(StandardCharsets.ISO_8859_1))
     assert(rR.isLeft, rR)
     assert(rR.left.toOption.get.contains("encrypted_unsupported_revision"), rR)
+    // a WRONG-LENGTH /Perms is a broken writer, not a wrong key (the /U
+    // hash already authenticated): skipped like the absent case — the
+    // document must still extract (length-preserving doctor: drop the
+    // last hex pair, pad with spaces after the delimiter)
+    val pAt = s.indexOf("/Perms <")
+    assert(pAt > 0)
+    val hexStart = pAt + "/Perms <".length
+    val shortPerms = s.substring(0, hexStart + 30) + ">  " + s.substring(hexStart + 33)
+    assert(shortPerms.length == s.length)
+    val rShort = PdfContainer.parsePages(shortPerms.getBytes(StandardCharsets.ISO_8859_1))
+    assert(rShort.isRight, rShort)
+  }
+
+  test("a ToUnicode stream shared across code widths fails on every use") {
+    // one CMap stream referenced by BOTH the 1-byte simple font and the
+    // 2-byte Identity-H font: the width guard must fire on the cache HIT
+    // too, not only on the first parse — here F1 parses the 1-byte CMap
+    // first, then F2 reuses it and must refuse (cid_code_width_1)
+    val pdf = RealPdf.document(
+      Seq(PageSpec(runs = Seq(line(100, "shared cmap")), cidFont = true)),
+      simpleFontToUnicode = Some(Seq('x'.toInt -> "y")))
+    val s = new String(pdf, StandardCharsets.ISO_8859_1)
+    val simpleToUni =
+      """/Courier /ToUnicode (\d+) 0 R""".r.findFirstMatchIn(s).get.group(1)
+    val m = """/DescendantFonts \[\d+ 0 R\] /ToUnicode (\d+) 0 R""".r
+      .findFirstMatchIn(s).get
+    assert(m.group(1).length == simpleToUni.length, "object numbers must be same width")
+    val doctored = s.substring(0, m.start(1)) + simpleToUni + s.substring(m.end(1))
+    val r = PdfContainer.parsePages(doctored.getBytes(StandardCharsets.ISO_8859_1))
+    assert(r.isLeft, r)
+    assert(r.left.toOption.get.contains("cid_code_width_1"), r)
   }
 
   test("a REAL user password (and unsupported /V) stays a loud refusal") {
