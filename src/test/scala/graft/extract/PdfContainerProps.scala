@@ -44,7 +44,9 @@ object PdfContainerProps extends Properties("PdfContainer") {
     None, None, None,
     Some(RealPdf.Encryption.rc4_40("prop-owner")),
     Some(RealPdf.Encryption.rc4_128("prop-owner")),
-    Some(RealPdf.Encryption.aes128("prop-owner")))
+    Some(RealPdf.Encryption.aes128("prop-owner")),
+    Some(RealPdf.Encryption.aes256("prop-owner")),
+    Some(RealPdf.Encryption.aes256r5("prop-owner")))
 
   private val shapeGen: Gen[Shape] = for {
     n <- Gen.chooseNum(1, 12)
@@ -65,7 +67,8 @@ object PdfContainerProps extends Properties("PdfContainer") {
     // CID pages write plain hex codes, so the split/hex/transport axes
     // stay as generated; the writer handles the combination.
     cid <- Gen.oneOf(None, None, None,
-      Some("Identity-H"), Some("UniGB-UCS2-H"), Some("UniJIS-UTF16-H"))
+      Some("Identity-H"), Some("UniGB-UCS2-H"), Some("UniJIS-UTF16-H"),
+      Some("Embedded-2"), Some("Embedded-1"))
   } yield Shape(lines, compress, split, indirect, hex, transport, encrypt, modern, cid)
 
   property("round trip: any escaped content, any feature combination") =
@@ -84,9 +87,11 @@ object PdfContainerProps extends Properties("PdfContainer") {
           hexStrings = shape.hex,
           transport = shape.transport,
           cidFont = shape.cid.isDefined,
-          // Identity-H needs its ToUnicode CMap; the Uni* predefined
-          // families decode ToUnicode-free (the round-6 fallback path)
-          cidToUnicode = shape.cid.contains("Identity-H"),
+          // Identity-H and the embedded-CMap encodings need their
+          // ToUnicode CMap; the Uni* predefined families decode
+          // ToUnicode-free (the round-6 fallback path)
+          cidToUnicode = shape.cid.exists(c =>
+            c == "Identity-H" || c.startsWith("Embedded")),
           cidEncoding = shape.cid.getOrElse("Identity-H"))),
         encrypt = shape.encrypt,
         xrefStream = shape.modern,

@@ -240,12 +240,13 @@ class WarcSpec extends AnyFunSuite {
   }
 
   test("end to end: an ENCRYPTED owner-only PDF captured in a WARC extracts") {
-    // crawl reality for the round-6 decryption path: an AES-128 (and an
-    // RC4-128) owner-password-only PDF served as a crawl response must
+    // crawl reality for the round-6 decryption path: RC4-128, AES-128
+    // and AES-256 owner-password-only PDFs served as crawl responses must
     // survive the WARC envelope strip, binary sniff, transparent decrypt
     // and full extraction — byte-identical to the same layout unencrypted
     val encRows = Seq(CorpusGen.encryptedPdfRow(42L, 108L),
-      CorpusGen.encryptedPdfRow(42L, 109L))
+      CorpusGen.encryptedPdfRow(42L, 109L),
+      CorpusGen.encryptedPdfRow(42L, 110L))
     val htmlRows = rows(3).filter(_.html != null)
     val dir = java.nio.file.Files.createTempDirectory("graft-warc-enc")
     try {
@@ -260,11 +261,14 @@ class WarcSpec extends AnyFunSuite {
         assert(res.isDefined, s"missing ${row.url}")
         assert(res.get.success, Option(res.get.error).getOrElse(""))
         assert(res.get.engine.startsWith("pdf"), res.get.engine)
+        // modern container for every encryption kind except the classic
+        // RC4 one — mirrors encryptedPdfRow's id-mod-3 layout
+        val modern = (108L + k) % 3 != 0
         val plain = graft.extract.PdfExtractor
           .extract(graft.corpus.RealPdf.document(
             CorpusGen.realPdfSpecsForTest(42L, 108L + k),
-            xrefStream = (108L + k) % 2 == 1,
-            objStmPack = (108L + k) % 2 == 1))
+            xrefStream = modern,
+            objStmPack = modern))
           .toOption.get.text
         val viaWarc = graft.extract.PdfExtractor.extract(row.html).toOption.get.text
         assert(viaWarc == plain, s"doc ${row.url} encrypted-vs-plain")
