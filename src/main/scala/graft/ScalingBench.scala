@@ -436,8 +436,21 @@ object ScalingBench {
           |probe's quieter window the strong 8->32 ratio itself reached 0.80
           |(85,953 vs 26,741 docs/s).
           |""".stripMargin
+    // Hand-written analysis below the marker survives regeneration — run 11
+    // silently wiped the round-6 notes because this writer rebuilt the whole
+    // file; now everything from the marker onward is carried over verbatim.
+    val notesMarker = "<!-- manual-notes -->"
+    val preserved = {
+      val p = Paths.get("BENCH.md")
+      if (Files.exists(p)) {
+        val old = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        val at = old.indexOf(notesMarker)
+        if (at >= 0) "\n" + old.substring(at) else ""
+      } else ""
+    }
     Files.write(
-      Paths.get("BENCH.md"), (md + strongTrend + histTable).getBytes(StandardCharsets.UTF_8))
+      Paths.get("BENCH.md"),
+      (md + strongTrend + histTable + preserved).getBytes(StandardCharsets.UTF_8))
     println(
       s"""{"metric":"scaling_efficiency","value":${f"${p416.efficiency}%.3f"},"unit":"ratio","pairs":{"4to16":${f"${p416.efficiency}%.3f"},"8to32":${f"${p832.efficiency}%.3f"}},"strong_pairs":{"4to16":${f"${s416.efficiency}%.3f"},"8to32":${f"${s832.efficiency}%.3f"}},"throughput_docs_per_sec":{"local4":${f"${p416.thrLo}%.0f"},"local16":${f"${p416.thrHi}%.0f"},"local8":${f"${p832.thrLo}%.0f"},"local32":${f"${p832.thrHi}%.0f"}},"rows":$rows}""")
   }

@@ -379,6 +379,16 @@ object SparkEntry {
     // sub-document dedup signal: duplicated sliding-window fraction per doc
     "q_passage_dedup" -> ((s, dir) =>
       Dedup.passageDupStats(s.read.parquet(t(dir, "documents")), n = 10)),
+    // duplicated-SPAN masking (exact substring dedup, Lee et al. 2022):
+    // the flat span listing and the per-doc rollup ride the same operator
+    "q_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(s.read.parquet(t(dir, "documents")), n = 10)
+        .select(col("doc_id"), explode(col("spans")).as("sp"))
+        .select(col("doc_id"), col("sp.span_start").as("span_start"),
+          col("sp.span_end").as("span_end"))),
+    "q_dup_spans_stats" -> ((s, dir) =>
+      Dedup.dupSpans(s.read.parquet(t(dir, "documents")), n = 10)
+        .select(col("doc_id"), col("dup_tokens"), col("total_tokens"))),
     // deterministic md5-bucket corpus split (train/val/test) — physical-
     // partitioning-independent, reproducible anywhere md5 exists. The first
     // FOUR hex digits parse to a uniform 0..65535 value (two raw ascii codes
@@ -1111,6 +1121,58 @@ object SparkEntry {
              AS dup_fraction
          FROM wins w JOIN dfh d ON w.h = d.h
          GROUP BY w.doc_id""",
+    "q_dup_spans" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents WHERE text IS NOT NULL),
+         wins AS (
+           SELECT doc_id, i, md5(array_to_string(t[i:i+9], ' ')) AS h
+           FROM (SELECT doc_id, t,
+                   unnest(range(1, greatest(len(t)-9, 0)+1)) AS i
+                 FROM toks)),
+         dup AS (
+           SELECT w.doc_id, w.i FROM wins w
+           JOIN (SELECT h FROM (SELECT DISTINCT h, doc_id FROM wins)
+                 GROUP BY h HAVING count(*) >= 2) d USING (h)),
+         isl AS (
+           SELECT doc_id, i,
+             sum(CASE WHEN prev IS NULL OR i - prev > 10 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i) AS span_id
+           FROM (SELECT doc_id, i,
+                   lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+                 FROM dup))
+         SELECT doc_id, min(i)::BIGINT AS span_start,
+           (max(i) + 9)::BIGINT AS span_end
+         FROM isl GROUP BY doc_id, span_id""",
+    "q_dup_spans_stats" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents WHERE text IS NOT NULL),
+         wins AS (
+           SELECT doc_id, i, md5(array_to_string(t[i:i+9], ' ')) AS h
+           FROM (SELECT doc_id, t,
+                   unnest(range(1, greatest(len(t)-9, 0)+1)) AS i
+                 FROM toks)),
+         dup AS (
+           SELECT w.doc_id, w.i FROM wins w
+           JOIN (SELECT h FROM (SELECT DISTINCT h, doc_id FROM wins)
+                 GROUP BY h HAVING count(*) >= 2) d USING (h)),
+         isl AS (
+           SELECT doc_id, i,
+             sum(CASE WHEN prev IS NULL OR i - prev > 10 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i) AS span_id
+           FROM (SELECT doc_id, i,
+                   lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+                 FROM dup)),
+         spans AS (
+           SELECT doc_id, min(i) AS s, max(i) + 9 AS e
+           FROM isl GROUP BY doc_id, span_id),
+         agg AS (
+           SELECT doc_id, sum(e - s + 1)::BIGINT AS dup_tokens
+           FROM spans GROUP BY doc_id)
+         SELECT t.doc_id, coalesce(a.dup_tokens, 0)::BIGINT AS dup_tokens,
+           len(t.t)::BIGINT AS total_tokens
+         FROM toks t LEFT JOIN agg a USING (doc_id)""",
     "q_hash_split" ->
       """WITH b AS (
            SELECT doc_id,

@@ -722,6 +722,78 @@ object Dedup {
         round(col("dup_windows").cast("double") / col("windows"), 4))
   }
 
+  /** Duplicated-SPAN masking — exact substring dedup at n-gram
+    * granularity, the transform of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499): for
+    * every document, the MAXIMAL 1-based token spans covered by n-token
+    * windows whose window hash occurs in at least `minDocs` documents
+    * corpus-wide. Unlike [[passageDupStats]] (which only counts), this
+    * returns the actual offsets a pipeline would cut.
+    *
+    * Output: (doc_id, spans: array<struct<span_start:long, span_end:long>>
+    * sorted ascending, both ends inclusive; dup_tokens; total_tokens) —
+    * one row per INPUT document, empty spans for clean docs.
+    *
+    * At scale: the window/df subtree is the [[passageDupStats]] shape
+    * (one explode + partial-aggregated document frequency); the span
+    * merge runs under a per-DOCUMENT window function — partition key =
+    * doc_id, bounded by the document's own window count, so no corpus
+    * hot key exists by construction. Two windows (lag + running sum)
+    * share one sort: spans merge when the token intervals overlap or
+    * touch (window gap <= n), NOT only when window indices are
+    * consecutive — windows i and i+2 still overlap in tokens for n > 2.
+    */
+  def dupSpans(docs: DataFrame, n: Int = 10, minDocs: Int = 2): DataFrame = {
+    val toks = split(col("text"), " ")
+    val base = docs
+      .filter(col("text").isNotNull)
+      .select(
+        col("doc_id"),
+        toks.as("t"),
+        size(toks).cast("long").as("total_tokens"),
+        greatest(size(toks) - lit(n - 1), lit(0)).as("nw"))
+    // materialized once (same discipline as ngramJaccardPairs' postings):
+    // the window subtree feeds BOTH the df aggregation and the span join —
+    // without the truncation the corpus is tokenized and hashed twice
+    val wins = truncateLineage(base
+      .filter(col("nw") > 0)
+      .select(col("doc_id"), explode(sequence(lit(1), col("nw"))).as("i"), col("t"))
+      .select(
+        col("doc_id"),
+        col("i").cast("long").as("i"),
+        md5(array_join(slice(col("t"), col("i"), lit(n)), " ")).as("h")))
+    val dupHashes = wins
+      .select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("docs_with"))
+      .filter(col("docs_with") >= minDocs)
+      .select(col("h"))
+    val ordered = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = wins
+      .join(dupHashes, Seq("h"))
+      .select(col("doc_id"), col("i"))
+      .withColumn(
+        "new_span",
+        when(col("i") - lag(col("i"), 1).over(ordered) > n, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(running))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("i")).as("span_start"), (max(col("i")) + lit(n - 1)).as("span_end"))
+    val perDoc = spans
+      .groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("spans"),
+        sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+    base
+      .select(col("doc_id"), col("total_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("spans"),
+          array().cast("array<struct<span_start:bigint,span_end:bigint>>")).as("spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        col("total_tokens"))
+  }
+
   /** Embedding cosine near-dup pairs WITHOUT a blocking label — for corpora
     * that carry no cluster column. Multi-table sign-LSH blocking (reusing
     * [[Similarity.lshBucket]] with a per-table seed): a near-identical pair

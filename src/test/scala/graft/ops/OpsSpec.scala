@@ -249,6 +249,38 @@ class DedupSpec extends AnyFunSuite {
     assert(r(3L)._1 == 11L) // 20 tokens -> 11 windows
   }
 
+  test("duplicated-span masking: maximal token spans, touching/overlapping merge") {
+    // n=3, minDocs=2. A and B share the runs s1..s4 and t1..t3; C is clean;
+    // D and E share grams at D-windows 1 and 3 but NOT 2 (E lacks
+    // "a2 a3 a4") — the token intervals still overlap, so D must report
+    // ONE merged span, which a consecutive-window-only merge would split.
+    val corpus = Seq(
+      (0L, "x1 x2 s1 s2 s3 s4 x3 x4 t1 t2 t3"),            // 11 tokens
+      (1L, "s1 s2 s3 s4 y1 t1 t2 t3"),                     // 8 tokens
+      (2L, "c1 c2 c3 c4 c5 c6"),                           // clean
+      (3L, "a1 a2 a3 a4 a5"),                              // D
+      (4L, "a1 a2 a3 zz a3 a4 a5")                         // E
+    ).toDF("doc_id", "text")
+    val r = Dedup.dupSpans(corpus, n = 3, minDocs = 2)
+    val byId = r.collect().map { row =>
+      row.getAs[Long]("doc_id") -> ((
+        row.getAs[Seq[org.apache.spark.sql.Row]]("spans")
+          .map(s => (s.getAs[Long]("span_start"), s.getAs[Long]("span_end"))),
+        row.getAs[Long]("dup_tokens"),
+        row.getAs[Long]("total_tokens")))
+    }.toMap
+    // A: dup windows 3,4 (s-run) and 9 (t-run): gap 5 > 3 keeps them apart
+    assert(byId(0L) == ((Seq((3L, 6L), (9L, 11L)), 7L, 11L)), byId(0L))
+    // B: dup windows 1,2 and 6
+    assert(byId(1L) == ((Seq((1L, 4L), (6L, 8L)), 7L, 8L)), byId(1L))
+    // clean doc: present with an empty span list
+    assert(byId(2L) == ((Seq.empty, 0L, 6L)), byId(2L))
+    // D: dup windows 1 and 3 — window gap 2 <= n, intervals [1,3] and
+    // [3,5] overlap: ONE span covering the whole doc
+    assert(byId(3L) == ((Seq((1L, 5L)), 5L, 5L)), byId(3L))
+    assert(byId(4L)._2 > 0L, "E shares both runs")
+  }
+
   test("label-free LSH embedding dedup covers the label-blocked pairs") {
     // 6 tight clusters, no reliance on the label column at query time
     val emb2 = (0L until 60L).map { i =>
