@@ -389,6 +389,13 @@ object SparkEntry {
     "q_dup_spans_stats" -> ((s, dir) =>
       Dedup.dupSpans(s.read.parquet(t(dir, "documents")), n = 10)
         .select(col("doc_id"), col("dup_tokens"), col("total_tokens"))),
+    // the cut step: rewrite each doc with its duplicated spans removed
+    "q_cut_dup_spans" -> ((s, dir) =>
+      Dedup.cutDupSpans(s.read.parquet(t(dir, "documents")), n = 10)),
+    // concatenate-and-chunk sequence packing over the distributed prefix sum
+    "q_pack_sequences" -> ((s, dir) =>
+      graft.ops.Pipeline.packSequences(
+        s.read.parquet(t(dir, "documents")), capacity = 2048L)),
     // deterministic md5-bucket corpus split (train/val/test) — physical-
     // partitioning-independent, reproducible anywhere md5 exists. The first
     // FOUR hex digits parse to a uniform 0..65535 value (two raw ascii codes
@@ -1173,6 +1180,55 @@ object SparkEntry {
          SELECT t.doc_id, coalesce(a.dup_tokens, 0)::BIGINT AS dup_tokens,
            len(t.t)::BIGINT AS total_tokens
          FROM toks t LEFT JOIN agg a USING (doc_id)""",
+    "q_cut_dup_spans" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents WHERE text IS NOT NULL),
+         wins AS (
+           SELECT doc_id, i, md5(array_to_string(t[i:i+9], ' ')) AS h
+           FROM (SELECT doc_id, t,
+                   unnest(range(1, greatest(len(t)-9, 0)+1)) AS i
+                 FROM toks)),
+         dup AS (
+           SELECT w.doc_id, w.i FROM wins w
+           JOIN (SELECT h FROM (SELECT DISTINCT h, doc_id FROM wins)
+                 GROUP BY h HAVING count(*) >= 2) d USING (h)),
+         isl AS (
+           SELECT doc_id, i,
+             sum(CASE WHEN prev IS NULL OR i - prev > 10 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i) AS span_id
+           FROM (SELECT doc_id, i,
+                   lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+                 FROM dup)),
+         spans AS (
+           SELECT doc_id, min(i) AS s, max(i) + 9 AS e
+           FROM isl GROUP BY doc_id, span_id),
+         tokd AS (
+           SELECT doc_id, unnest(t) AS tok,
+             unnest(range(1, len(t)+1)) AS i
+           FROM toks),
+         kept AS (
+           SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.i) AS clean_text,
+             count(*) AS kept
+           FROM tokd k
+           WHERE NOT EXISTS (SELECT 1 FROM spans s
+                             WHERE s.doc_id = k.doc_id AND k.i BETWEEN s.s AND s.e)
+           GROUP BY k.doc_id)
+         SELECT t.doc_id, coalesce(k.clean_text, '') AS clean_text,
+           coalesce(k.kept, 0)::BIGINT AS kept_tokens
+         FROM toks t LEFT JOIN kept k USING (doc_id)""",
+    "q_pack_sequences" ->
+      """WITH toks AS (
+           SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+           FROM documents WHERE text IS NOT NULL),
+         c AS (
+           SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+           FROM toks)
+         SELECT doc_id, n_tokens, (cum - n_tokens)::BIGINT AS seq_start,
+           ((cum - n_tokens) // 2048)::BIGINT AS pack_first,
+           ((cum - 1) // 2048)::BIGINT AS pack_last
+         FROM c""",
     "q_hash_split" ->
       """WITH b AS (
            SELECT doc_id,

@@ -456,7 +456,7 @@ object Dedup {
     * at a per-job location removed after the job, else each iteration's
     * files accumulate on the reliable store.
     */
-  private def truncateLineage(df: DataFrame): DataFrame =
+  private[ops] def truncateLineage(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint(true)
 
@@ -745,17 +745,35 @@ object Dedup {
     */
   def dupSpans(docs: DataFrame, n: Int = 10, minDocs: Int = 2): DataFrame = {
     val toks = split(col("text"), " ")
-    val base = docs
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), size(toks).cast("long").as("total_tokens"))
+      .join(dupSpanLists(docs, n, minDocs), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("spans"), emptySpans).as("spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        col("total_tokens"))
+  }
+
+  private val emptySpans =
+    array().cast("array<struct<span_start:bigint,span_end:bigint>>")
+
+  /** The shared span-list subtree of [[dupSpans]]/[[cutDupSpans]]:
+    * `(doc_id, spans, dup_tokens)` for documents that HAVE duplicated
+    * spans only — callers left-join and coalesce for the clean docs.
+    */
+  private def dupSpanLists(docs: DataFrame, n: Int, minDocs: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    // materialized once (same discipline as ngramJaccardPairs' postings):
+    // the window subtree feeds BOTH the df aggregation and the span join —
+    // without the truncation the corpus is tokenized and hashed twice
+    val wins = truncateLineage(docs
       .filter(col("text").isNotNull)
       .select(
         col("doc_id"),
         toks.as("t"),
-        size(toks).cast("long").as("total_tokens"),
         greatest(size(toks) - lit(n - 1), lit(0)).as("nw"))
-    // materialized once (same discipline as ngramJaccardPairs' postings):
-    // the window subtree feeds BOTH the df aggregation and the span join —
-    // without the truncation the corpus is tokenized and hashed twice
-    val wins = truncateLineage(base
       .filter(col("nw") > 0)
       .select(col("doc_id"), explode(sequence(lit(1), col("nw"))).as("i"), col("t"))
       .select(
@@ -769,7 +787,7 @@ object Dedup {
       .select(col("h"))
     val ordered = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     val running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val spans = wins
+    wins
       .join(dupHashes, Seq("h"))
       .select(col("doc_id"), col("i"))
       .withColumn(
@@ -778,20 +796,49 @@ object Dedup {
       .withColumn("span_id", sum(col("new_span")).over(running))
       .groupBy(col("doc_id"), col("span_id"))
       .agg(min(col("i")).as("span_start"), (max(col("i")) + lit(n - 1)).as("span_end"))
-    val perDoc = spans
       .groupBy(col("doc_id"))
       .agg(
         sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("spans"),
         sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
-    base
-      .select(col("doc_id"), col("total_tokens"))
-      .join(perDoc, Seq("doc_id"), "left")
+  }
+
+  /** The cut step of exact substring dedup: rewrite each document with its
+    * duplicated spans (per [[dupSpans]]) REMOVED. This is the destructive
+    * variant of Lee et al. 2022's ExactSubstr transform — every occurrence
+    * of a corpus-duplicated n-gram run is dropped; a keep-one-copy policy
+    * would need a global canonical-occurrence election (one extra
+    * min-aggregation over span hashes) and is intentionally out of scope —
+    * at web scale the duplicated mass is boilerplate, and cutting ALL
+    * copies is the published default.
+    *
+    * Output: `(doc_id, clean_text, kept_tokens)` — one row per input
+    * document with non-null text; a fully-duplicated document survives as
+    * an empty string with `kept_tokens = 0`, so downstream length gates
+    * (not this operator) decide whether it lives.
+    *
+    * At scale: the span side is the shared [[dupSpanLists]] subtree (docs
+    * WITH spans only — the usual minority); the text side is ONE
+    * column-pruned scan of (id, text) left-joined on doc_id. The rewrite
+    * itself is a row-local higher-order-function chain (`filter` with
+    * index + `exists` over the doc's own span list), no explode of the
+    * token stream and no shuffle beyond the doc_id join. Cost per row is
+    * tokens × spans-per-doc, both document-bounded; `kept_tokens` is the
+    * filtered array's own length, so no total/dup counters ride the join.
+    */
+  def cutDupSpans(docs: DataFrame, n: Int = 10, minDocs: Int = 2): DataFrame = {
+    val spansByDoc = dupSpanLists(docs, n, minDocs).select(col("doc_id"), col("spans"))
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .join(spansByDoc, Seq("doc_id"), "left")
+      .withColumn("kept", filter(col("t"), (tok, i) =>
+        !exists(coalesce(col("spans"), emptySpans), sp =>
+          (i + lit(1)) >= sp.getField("span_start") &&
+            (i + lit(1)) <= sp.getField("span_end"))))
       .select(
         col("doc_id"),
-        coalesce(col("spans"),
-          array().cast("array<struct<span_start:bigint,span_end:bigint>>")).as("spans"),
-        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-        col("total_tokens"))
+        array_join(col("kept"), " ").as("clean_text"),
+        size(col("kept")).cast("long").as("kept_tokens"))
   }
 
   /** Embedding cosine near-dup pairs WITHOUT a blocking label — for corpora

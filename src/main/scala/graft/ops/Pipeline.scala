@@ -89,6 +89,81 @@ object Pipeline {
         col("dup_count"))
   }
 
+  /** GPT-style concatenate-and-chunk sequence packing: lay every
+    * document's tokens end-to-end in deterministic `doc_id` order and cut
+    * the stream every `capacity` tokens. Returns, per document, the global
+    * token interval it occupies and the first/last training sequence
+    * ("pack") it lands in — documents straddle pack boundaries by design,
+    * exactly like the standard LM pre-training loader.
+    *
+    * Output: `(doc_id, n_tokens, seq_start, pack_first, pack_last)` with
+    * `seq_start` the 0-based offset of the document's first token in the
+    * concatenated stream. Results depend only on (doc_id order, token
+    * counts, capacity) — physical partitioning never changes them.
+    *
+    * At scale — the distributed prefix sum: a naive running total is
+    * `sum() OVER (ORDER BY doc_id)`, a single-partition window that
+    * serializes the corpus through one task. Instead:
+    *
+    *   1. range-repartition by doc_id (ordered, balanced partitions) and
+    *      tag each row with its partition id;
+    *   2. aggregate one `(pid, sum)` row per partition and collect THAT —
+    *      a driver-side collect bounded by the partition count (the same
+    *      bounded-probe contract as the committed-group ids), turned into
+    *      exclusive prefix offsets;
+    *   3. broadcast-join the offsets back and finish with a per-PARTITION
+    *      window (`partitionBy(pid)`) — every window group is one range
+    *      partition, so the sort is partition-local and no corpus-wide
+    *      hot key exists.
+    *
+    * The tagged frame is lineage-truncated so the range exchange runs once
+    * and the partition ids are frozen between the offsets job and the
+    * final pass.
+    */
+  def packSequences(
+      docs: DataFrame,
+      capacity: Long = 2048L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(capacity > 0, s"pack capacity must be positive, got $capacity")
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val tagged = Dedup.truncateLineage(
+      docs
+        .filter(col(textCol).isNotNull)
+        .select(
+          col(idCol).as("doc_id"),
+          TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        .repartitionByRange(col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .withColumn("pid", spark_partition_id()))
+    val partSums = tagged
+      .groupBy(col("pid"))
+      .agg(sum(col("n_tokens")).as("psum"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = partSums
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, s)) => (pid, acc + s) }
+      .init // scanLeft emits (seed, o1..oN); exclusive prefix = seed..o(N-1)
+      .zip(partSums)
+      .map { case ((_, off), (pid, _)) => (pid, off) }
+    val offsetsDf = spark.createDataFrame(offsets.toSeq).toDF("pid", "pid_offset")
+    val w = Window
+      .partitionBy(col("pid"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .join(broadcast(offsetsDf), Seq("pid"))
+      .withColumn("cum", sum(col("n_tokens")).over(w) + col("pid_offset"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("seq_start"),
+        expr(s"(cum - n_tokens) div ${capacity}L").as("pack_first"),
+        expr(s"(cum - 1) div ${capacity}L").as("pack_last"))
+  }
+
   /** The per-split rollup of the prepared corpus: documents that pass the
     * gopher gate and are the canonical copy of their exact-dup group,
     * counted and token-summed per train/val/test split.

@@ -281,6 +281,24 @@ class DedupSpec extends AnyFunSuite {
     assert(byId(4L)._2 > 0L, "E shares both runs")
   }
 
+  test("cutDupSpans removes exactly the masked tokens and keeps order") {
+    val corpus = Seq(
+      (0L, "x1 x2 s1 s2 s3 s4 x3 x4 t1 t2 t3"),
+      (1L, "s1 s2 s3 s4 y1 t1 t2 t3"),
+      (2L, "c1 c2 c3 c4 c5 c6"),          // clean: text unchanged
+      (3L, "a1 a2 a3 a4 a5"),             // fully duplicated -> empty
+      (4L, "a1 a2 a3 zz a3 a4 a5")
+    ).toDF("doc_id", "text")
+    val r = Dedup.cutDupSpans(corpus, n = 3, minDocs = 2).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("clean_text"), x.getAs[Long]("kept_tokens")))).toMap
+    assert(r(0L) == (("x1 x2 x3 x4", 4L)), r(0L))
+    assert(r(1L) == (("y1", 1L)), r(1L))
+    assert(r(2L) == (("c1 c2 c3 c4 c5 c6", 6L)), r(2L))
+    assert(r(3L) == (("", 0L)), r(3L))
+    assert(r.size == 5)
+  }
+
   test("label-free LSH embedding dedup covers the label-blocked pairs") {
     // 6 tight clusters, no reliance on the label column at query time
     val emb2 = (0L until 60L).map { i =>

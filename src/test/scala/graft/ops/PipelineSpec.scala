@@ -84,6 +84,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences matches the sequential prefix sum, any input partitioning") {
+    // 40 docs, varying token counts, capacity 7: many boundary straddles
+    val texts = (0L until 40L).map { i =>
+      val n = (i % 5 + 1).toInt // 1..5 tokens
+      (i, Seq.tabulate(n)(j => s"w${i}_$j").mkString(" "))
+    }
+    val expected = {
+      var cum = 0L
+      texts.sortBy(_._1).map { case (id, txt) =>
+        val n = txt.split(" ").length.toLong
+        val start = cum
+        cum += n
+        (id, n, start, start / 7L, (cum - 1) / 7L)
+      }.toSet
+    }
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Pipeline.packSequences(df, capacity = 7L).collect()
+        .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("n_tokens"),
+          x.getAs[Long]("seq_start"), x.getAs[Long]("pack_first"),
+          x.getAs[Long]("pack_last"))).toSet
+    val base = texts.toDF("doc_id", "text")
+    assert(run(base) == expected)
+    // physical-partitioning independence: a scrambled 7-partition input
+    // must produce the identical packing
+    assert(run(base.repartition(7, col("doc_id"))) == expected)
+  }
+
   test("splitName is deterministic and covers all three splits at scale") {
     val ids = spark.range(0, 2000).select(col("id").as("doc_id"))
     val dist = ids.select(Pipeline.splitName(col("doc_id")).as("s"))
