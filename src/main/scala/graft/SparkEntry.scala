@@ -382,10 +382,7 @@ object SparkEntry {
     // duplicated-SPAN masking (exact substring dedup, Lee et al. 2022):
     // the flat span listing and the per-doc rollup ride the same operator
     "q_dup_spans" -> ((s, dir) =>
-      Dedup.dupSpans(s.read.parquet(t(dir, "documents")), n = 10)
-        .select(col("doc_id"), explode(col("spans")).as("sp"))
-        .select(col("doc_id"), col("sp.span_start").as("span_start"),
-          col("sp.span_end").as("span_end"))),
+      Dedup.dupSpanList(s.read.parquet(t(dir, "documents")), n = 10)),
     "q_dup_spans_stats" -> ((s, dir) =>
       Dedup.dupSpans(s.read.parquet(t(dir, "documents")), n = 10)
         .select(col("doc_id"), col("dup_tokens"), col("total_tokens"))),
@@ -725,6 +722,38 @@ object SparkEntry {
            (r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_bullet_lines
             AND r_ellipsis_lines AND r_alpha_words AND r_stopwords) AS keep
          FROM r"""
+
+  /** Shared CTE prefix of the three span-dedup oracles (q_dup_spans,
+    * q_dup_spans_stats, q_cut_dup_spans): tokenization, sliding 10-token
+    * window hashes, corpus-duplicated windows (df >= 2), island merge
+    * (token-interval gap <= n), and the maximal spans — ONE definition so
+    * the three oracles can never desynchronize from each other (they
+    * mirror the single Scala definition in `Dedup.windowHashes` /
+    * `dupSpanRows`).
+    */
+  private val SpanCteSql: String =
+    """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents WHERE text IS NOT NULL),
+         wins AS (
+           SELECT doc_id, i, md5(array_to_string(t[i:i+9], ' ')) AS h
+           FROM (SELECT doc_id, t,
+                   unnest(range(1, greatest(len(t)-9, 0)+1)) AS i
+                 FROM toks)),
+         dup AS (
+           SELECT w.doc_id, w.i FROM wins w
+           JOIN (SELECT h FROM (SELECT DISTINCT h, doc_id FROM wins)
+                 GROUP BY h HAVING count(*) >= 2) d USING (h)),
+         isl AS (
+           SELECT doc_id, i,
+             sum(CASE WHEN prev IS NULL OR i - prev > 10 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i) AS span_id
+           FROM (SELECT doc_id, i,
+                   lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+                 FROM dup)),
+         spans AS (
+           SELECT doc_id, min(i) AS s, max(i) + 9 AS e
+           FROM isl GROUP BY doc_id, span_id)"""
 
   def oracleSql: Map[String, String] = Map(
     // Flagship digest gates: frozen constants of the seeded 2000-page
@@ -1129,80 +1158,19 @@ object SparkEntry {
          FROM wins w JOIN dfh d ON w.h = d.h
          GROUP BY w.doc_id""",
     "q_dup_spans" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split(text, ' ') AS t
-           FROM documents WHERE text IS NOT NULL),
-         wins AS (
-           SELECT doc_id, i, md5(array_to_string(t[i:i+9], ' ')) AS h
-           FROM (SELECT doc_id, t,
-                   unnest(range(1, greatest(len(t)-9, 0)+1)) AS i
-                 FROM toks)),
-         dup AS (
-           SELECT w.doc_id, w.i FROM wins w
-           JOIN (SELECT h FROM (SELECT DISTINCT h, doc_id FROM wins)
-                 GROUP BY h HAVING count(*) >= 2) d USING (h)),
-         isl AS (
-           SELECT doc_id, i,
-             sum(CASE WHEN prev IS NULL OR i - prev > 10 THEN 1 ELSE 0 END)
-               OVER (PARTITION BY doc_id ORDER BY i) AS span_id
-           FROM (SELECT doc_id, i,
-                   lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
-                 FROM dup))
-         SELECT doc_id, min(i)::BIGINT AS span_start,
-           (max(i) + 9)::BIGINT AS span_end
-         FROM isl GROUP BY doc_id, span_id""",
+      (SpanCteSql + """
+         SELECT doc_id, s::BIGINT AS span_start, e::BIGINT AS span_end
+         FROM spans"""),
     "q_dup_spans_stats" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split(text, ' ') AS t
-           FROM documents WHERE text IS NOT NULL),
-         wins AS (
-           SELECT doc_id, i, md5(array_to_string(t[i:i+9], ' ')) AS h
-           FROM (SELECT doc_id, t,
-                   unnest(range(1, greatest(len(t)-9, 0)+1)) AS i
-                 FROM toks)),
-         dup AS (
-           SELECT w.doc_id, w.i FROM wins w
-           JOIN (SELECT h FROM (SELECT DISTINCT h, doc_id FROM wins)
-                 GROUP BY h HAVING count(*) >= 2) d USING (h)),
-         isl AS (
-           SELECT doc_id, i,
-             sum(CASE WHEN prev IS NULL OR i - prev > 10 THEN 1 ELSE 0 END)
-               OVER (PARTITION BY doc_id ORDER BY i) AS span_id
-           FROM (SELECT doc_id, i,
-                   lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
-                 FROM dup)),
-         spans AS (
-           SELECT doc_id, min(i) AS s, max(i) + 9 AS e
-           FROM isl GROUP BY doc_id, span_id),
+      (SpanCteSql + """,
          agg AS (
            SELECT doc_id, sum(e - s + 1)::BIGINT AS dup_tokens
            FROM spans GROUP BY doc_id)
          SELECT t.doc_id, coalesce(a.dup_tokens, 0)::BIGINT AS dup_tokens,
            len(t.t)::BIGINT AS total_tokens
-         FROM toks t LEFT JOIN agg a USING (doc_id)""",
+         FROM toks t LEFT JOIN agg a USING (doc_id)"""),
     "q_cut_dup_spans" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split(text, ' ') AS t
-           FROM documents WHERE text IS NOT NULL),
-         wins AS (
-           SELECT doc_id, i, md5(array_to_string(t[i:i+9], ' ')) AS h
-           FROM (SELECT doc_id, t,
-                   unnest(range(1, greatest(len(t)-9, 0)+1)) AS i
-                 FROM toks)),
-         dup AS (
-           SELECT w.doc_id, w.i FROM wins w
-           JOIN (SELECT h FROM (SELECT DISTINCT h, doc_id FROM wins)
-                 GROUP BY h HAVING count(*) >= 2) d USING (h)),
-         isl AS (
-           SELECT doc_id, i,
-             sum(CASE WHEN prev IS NULL OR i - prev > 10 THEN 1 ELSE 0 END)
-               OVER (PARTITION BY doc_id ORDER BY i) AS span_id
-           FROM (SELECT doc_id, i,
-                   lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
-                 FROM dup)),
-         spans AS (
-           SELECT doc_id, min(i) AS s, max(i) + 9 AS e
-           FROM isl GROUP BY doc_id, span_id),
+      (SpanCteSql + """,
          tokd AS (
            SELECT doc_id, unnest(t) AS tok,
              unnest(range(1, len(t)+1)) AS i
@@ -1216,7 +1184,7 @@ object SparkEntry {
            GROUP BY k.doc_id)
          SELECT t.doc_id, coalesce(k.clean_text, '') AS clean_text,
            coalesce(k.kept, 0)::BIGINT AS kept_tokens
-         FROM toks t LEFT JOIN kept k USING (doc_id)""",
+         FROM toks t LEFT JOIN kept k USING (doc_id)"""),
     "q_pack_sequences" ->
       """WITH toks AS (
            SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens

@@ -694,14 +694,34 @@ object Dedup {
     * both branches read the identical (h, doc_id) exchange, which Spark
     * reuses (ReusedExchange — asserted in tests).
     */
-  def passageDupStats(docs: DataFrame, n: Int = 10): DataFrame = {
+  /** The sliding-window hash subtree shared by [[passageDupStats]] and the
+    * span operators: one row per n-token window, `(doc_id, i, h)` with `i`
+    * the 1-based start offset and `h` = md5 of the space-joined window.
+    * This is the SINGLE definition of the window hash — tokenization,
+    * window count, and hash live here so the counting and span/cut
+    * operators can never diverge. (The `text IS NOT NULL` filter is
+    * semantically a no-op for callers that only consume `h` — a null text
+    * has no windows either way — but makes the frame safe to reuse where
+    * `i`/`t` are touched.)
+    */
+  private[ops] def windowHashes(docs: DataFrame, n: Int): DataFrame = {
     val toks = split(col("text"), " ")
-    val nWin = greatest(size(toks) - lit(n - 1), lit(0))
-    val wins = docs
-      .select(col("doc_id"), toks.as("t"), nWin.as("nw"))
+    docs
+      .filter(col("text").isNotNull)
+      .select(
+        col("doc_id"),
+        toks.as("t"),
+        greatest(size(toks) - lit(n - 1), lit(0)).as("nw"))
       .filter(col("nw") > 0)
       .select(col("doc_id"), explode(sequence(lit(1), col("nw"))).as("i"), col("t"))
-      .select(col("doc_id"), md5(array_join(slice(col("t"), col("i"), lit(n)), " ")).as("h"))
+      .select(
+        col("doc_id"),
+        col("i").cast("long").as("i"),
+        md5(array_join(slice(col("t"), col("i"), lit(n)), " ")).as("h"))
+  }
+
+  def passageDupStats(docs: DataFrame, n: Int = 10): DataFrame = {
+    val wins = windowHashes(docs, n).select(col("doc_id"), col("h"))
     val perDocHash = wins.groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("cnt"))
     // The trivially-true filter pins `cnt` against column pruning: without it
     // Catalyst prunes the count out of THIS branch's partial aggregate, the
@@ -759,27 +779,22 @@ object Dedup {
   private val emptySpans =
     array().cast("array<struct<span_start:bigint,span_end:bigint>>")
 
-  /** The shared span-list subtree of [[dupSpans]]/[[cutDupSpans]]:
-    * `(doc_id, spans, dup_tokens)` for documents that HAVE duplicated
-    * spans only — callers left-join and coalesce for the clean docs.
+  /** Flat listing form of [[dupSpans]]: one row per duplicated span,
+    * `(doc_id, span_start, span_end)`, docs with spans only — the shape a
+    * span export or the driver's flat-listing query wants, WITHOUT the
+    * clean-doc join and token counters [[dupSpans]] adds on top.
     */
-  private def dupSpanLists(docs: DataFrame, n: Int, minDocs: Int): DataFrame = {
-    val toks = split(col("text"), " ")
+  def dupSpanList(docs: DataFrame, n: Int = 10, minDocs: Int = 2): DataFrame =
+    dupSpanRows(docs, n, minDocs)
+
+  /** One row per maximal duplicated span: `(doc_id, span_start, span_end)`.
+    * Shared by the listing, rollup, and cut forms.
+    */
+  private def dupSpanRows(docs: DataFrame, n: Int, minDocs: Int): DataFrame = {
     // materialized once (same discipline as ngramJaccardPairs' postings):
     // the window subtree feeds BOTH the df aggregation and the span join —
     // without the truncation the corpus is tokenized and hashed twice
-    val wins = truncateLineage(docs
-      .filter(col("text").isNotNull)
-      .select(
-        col("doc_id"),
-        toks.as("t"),
-        greatest(size(toks) - lit(n - 1), lit(0)).as("nw"))
-      .filter(col("nw") > 0)
-      .select(col("doc_id"), explode(sequence(lit(1), col("nw"))).as("i"), col("t"))
-      .select(
-        col("doc_id"),
-        col("i").cast("long").as("i"),
-        md5(array_join(slice(col("t"), col("i"), lit(n)), " ")).as("h")))
+    val wins = truncateLineage(windowHashes(docs, n))
     val dupHashes = wins
       .select(col("h"), col("doc_id")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("docs_with"))
@@ -796,11 +811,19 @@ object Dedup {
       .withColumn("span_id", sum(col("new_span")).over(running))
       .groupBy(col("doc_id"), col("span_id"))
       .agg(min(col("i")).as("span_start"), (max(col("i")) + lit(n - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /** The shared span-list subtree of [[dupSpans]]/[[cutDupSpans]]:
+    * `(doc_id, spans, dup_tokens)` for documents that HAVE duplicated
+    * spans only — callers left-join and coalesce for the clean docs.
+    */
+  private def dupSpanLists(docs: DataFrame, n: Int, minDocs: Int): DataFrame =
+    dupSpanRows(docs, n, minDocs)
       .groupBy(col("doc_id"))
       .agg(
         sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("spans"),
         sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
-  }
 
   /** The cut step of exact substring dedup: rewrite each document with its
     * duplicated spans (per [[dupSpans]]) REMOVED. This is the destructive

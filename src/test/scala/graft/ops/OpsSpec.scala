@@ -264,8 +264,9 @@ class DedupSpec extends AnyFunSuite {
     val r = Dedup.dupSpans(corpus, n = 3, minDocs = 2)
     val byId = r.collect().map { row =>
       row.getAs[Long]("doc_id") -> ((
-        row.getAs[Seq[org.apache.spark.sql.Row]]("spans")
-          .map(s => (s.getAs[Long]("span_start"), s.getAs[Long]("span_end"))),
+        row.getAs[collection.Seq[org.apache.spark.sql.Row]]("spans")
+          .map(s => (s.getAs[Long]("span_start"), s.getAs[Long]("span_end")))
+          .toList: Seq[(Long, Long)],
         row.getAs[Long]("dup_tokens"),
         row.getAs[Long]("total_tokens")))
     }.toMap
@@ -279,6 +280,14 @@ class DedupSpec extends AnyFunSuite {
     // [3,5] overlap: ONE span covering the whole doc
     assert(byId(3L) == ((Seq((1L, 5L)), 5L, 5L)), byId(3L))
     assert(byId(4L)._2 > 0L, "E shares both runs")
+    // the flat listing form is exactly the rollup's spans, exploded
+    val flat = Dedup.dupSpanList(corpus, n = 3, minDocs = 2).collect()
+      .map(x => (x.getAs[Long]("doc_id"),
+        x.getAs[Long]("span_start"), x.getAs[Long]("span_end"))).toSet
+    val expected = byId.toSeq.flatMap { case (id, (spans, _, _)) =>
+      spans.map(sp => (id, sp._1, sp._2))
+    }.toSet
+    assert(flat == expected, s"flat=$flat expected=$expected")
   }
 
   test("cutDupSpans removes exactly the masked tokens and keeps order") {
