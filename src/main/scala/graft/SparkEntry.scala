@@ -389,6 +389,10 @@ object SparkEntry {
     // the cut step: rewrite each doc with its duplicated spans removed
     "q_cut_dup_spans" -> ((s, dir) =>
       Dedup.cutDupSpans(s.read.parquet(t(dir, "documents")), n = 10)),
+    // keep-one-copy variant: the globally first occurrence of each
+    // duplicated window is elected canonical and survives the cut
+    "q_cut_dup_spans_keep1" -> ((s, dir) =>
+      Dedup.cutDupSpansKeepFirst(s.read.parquet(t(dir, "documents")), n = 10)),
     // concatenate-and-chunk sequence packing over the distributed prefix sum
     "q_pack_sequences" -> ((s, dir) =>
       graft.ops.Pipeline.packSequences(
@@ -723,15 +727,12 @@ object SparkEntry {
             AND r_ellipsis_lines AND r_alpha_words AND r_stopwords) AS keep
          FROM r"""
 
-  /** Shared CTE prefix of the three span-dedup oracles (q_dup_spans,
-    * q_dup_spans_stats, q_cut_dup_spans): tokenization, sliding 10-token
-    * window hashes, corpus-duplicated windows (df >= 2), island merge
-    * (token-interval gap <= n), and the maximal spans — ONE definition so
-    * the three oracles can never desynchronize from each other (they
-    * mirror the single Scala definition in `Dedup.windowHashes` /
-    * `dupSpanRows`).
+  /** Shared CTE base of the span-dedup oracles: tokenization, sliding
+    * 10-token window hashes, and the corpus-duplicated hash set (df >= 2
+    * distinct docs) — ONE definition mirroring the single Scala
+    * definition in `Dedup.windowHashes` / `dupHashes`.
     */
-  private val SpanCteSql: String =
+  private val SpanBaseCteSql: String =
     """WITH toks AS (
            SELECT doc_id, string_split(text, ' ') AS t
            FROM documents WHERE text IS NOT NULL),
@@ -740,10 +741,20 @@ object SparkEntry {
            FROM (SELECT doc_id, t,
                    unnest(range(1, greatest(len(t)-9, 0)+1)) AS i
                  FROM toks)),
+         dupk AS (
+           SELECT h FROM (SELECT DISTINCT h, doc_id FROM wins)
+           GROUP BY h HAVING count(*) >= 2)"""
+
+  /** Extends [[SpanBaseCteSql]] with the cut-all span pipeline: all
+    * duplicated occurrences, island merge (token-interval gap <= n), and
+    * the maximal spans — shared by q_dup_spans, q_dup_spans_stats, and
+    * q_cut_dup_spans so the three can never desynchronize (mirrors
+    * `Dedup.dupSpanRows` / `mergeIslands`).
+    */
+  private val SpanCteSql: String = SpanBaseCteSql +
+    """,
          dup AS (
-           SELECT w.doc_id, w.i FROM wins w
-           JOIN (SELECT h FROM (SELECT DISTINCT h, doc_id FROM wins)
-                 GROUP BY h HAVING count(*) >= 2) d USING (h)),
+           SELECT w.doc_id, w.i FROM wins w JOIN dupk USING (h)),
          isl AS (
            SELECT doc_id, i,
              sum(CASE WHEN prev IS NULL OR i - prev > 10 THEN 1 ELSE 0 END)
@@ -1171,6 +1182,48 @@ object SparkEntry {
          FROM toks t LEFT JOIN agg a USING (doc_id)"""),
     "q_cut_dup_spans" ->
       (SpanCteSql + """,
+         tokd AS (
+           SELECT doc_id, unnest(t) AS tok,
+             unnest(range(1, len(t)+1)) AS i
+           FROM toks),
+         kept AS (
+           SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.i) AS clean_text,
+             count(*) AS kept
+           FROM tokd k
+           WHERE NOT EXISTS (SELECT 1 FROM spans s
+                             WHERE s.doc_id = k.doc_id AND k.i BETWEEN s.s AND s.e)
+           GROUP BY k.doc_id)
+         SELECT t.doc_id, coalesce(k.clean_text, '') AS clean_text,
+           coalesce(k.kept, 0)::BIGINT AS kept_tokens
+         FROM toks t LEFT JOIN kept k USING (doc_id)"""),
+    // keep-first cut: the canonical (globally first) occurrence of each
+    // duplicated hash is elected via min(doc_id) then min(i) within that
+    // doc — the exact lexicographic order of the Spark min(struct(doc_id,
+    // i)) election — and exempted from the cut-window set
+    "q_cut_dup_spans_keep1" ->
+      (SpanBaseCteSql + """,
+         c1 AS (
+           SELECT h, min(doc_id) AS cdoc
+           FROM wins JOIN dupk USING (h) GROUP BY h),
+         c2 AS (
+           SELECT w.h, min(w.i) AS ci FROM wins w
+           JOIN c1 ON w.h = c1.h AND w.doc_id = c1.cdoc
+           GROUP BY w.h),
+         cutw AS (
+           SELECT w.doc_id, w.i FROM wins w
+           JOIN c1 ON w.h = c1.h
+           JOIN c2 ON w.h = c2.h
+           WHERE NOT (w.doc_id = c1.cdoc AND w.i = c2.ci)),
+         isl AS (
+           SELECT doc_id, i,
+             sum(CASE WHEN prev IS NULL OR i - prev > 10 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i) AS span_id
+           FROM (SELECT doc_id, i,
+                   lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+                 FROM cutw)),
+         spans AS (
+           SELECT doc_id, min(i) AS s, max(i) + 9 AS e
+           FROM isl GROUP BY doc_id, span_id),
          tokd AS (
            SELECT doc_id, unnest(t) AS tok,
              unnest(range(1, len(t)+1)) AS i

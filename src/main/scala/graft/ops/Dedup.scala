@@ -795,15 +795,30 @@ object Dedup {
     // the window subtree feeds BOTH the df aggregation and the span join —
     // without the truncation the corpus is tokenized and hashed twice
     val wins = truncateLineage(windowHashes(docs, n))
-    val dupHashes = wins
+    mergeIslands(wins.join(dupHashes(wins, minDocs), Seq("h")), n)
+  }
+
+  /** Hashes occurring in at least `minDocs` DISTINCT documents — the
+    * shared "duplicated" predicate of the span family. Partial-aggregated
+    * (distinct + count), no window.
+    */
+  private def dupHashes(wins: DataFrame, minDocs: Int): DataFrame =
+    wins
       .select(col("h"), col("doc_id")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("docs_with"))
       .filter(col("docs_with") >= minDocs)
       .select(col("h"))
+
+  /** Merge a set of cut-marked windows `(doc_id, i)` into maximal token
+    * spans: windows join the same span when their token intervals overlap
+    * or touch (start gap <= n). Per-DOCUMENT window functions only —
+    * partition key = doc_id, so no corpus hot key exists by construction;
+    * the lag and running-sum windows share one sort.
+    */
+  private def mergeIslands(cutWins: DataFrame, n: Int): DataFrame = {
     val ordered = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     val running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wins
-      .join(dupHashes, Seq("h"))
+    cutWins
       .select(col("doc_id"), col("i"))
       .withColumn(
         "new_span",
@@ -828,11 +843,9 @@ object Dedup {
   /** The cut step of exact substring dedup: rewrite each document with its
     * duplicated spans (per [[dupSpans]]) REMOVED. This is the destructive
     * variant of Lee et al. 2022's ExactSubstr transform — every occurrence
-    * of a corpus-duplicated n-gram run is dropped; a keep-one-copy policy
-    * would need a global canonical-occurrence election (one extra
-    * min-aggregation over span hashes) and is intentionally out of scope —
-    * at web scale the duplicated mass is boilerplate, and cutting ALL
-    * copies is the published default.
+    * of a corpus-duplicated n-gram run is dropped (the published default:
+    * at web scale the duplicated mass is boilerplate). For the
+    * keep-one-copy policy see [[cutDupSpansKeepFirst]].
     *
     * Output: `(doc_id, clean_text, kept_tokens)` — one row per input
     * document with non-null text; a fully-duplicated document survives as
@@ -848,8 +861,54 @@ object Dedup {
     * tokens × spans-per-doc, both document-bounded; `kept_tokens` is the
     * filtered array's own length, so no total/dup counters ride the join.
     */
-  def cutDupSpans(docs: DataFrame, n: Int = 10, minDocs: Int = 2): DataFrame = {
-    val spansByDoc = dupSpanLists(docs, n, minDocs).select(col("doc_id"), col("spans"))
+  def cutDupSpans(docs: DataFrame, n: Int = 10, minDocs: Int = 2): DataFrame =
+    cutBySpanLists(docs, dupSpanLists(docs, n, minDocs))
+
+  /** Keep-one-copy variant of [[cutDupSpans]]: for every corpus-duplicated
+    * window hash, the globally FIRST occurrence (minimum `(doc_id, i)`,
+    * deterministic) is elected canonical and is never itself cut; every
+    * other occurrence is cut exactly as in [[cutDupSpans]]. One copy of
+    * each duplicated run therefore survives — the policy a
+    * citation-preserving or provenance-sensitive corpus wants, where the
+    * destructive default would drop ALL copies of a popular passage.
+    *
+    * Granularity caveat (documented contract): the keep guarantee is
+    * per-WINDOW, not per-token — a canonical window's tokens can still
+    * fall inside a cut span started by a DIFFERENT duplicated run
+    * overlapping it in the same document. For disjoint duplicated runs
+    * (the common boilerplate case) the canonical copy survives verbatim.
+    *
+    * At scale: the canonical election is one extra `groupBy(h)` with a
+    * partial-aggregable `min(struct(doc_id, i))` — NO per-hash window, so
+    * a corpus-common boilerplate hash shrinks to one row per map task
+    * instead of pinning a single window task (same skew discipline as
+    * [[markDuplicates]]). The window subtree stays materialized once and
+    * feeds the df aggregate, the election, and the cut-window join.
+    */
+  def cutDupSpansKeepFirst(docs: DataFrame, n: Int = 10, minDocs: Int = 2): DataFrame = {
+    val wins = truncateLineage(windowHashes(docs, n))
+    val canon = wins
+      .join(dupHashes(wins, minDocs), Seq("h"))
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("i"))).as("c"))
+      .select(col("h"), col("c.doc_id").as("c_doc"), col("c.i").as("c_i"))
+    val cutWins = wins
+      .join(canon, Seq("h")) // inner: only duplicated hashes survive
+      .filter(!(col("doc_id") === col("c_doc") && col("i") === col("c_i")))
+    cutBySpanLists(
+      docs,
+      mergeIslands(cutWins, n)
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("span_start"), col("span_end"))))
+          .as("spans")))
+  }
+
+  /** The shared rewrite of the cut family: drop every token of `docs`
+    * that falls inside its document's span list (row-local higher-order
+    * `filter` + `exists`; clean docs pass through via the left join).
+    */
+  private def cutBySpanLists(docs: DataFrame, spanLists: DataFrame): DataFrame = {
+    val spansByDoc = spanLists.select(col("doc_id"), col("spans"))
     docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("t"))

@@ -308,6 +308,30 @@ class DedupSpec extends AnyFunSuite {
     assert(r.size == 5)
   }
 
+  test("cutDupSpansKeepFirst spares the globally first occurrence only") {
+    val corpus = Seq(
+      (0L, "x1 x2 s1 s2 s3 s4 x3 x4 t1 t2 t3"),
+      (1L, "s1 s2 s3 s4 y1 t1 t2 t3"),
+      (2L, "c1 c2 c3 c4 c5 c6"),          // clean: text unchanged
+      (3L, "a1 a2 a3 a4 a5"),             // all canonical -> fully kept
+      (4L, "a1 a2 a3 zz a3 a4 a5")
+    ).toDF("doc_id", "text")
+    val r = Dedup.cutDupSpansKeepFirst(corpus, n = 3, minDocs = 2).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("clean_text"), x.getAs[Long]("kept_tokens")))).toMap
+    // doc 0 holds the min-(doc_id, i) occurrence of every shared run with
+    // doc 1, so it survives verbatim where the destructive cut gutted it
+    assert(r(0L) == (("x1 x2 s1 s2 s3 s4 x3 x4 t1 t2 t3", 11L)), r(0L))
+    assert(r(1L) == (("y1", 1L)), r(1L))
+    assert(r(2L) == (("c1 c2 c3 c4 c5 c6", 6L)), r(2L))
+    // doc 3 is the canonical copy of the a-run: kept, not emptied
+    assert(r(3L) == (("a1 a2 a3 a4 a5", 5L)), r(3L))
+    // doc 4's two duplicated windows (i=1, i=5) are both non-canonical;
+    // gap 4 > n=3 keeps them separate spans, sparing only "zz"
+    assert(r(4L) == (("zz", 1L)), r(4L))
+    assert(r.size == 5)
+  }
+
   test("label-free LSH embedding dedup covers the label-blocked pairs") {
     // 6 tight clusters, no reliance on the label column at query time
     val emb2 = (0L until 60L).map { i =>
