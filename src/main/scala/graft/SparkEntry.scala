@@ -745,26 +745,57 @@ object SparkEntry {
            SELECT h FROM (SELECT DISTINCT h, doc_id FROM wins)
            GROUP BY h HAVING count(*) >= 2)"""
 
-  /** Extends [[SpanBaseCteSql]] with the cut-all span pipeline: all
-    * duplicated occurrences, island merge (token-interval gap <= n), and
-    * the maximal spans — shared by q_dup_spans, q_dup_spans_stats, and
-    * q_cut_dup_spans so the three can never desynchronize (mirrors
-    * `Dedup.dupSpanRows` / `mergeIslands`).
+  /** Island-merge CTEs over a `(doc_id, i)` cut-window source CTE:
+    * token-interval islands (gap <= n = 10) merged into maximal spans —
+    * ONE definition of the merge rule (mirrors `Dedup.mergeIslands`)
+    * parameterized by the source so the cut-all and keep-first pipelines
+    * cannot desynchronize on it.
     */
-  private val SpanCteSql: String = SpanBaseCteSql +
-    """,
-         dup AS (
-           SELECT w.doc_id, w.i FROM wins w JOIN dupk USING (h)),
+  private def islandSql(src: String): String =
+    s""",
          isl AS (
            SELECT doc_id, i,
              sum(CASE WHEN prev IS NULL OR i - prev > 10 THEN 1 ELSE 0 END)
                OVER (PARTITION BY doc_id ORDER BY i) AS span_id
            FROM (SELECT doc_id, i,
                    lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
-                 FROM dup)),
+                 FROM $src)),
          spans AS (
            SELECT doc_id, min(i) AS s, max(i) + 9 AS e
            FROM isl GROUP BY doc_id, span_id)"""
+
+  /** Extends [[SpanBaseCteSql]] with the cut-all span pipeline: all
+    * duplicated occurrences, island merge, and the maximal spans — shared
+    * by q_dup_spans, q_dup_spans_stats, and q_cut_dup_spans so the three
+    * can never desynchronize (mirrors `Dedup.dupSpanRows`).
+    */
+  private val SpanCteSql: String = SpanBaseCteSql +
+    """,
+         dup AS (
+           SELECT w.doc_id, w.i FROM wins w JOIN dupk USING (h))""" +
+    islandSql("dup")
+
+  /** The cut rewrite shared by q_cut_dup_spans and q_cut_dup_spans_keep1:
+    * drop every token inside a `spans` interval, re-join clean docs —
+    * appended after a pipeline that defined `toks` and `spans` (mirrors
+    * `Dedup.cutBySpanLists`).
+    */
+  private val CutRewriteSql: String =
+    """,
+         tokd AS (
+           SELECT doc_id, unnest(t) AS tok,
+             unnest(range(1, len(t)+1)) AS i
+           FROM toks),
+         kept AS (
+           SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.i) AS clean_text,
+             count(*) AS kept
+           FROM tokd k
+           WHERE NOT EXISTS (SELECT 1 FROM spans s
+                             WHERE s.doc_id = k.doc_id AND k.i BETWEEN s.s AND s.e)
+           GROUP BY k.doc_id)
+         SELECT t.doc_id, coalesce(k.clean_text, '') AS clean_text,
+           coalesce(k.kept, 0)::BIGINT AS kept_tokens
+         FROM toks t LEFT JOIN kept k USING (doc_id)"""
 
   def oracleSql: Map[String, String] = Map(
     // Flagship digest gates: frozen constants of the seeded 2000-page
@@ -1181,25 +1212,11 @@ object SparkEntry {
            len(t.t)::BIGINT AS total_tokens
          FROM toks t LEFT JOIN agg a USING (doc_id)"""),
     "q_cut_dup_spans" ->
-      (SpanCteSql + """,
-         tokd AS (
-           SELECT doc_id, unnest(t) AS tok,
-             unnest(range(1, len(t)+1)) AS i
-           FROM toks),
-         kept AS (
-           SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.i) AS clean_text,
-             count(*) AS kept
-           FROM tokd k
-           WHERE NOT EXISTS (SELECT 1 FROM spans s
-                             WHERE s.doc_id = k.doc_id AND k.i BETWEEN s.s AND s.e)
-           GROUP BY k.doc_id)
-         SELECT t.doc_id, coalesce(k.clean_text, '') AS clean_text,
-           coalesce(k.kept, 0)::BIGINT AS kept_tokens
-         FROM toks t LEFT JOIN kept k USING (doc_id)"""),
+      (SpanCteSql + CutRewriteSql),
     // keep-first cut: the canonical (globally first) occurrence of each
     // duplicated hash is elected via min(doc_id) then min(i) within that
-    // doc — the exact lexicographic order of the Spark min(struct(doc_id,
-    // i)) election — and exempted from the cut-window set
+    // doc — the exact two-step hash-aggregable election of the Spark
+    // implementation — and exempted from the cut-window set
     "q_cut_dup_spans_keep1" ->
       (SpanBaseCteSql + """,
          c1 AS (
@@ -1213,31 +1230,8 @@ object SparkEntry {
            SELECT w.doc_id, w.i FROM wins w
            JOIN c1 ON w.h = c1.h
            JOIN c2 ON w.h = c2.h
-           WHERE NOT (w.doc_id = c1.cdoc AND w.i = c2.ci)),
-         isl AS (
-           SELECT doc_id, i,
-             sum(CASE WHEN prev IS NULL OR i - prev > 10 THEN 1 ELSE 0 END)
-               OVER (PARTITION BY doc_id ORDER BY i) AS span_id
-           FROM (SELECT doc_id, i,
-                   lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
-                 FROM cutw)),
-         spans AS (
-           SELECT doc_id, min(i) AS s, max(i) + 9 AS e
-           FROM isl GROUP BY doc_id, span_id),
-         tokd AS (
-           SELECT doc_id, unnest(t) AS tok,
-             unnest(range(1, len(t)+1)) AS i
-           FROM toks),
-         kept AS (
-           SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.i) AS clean_text,
-             count(*) AS kept
-           FROM tokd k
-           WHERE NOT EXISTS (SELECT 1 FROM spans s
-                             WHERE s.doc_id = k.doc_id AND k.i BETWEEN s.s AND s.e)
-           GROUP BY k.doc_id)
-         SELECT t.doc_id, coalesce(k.clean_text, '') AS clean_text,
-           coalesce(k.kept, 0)::BIGINT AS kept_tokens
-         FROM toks t LEFT JOIN kept k USING (doc_id)"""),
+           WHERE NOT (w.doc_id = c1.cdoc AND w.i = c2.ci))""" +
+        islandSql("cutw") + CutRewriteSql),
     "q_pack_sequences" ->
       """WITH toks AS (
            SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens

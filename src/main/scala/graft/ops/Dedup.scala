@@ -834,7 +834,15 @@ object Dedup {
     * spans only — callers left-join and coalesce for the clean docs.
     */
   private def dupSpanLists(docs: DataFrame, n: Int, minDocs: Int): DataFrame =
-    dupSpanRows(docs, n, minDocs)
+    spanListsOf(dupSpanRows(docs, n, minDocs))
+
+  /** Per-doc sorted span-list rollup of a `(doc_id, span_start, span_end)`
+    * row set. The struct field names and sort order are a CONTRACT with
+    * [[cutBySpanLists]]'s `getField` access — one definition for every
+    * consumer (the rollup, both cut variants) so the shape cannot fork.
+    */
+  private def spanListsOf(spanRows: DataFrame): DataFrame =
+    spanRows
       .groupBy(col("doc_id"))
       .agg(
         sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("spans"),
@@ -878,29 +886,31 @@ object Dedup {
     * overlapping it in the same document. For disjoint duplicated runs
     * (the common boilerplate case) the canonical copy survives verbatim.
     *
-    * At scale: the canonical election is one extra `groupBy(h)` with a
-    * partial-aggregable `min(struct(doc_id, i))` — NO per-hash window, so
-    * a corpus-common boilerplate hash shrinks to one row per map task
-    * instead of pinning a single window task (same skew discipline as
-    * [[markDuplicates]]). The window subtree stays materialized once and
-    * feeds the df aggregate, the election, and the cut-window join.
+    * At scale: the lexicographic-min election runs as TWO hash-aggregable
+    * `groupBy(h)` steps — min doc per hash, then min index within that
+    * doc — because a single `min(struct(doc_id, i))` plans as a
+    * SortAggregate (struct min is not hash-aggregable), which would sort
+    * every duplicated occurrence map- and reduce-side. All-primitive mins
+    * keep the election HashAggregate end to end, NO per-hash window, so a
+    * corpus-common boilerplate hash shrinks to one row per map task
+    * instead of pinning a single window task (same groupBy+join-back
+    * discipline as [[markDuplicates]]). The window subtree AND the
+    * duplicated-occurrence join are each materialized once — the latter
+    * feeds three consumers (both election passes and the cut join), which
+    * would otherwise re-run the df join per consumer.
     */
   def cutDupSpansKeepFirst(docs: DataFrame, n: Int = 10, minDocs: Int = 2): DataFrame = {
     val wins = truncateLineage(windowHashes(docs, n))
-    val canon = wins
-      .join(dupHashes(wins, minDocs), Seq("h"))
-      .groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("i"))).as("c"))
-      .select(col("h"), col("c.doc_id").as("c_doc"), col("c.i").as("c_i"))
-    val cutWins = wins
-      .join(canon, Seq("h")) // inner: only duplicated hashes survive
+    val dup = truncateLineage(wins.join(dupHashes(wins, minDocs), Seq("h")))
+    val cDoc = dup.groupBy(col("h")).agg(min(col("doc_id")).as("c_doc"))
+    val canon = dup
+      .join(cDoc, Seq("h"))
+      .filter(col("doc_id") === col("c_doc"))
+      .groupBy(col("h"), col("c_doc")).agg(min(col("i")).as("c_i"))
+    val cutWins = dup
+      .join(canon, Seq("h"))
       .filter(!(col("doc_id") === col("c_doc") && col("i") === col("c_i")))
-    cutBySpanLists(
-      docs,
-      mergeIslands(cutWins, n)
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(struct(col("span_start"), col("span_end"))))
-          .as("spans")))
+    cutBySpanLists(docs, spanListsOf(mergeIslands(cutWins, n)))
   }
 
   /** The shared rewrite of the cut family: drop every token of `docs`

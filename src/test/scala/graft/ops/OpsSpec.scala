@@ -332,6 +332,30 @@ class DedupSpec extends AnyFunSuite {
     assert(r.size == 5)
   }
 
+  test("cutDupSpansKeepFirst keep guarantee is per-window, not per-token") {
+    // The documented granularity caveat: doc 1's canonical "p q r" window
+    // (shared with doc 2, elected at (1,1)) OVERLAPS the non-canonical
+    // runs "q r s"/"r s t" (canonical in doc 0) — cutting those destroys
+    // tokens 2-3 of the canonical window, so NO verbatim "p q r" survives
+    // anywhere. Only a fully disjoint canonical window survives verbatim.
+    val corpus = Seq(
+      (0L, "q r s t c d"),   // canonical copy of "q r s" and "r s t"
+      (1L, "p q r s t"),     // canonical copy of "p q r", rest duplicated
+      (2L, "p q r s x")
+    ).toDF("doc_id", "text")
+    val r = Dedup.cutDupSpansKeepFirst(corpus, n = 3, minDocs = 2).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("clean_text"), x.getAs[Long]("kept_tokens")))).toMap
+    assert(r(0L) == (("q r s t c d", 6L)), r(0L))
+    // doc 1: cut windows i=2,i=3 merge (gap 1 <= 3) into span tokens 2-5;
+    // the canonical "p q r" window loses its q,r tokens to that span
+    assert(r(1L) == (("p", 1L)), r(1L))
+    // doc 2: both windows ("p q r" canonical at (1,1), "q r s" canonical
+    // at (0,1)) are non-canonical HERE; the merged span cuts tokens 1-4
+    assert(r(2L) == (("x", 1L)), r(2L))
+    assert(r.size == 3)
+  }
+
   test("label-free LSH embedding dedup covers the label-blocked pairs") {
     // 6 tight clusters, no reliance on the label column at query time
     val emb2 = (0L until 60L).map { i =>
