@@ -363,6 +363,14 @@ object SparkEntry {
       val docs = s.read.parquet(t(dir, "documents"))
       Dedup.dupClustersStar(docs, Dedup.ngramJaccardPairs(docs, n = 4, threshold = 0.8)(s))(s)
     }),
+    // quality-aware canonical selection: each near-dup cluster keeps its
+    // highest-quality member (char count as the quality, ties -> min id)
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      Dedup.keepBestInCluster(
+        Dedup.dupClusters(docs, Dedup.ngramJaccardPairs(docs, n = 4, threshold = 0.8)(s))(s),
+        docs.select(col("doc_id"), col("n_chars").as("quality")))
+    }),
     // train/test decontamination: treat even doc_ids as the training set
     // and score every doc's 8-gram overlap against it (even docs read 1.0
     // by construction; odd docs score by genuine shared content)
@@ -397,6 +405,17 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, dir) =>
       graft.ops.Pipeline.packSequences(
         s.read.parquet(t(dir, "documents")), capacity = 2048L)),
+    // quality-ranked token-budget selection (same distributed prefix sum,
+    // ordered by the ranking key instead of doc_id)
+    "q_select_budget" -> ((s, dir) =>
+      graft.ops.Pipeline.selectBudget(
+        s.read.parquet(t(dir, "documents")), budget = 5000L)),
+    // host-level reputation: two-level filter computed from the corpus
+    // itself (per-source flagged fraction with an evidence floor)
+    "q_source_reputation" -> ((s, dir) =>
+      TextAnalysis.sourceReputation(s.read.parquet(t(dir, "documents")))),
+    "q_source_filter" -> ((s, dir) =>
+      TextAnalysis.sourceFilter(s.read.parquet(t(dir, "documents")))),
     // deterministic md5-bucket corpus split (train/val/test) — physical-
     // partitioning-independent, reproducible anywhere md5 exists. The first
     // FOUR hex digits parse to a uniform 0..65535 value (two raw ascii codes
@@ -628,7 +647,12 @@ object SparkEntry {
     * min-label reachability over the exact >=0.8 n-gram pair set) — shared
     * by the label-propagation and star-contraction cluster queries.
     */
-  private val ClustersOracleSql: String =
+  /** Recursive-reachability cluster CTE chain ending in
+    * `clus(doc_id, cluster_id)` — the implementation-independent labelling
+    * shared by q_dedup_clusters, q_dedup_clusters_star, and the
+    * quality-aware canonical-selection oracle.
+    */
+  private val ClustersCteSql: String =
     """WITH RECURSIVE tok AS (
          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        sh AS (
@@ -649,8 +673,72 @@ object SparkEntry {
        reach(node, lbl) AS (
          SELECT doc_id, doc_id FROM documents
          UNION
-         SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
-       SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node"""
+         SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+       clus AS (
+         SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)"""
+
+  private val ClustersOracleSql: String =
+    ClustersCteSql + " SELECT doc_id, cluster_id FROM clus"
+
+  /** Quality-score CTE chain ending in `qsco(doc_id, n_tokens,
+    * avg_word_len, stop_signal, digit_signal, quality_score)` — ONE SQL
+    * definition of the composite (mirrors
+    * `TextAnalysis.qualityScoreCol`), shared by q_quality_score, the
+    * source-reputation oracles, and the budget-selection oracle so the
+    * score cannot fork across consumers. `quality_score` is rounded to 4
+    * decimals (the bit-identical cross-engine form); the raw signals stay
+    * unrounded for q_quality_score's own reporting columns.
+    */
+  private val QualityCteSql: String =
+    """base AS (
+           SELECT doc_id, text,
+             len(string_split(text, ' '))::DOUBLE AS n_tokens,
+             ((length(' ' || text || ' ') -
+               length(replace(' ' || text || ' ', ' the ', ''))) / 5 +
+              (length(' ' || text || ' ') -
+               length(replace(' ' || text || ' ', ' a ', ''))) / 3 +
+              (length(' ' || text || ' ') -
+               length(replace(' ' || text || ' ', ' of ', ''))) / 4 +
+              (length(' ' || text || ' ') -
+               length(replace(' ' || text || ' ', ' and ', ''))) / 5 +
+              (length(' ' || text || ' ') -
+               length(replace(' ' || text || ' ', ' in ', ''))) / 4)::DOUBLE AS stopwords,
+             (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE AS digits
+           FROM documents),
+         sig AS (
+           SELECT doc_id, n_tokens,
+             (length(text) - (n_tokens - 1)) / n_tokens AS avg_word_len,
+             least(1.0, n_tokens / 100.0) AS length_signal,
+             least(1.0, stopwords / n_tokens * 8.0) AS stop_signal,
+             1.0 - least(1.0, digits / length(text) * 4.0) AS digit_signal
+           FROM base),
+         qsco AS (
+           SELECT doc_id, n_tokens, avg_word_len, stop_signal, digit_signal,
+             round(0.3 * length_signal + 0.3 * stop_signal +
+               0.2 * digit_signal +
+               0.2 * (CASE WHEN avg_word_len >= 3.0 AND avg_word_len <= 8.0
+                      THEN 1.0 ELSE 0.5 END), 4) AS quality_score
+           FROM sig)"""
+
+  /** Source-reputation CTE over [[QualityCteSql]]: per-source doc count,
+    * flagged count (quality_score < 0.5), and the keep verdict (below the
+    * 20-doc evidence floor OR flagged fraction <= 0.5) — shared by
+    * q_source_reputation and q_source_filter.
+    */
+  private val SourceRepCteSql: String = QualityCteSql +
+    """,
+         rep AS (
+           SELECT d.source, count(*) AS n_docs,
+             sum(CASE WHEN q.quality_score < 0.5 THEN 1 ELSE 0 END)::BIGINT
+               AS n_flagged
+           FROM qsco q JOIN documents d USING (doc_id)
+           GROUP BY d.source),
+         verdict AS (
+           SELECT source, n_docs, n_flagged,
+             round(n_flagged::DOUBLE / n_docs, 4) AS flagged_frac,
+             (n_docs < 20 OR n_flagged::DOUBLE / n_docs <= 0.5)
+               AS keep_source
+           FROM rep)"""
 
   /** Gopher Table-A1 filter oracle — shared by q_gopher_filter and the
     * composed-pipeline oracle (embedded as a subquery there).
@@ -892,39 +980,14 @@ object SparkEntry {
                         '  +', ' ', 'g') AS clean_text
          FROM documents""",
     "q_quality_score" ->
-      """WITH base AS (
-           SELECT doc_id, text,
-             len(string_split(text, ' '))::DOUBLE AS n_tokens,
-             ((length(' ' || text || ' ') -
-               length(replace(' ' || text || ' ', ' the ', ''))) / 5 +
-              (length(' ' || text || ' ') -
-               length(replace(' ' || text || ' ', ' a ', ''))) / 3 +
-              (length(' ' || text || ' ') -
-               length(replace(' ' || text || ' ', ' of ', ''))) / 4 +
-              (length(' ' || text || ' ') -
-               length(replace(' ' || text || ' ', ' and ', ''))) / 5 +
-              (length(' ' || text || ' ') -
-               length(replace(' ' || text || ' ', ' in ', ''))) / 4)::DOUBLE AS stopwords,
-             (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE AS digits
-           FROM documents),
-         sig AS (
-           SELECT doc_id, n_tokens,
-             (length(text) - (n_tokens - 1)) / n_tokens AS avg_word_len,
-             least(1.0, n_tokens / 100.0) AS length_signal,
-             least(1.0, stopwords / n_tokens * 8.0) AS stop_signal,
-             1.0 - least(1.0, digits / length(text) * 4.0) AS digit_signal
-           FROM base)
+      ("WITH " + QualityCteSql + """
          SELECT doc_id, n_tokens::BIGINT AS n_tokens,
            round(avg_word_len, 4) AS avg_word_len,
            round(stop_signal, 4) AS stop_signal,
            round(digit_signal, 4) AS digit_signal,
-           round(0.3 * length_signal + 0.3 * stop_signal + 0.2 * digit_signal +
-             0.2 * (CASE WHEN avg_word_len >= 3.0 AND avg_word_len <= 8.0
-                    THEN 1.0 ELSE 0.5 END), 4) AS quality_score,
-           (round(0.3 * length_signal + 0.3 * stop_signal + 0.2 * digit_signal +
-             0.2 * (CASE WHEN avg_word_len >= 3.0 AND avg_word_len <= 8.0
-                    THEN 1.0 ELSE 0.5 END), 4) < 0.5) AS flagged
-         FROM sig""",
+           quality_score,
+           (quality_score < 0.5) AS flagged
+         FROM qsco"""),
     "q_repetition" ->
       """WITH nl AS (
            SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
@@ -1150,6 +1213,25 @@ object SparkEntry {
     // the star-contraction implementation must produce the identical
     // component labelling — same implementation-independent oracle
     "q_dedup_clusters_star" -> ClustersOracleSql,
+    // quality-aware canonical selection over the same cluster labelling:
+    // max quality per cluster, min doc_id among the max-quality members —
+    // the exact two-step hash-aggregable election of the Spark side
+    "q_dedup_keep_best" ->
+      (ClustersCteSql + """,
+         j AS (
+           SELECT c.doc_id, c.cluster_id, d.n_chars AS quality
+           FROM clus c JOIN documents d USING (doc_id)),
+         bq AS (
+           SELECT cluster_id, max(quality) AS best_q
+           FROM j GROUP BY cluster_id),
+         bi AS (
+           SELECT j.cluster_id, min(j.doc_id) AS best_id
+           FROM j JOIN bq ON j.cluster_id = bq.cluster_id
+                        AND j.quality = bq.best_q
+           GROUP BY j.cluster_id)
+         SELECT j.doc_id, j.cluster_id, j.quality,
+           (j.doc_id = bi.best_id) AS keep
+         FROM j JOIN bi USING (cluster_id)"""),
     // NOTE: this oracle is the EXACT all-pairs >= 0.8 set; minhashPairs is
     // LSH-recall-bounded (16 bands x 4 rows: a pair at exactly 0.8 misses
     // every band with prob ~2e-4). Equality holding on the fixed test corpus
@@ -1244,6 +1326,32 @@ object SparkEntry {
            ((cum - n_tokens) // 2048)::BIGINT AS pack_first,
            ((cum - 1) // 2048)::BIGINT AS pack_last
          FROM c""",
+    // quality-ranked budget fill: inclusive running token total in
+    // (quality_score DESC, doc_id) order; the doc that would cross the
+    // budget is excluded. ROWS frame is explicit: the ORDER key is unique
+    // (doc_id tie-break) so RANGE would coincide, but only by accident.
+    "q_select_budget" ->
+      ("WITH " + QualityCteSql + """,
+         t AS (
+           SELECT q.doc_id, q.quality_score, q.n_tokens::BIGINT AS n_tokens
+           FROM qsco q JOIN documents d USING (doc_id)
+           WHERE d.text IS NOT NULL),
+         c AS (
+           SELECT doc_id, quality_score, n_tokens,
+             sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+           FROM t)
+         SELECT doc_id, quality_score, n_tokens, cum_tokens::BIGINT AS cum_tokens,
+           (cum_tokens <= 5000) AS selected
+         FROM c"""),
+    "q_source_reputation" ->
+      ("WITH " + SourceRepCteSql + """
+         SELECT source, n_docs, n_flagged, flagged_frac, keep_source
+         FROM verdict"""),
+    "q_source_filter" ->
+      ("WITH " + SourceRepCteSql + """
+         SELECT d.doc_id, d.source, v.keep_source AS keep
+         FROM documents d JOIN verdict v USING (source)"""),
     "q_hash_split" ->
       """WITH b AS (
            SELECT doc_id,

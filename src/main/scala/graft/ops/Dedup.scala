@@ -596,6 +596,46 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Quality-aware canonical selection over dedup clusters: for every
+    * cluster from [[dupClusters]]/[[dupClustersStar]], elect the HIGHEST
+    * `quality` doc (ties → smallest doc_id) as the survivor — what a
+    * training pipeline actually keeps from a near-dup component (the best
+    * extraction of the page, not an arbitrary member). Returns every doc
+    * annotated `(doc_id, cluster_id, quality, keep)`; filter on `keep`
+    * for the survivor corpus.
+    *
+    * `quality` must be a deterministic per-doc column (char count, a
+    * quality score) — the election is total because doc_id breaks ties.
+    *
+    * At scale: the arg-max runs as TWO all-primitive hash-aggregable
+    * `groupBy(cluster_id)` passes — max quality per cluster, then min
+    * doc_id among the max-quality members — never a `max_by`/struct
+    * aggregate (SortAggregate) and never a per-cluster window, so a
+    * mega-cluster (one boilerplate page duplicated 10^6 times) shrinks to
+    * one row per map task in both passes instead of pinning a single
+    * window task. Same election discipline as [[cutDupSpansKeepFirst]].
+    */
+  def keepBestInCluster(
+      labels: DataFrame,
+      quality: DataFrame,
+      qualityCol: String = "quality"): DataFrame = {
+    val j = labels
+      .select(col("doc_id"), col("cluster_id"))
+      .join(quality.select(col("doc_id"), col(qualityCol).as("q")), Seq("doc_id"))
+    val bestQ = j.groupBy(col("cluster_id")).agg(max(col("q")).as("best_q"))
+    val bestId = j
+      .join(bestQ, Seq("cluster_id"))
+      .filter(col("q") === col("best_q"))
+      .groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("best_id"))
+    j.join(bestId, Seq("cluster_id"))
+      .select(
+        col("doc_id"),
+        col("cluster_id"),
+        col("q").as(qualityCol),
+        (col("doc_id") === col("best_id")).as("keep"))
+  }
+
   /** Cross-corpus contamination (train/test decontamination): for every doc
     * of `target` (the held-out set), the fraction of its distinct n-gram
     * shingles that occur ANYWHERE in `corpus` (the training set) — the

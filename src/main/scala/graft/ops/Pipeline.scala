@@ -126,16 +126,48 @@ object Pipeline {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(capacity > 0, s"pack capacity must be positive, got $capacity")
-    val spark = docs.sparkSession
-    import org.apache.spark.sql.expressions.Window
-    val tagged = Dedup.truncateLineage(
+    runningTokenTotal(
       docs
         .filter(col(textCol).isNotNull)
         .select(
           col(idCol).as("doc_id"),
-          TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-        .repartitionByRange(col("doc_id"))
-        .sortWithinPartitions(col("doc_id"))
+          TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens")),
+      Seq(col("doc_id").asc))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("seq_start"),
+        expr(s"(cum - n_tokens) div ${capacity}L").as("pack_first"),
+        expr(s"(cum - 1) div ${capacity}L").as("pack_last"))
+  }
+
+  /** The shared distributed prefix sum: `rows` (carrying an `n_tokens`
+    * column) gain `cum` = the inclusive running total of `n_tokens` in
+    * `sortCols` order, without a corpus-wide single-task window:
+    *
+    *   1. range-repartition by `sortCols` (ordered, balanced partitions)
+    *      and tag each row with its partition id;
+    *   2. aggregate one `(pid, sum)` row per partition and collect THAT —
+    *      a driver-side collect bounded by the partition count (the same
+    *      bounded-probe contract as the committed-group ids), turned into
+    *      exclusive prefix offsets;
+    *   3. broadcast-join the offsets back and finish with a per-PARTITION
+    *      window (`partitionBy(pid)`) — every window group is one range
+    *      partition, so the sort is partition-local and no corpus-wide
+    *      hot key exists.
+    *
+    * The tagged frame is lineage-truncated so the range exchange runs once
+    * and the partition ids are frozen between the offsets job and the
+    * final pass. `sortCols` must totally order `rows` (include a unique
+    * tie-breaker) or `cum` is nondeterministic within ties.
+    */
+  private def runningTokenTotal(rows: DataFrame, sortCols: Seq[Column]): DataFrame = {
+    val spark = rows.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val tagged = Dedup.truncateLineage(
+      rows
+        .repartitionByRange(sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
         .withColumn("pid", spark_partition_id()))
     val partSums = tagged
       .groupBy(col("pid"))
@@ -151,17 +183,50 @@ object Pipeline {
     val offsetsDf = spark.createDataFrame(offsets.toSeq).toDF("pid", "pid_offset")
     val w = Window
       .partitionBy(col("pid"))
-      .orderBy(col("doc_id"))
+      .orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .join(broadcast(offsetsDf), Seq("pid"))
       .withColumn("cum", sum(col("n_tokens")).over(w) + col("pid_offset"))
+      .drop("pid", "pid_offset")
+  }
+
+  /** Token-budget corpus selection: take documents in quality order
+    * (highest [[TextAnalysis.qualityScoreCol]] first, doc_id breaking
+    * ties) until the cumulative whitespace-token count exceeds `budget` —
+    * the "best N tokens" selection a data-constrained pre-training run
+    * makes (quality-ranked greedy fill; the document that would cross the
+    * budget is excluded, not truncated). Output: every doc annotated
+    * `(doc_id, quality_score, n_tokens, cum_tokens, selected)` where
+    * `cum_tokens` is the inclusive running total in selection order.
+    *
+    * At scale — the same distributed prefix sum as [[packSequences]], but
+    * ordered by the RANKING key instead of doc_id: a naive
+    * `sum() OVER (ORDER BY score DESC)` serializes the corpus through one
+    * task; instead range-repartition by (score desc, doc_id), tag with
+    * the partition id, collect one `(pid, sum)` row per partition (driver
+    * collect bounded by the partition count), broadcast the exclusive
+    * offsets back, and finish with a partition-local window. Results
+    * depend only on (scores, token counts, budget) — physical
+    * partitioning never changes them. The rounded score is the ORDER key,
+    * so the selection is reproducible by any ANSI engine bit-for-bit.
+    */
+  def selectBudget(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 0, s"token budget must be non-negative, got $budget")
+    runningTokenTotal(
+      docs
+        .filter(col("text").isNotNull)
+        .select(
+          col("doc_id"),
+          TextAnalysis.qualityScoreCol(col("text")).as("quality_score"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+      Seq(col("quality_score").desc, col("doc_id").asc))
       .select(
         col("doc_id"),
+        col("quality_score"),
         col("n_tokens"),
-        (col("cum") - col("n_tokens")).as("seq_start"),
-        expr(s"(cum - n_tokens) div ${capacity}L").as("pack_first"),
-        expr(s"(cum - 1) div ${capacity}L").as("pack_last"))
+        col("cum").as("cum_tokens"),
+        (col("cum") <= budget).as("selected"))
   }
 
   /** The per-split rollup of the prepared corpus: documents that pass the

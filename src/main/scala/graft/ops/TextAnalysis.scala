@@ -75,6 +75,28 @@ object TextAnalysis {
       bpeishTokenCount(col("text")).cast("long").as("bpeish_tokens"),
       length(col("text")).cast("long").as("n_chars"))
 
+  /** The [[qualityScore]] composite as a bare Column — the single
+    * definition of the score so per-doc reporting and source-level
+    * aggregation cannot fork. Rounded to 4 decimals (bit-identical across
+    * Spark and an ANSI engine for the oracle hash compare).
+    */
+  def qualityScoreCol(t: Column): Column = {
+    val nTokens = tokenCount(t).cast("double")
+    val stopwords = Seq(" the ", " a ", " of ", " and ", " in ")
+      .map(m => markerCount(t, m)).reduce(_ + _).cast("double")
+    val digits =
+      (length(t) - length(regexp_replace(t, "[0-9]", ""))).cast("double")
+    val avgWordLen = (length(t) - (nTokens - 1)) / nTokens
+    val lengthSignal = least(lit(1.0), nTokens / lit(100.0))
+    val stopSignal = least(lit(1.0), stopwords / nTokens * lit(8.0))
+    val digitSignal = lit(1.0) - least(lit(1.0), digits / length(t).cast("double") * lit(4.0))
+    val wordLenSignal =
+      when(avgWordLen >= 3.0 && avgWordLen <= 8.0, lit(1.0)).otherwise(lit(0.5))
+    round(
+      lit(0.3) * lengthSignal + lit(0.3) * stopSignal +
+        lit(0.2) * digitSignal + lit(0.2) * wordLenSignal, 4)
+  }
+
   /** Per-doc quality proxy signals + composite, all integer-ratio
     * arithmetic: token count, average word length, stopword rate, digit
     * rate. The composite mirrors the extraction engine's weighted-mean
@@ -88,14 +110,9 @@ object TextAnalysis {
     val digits =
       (length(t) - length(regexp_replace(t, "[0-9]", ""))).cast("double")
     val avgWordLen = (length(t) - (nTokens - 1)) / nTokens
-    val lengthSignal = least(lit(1.0), nTokens / lit(100.0))
     val stopSignal = least(lit(1.0), stopwords / nTokens * lit(8.0))
     val digitSignal = lit(1.0) - least(lit(1.0), digits / length(t).cast("double") * lit(4.0))
-    val wordLenSignal =
-      when(avgWordLen >= 3.0 && avgWordLen <= 8.0, lit(1.0)).otherwise(lit(0.5))
-    val score = round(
-      lit(0.3) * lengthSignal + lit(0.3) * stopSignal +
-        lit(0.2) * digitSignal + lit(0.2) * wordLenSignal, 4)
+    val score = qualityScoreCol(t)
     docs.select(
       col("doc_id"),
       nTokens.cast("long").as("n_tokens"),
@@ -376,6 +393,58 @@ object TextAnalysis {
       ips.as("ips"),
       md5(scrubbed).as("scrubbed_md5"))
   }
+
+  /** Source-level (host-level) reputation: the two-level filter a crawl
+    * pipeline runs AFTER per-doc scoring — a host whose documents are
+    * mostly low-quality is dropped WHOLESALE (the UT1-blocklist /
+    * RefinedWeb host-filtering analogue, computed from the corpus itself
+    * instead of an external list). Per source: doc count, flagged count
+    * (docs whose [[qualityScore]] composite falls under 0.5 — the same
+    * flag the per-doc gate uses), flagged fraction, and
+    * `keep_source` = enough evidence (`minDocs` floor) AND flagged
+    * fraction within `maxFlaggedFrac`. A source BELOW the evidence floor
+    * is kept (unknown ≠ bad — blocklists require evidence to condemn).
+    *
+    * One partial-aggregated groupBy over row-local signals: a 10^8-doc
+    * host shrinks to one row per map task; no join, no window.
+    */
+  def sourceReputation(
+      docs: DataFrame,
+      minDocs: Long = 20L,
+      maxFlaggedFrac: Double = 0.5): DataFrame =
+    docs
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(qualityScoreCol(col("text")) < 0.5, 1L).otherwise(0L))
+          .as("n_flagged"))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_flagged"),
+        round(col("n_flagged").cast("double") / col("n_docs"), 4)
+          .as("flagged_frac"),
+        (col("n_docs") < minDocs ||
+          col("n_flagged").cast("double") / col("n_docs") <= maxFlaggedFrac)
+          .as("keep_source"))
+
+  /** Doc-level application of [[sourceReputation]]: every doc annotated
+    * with its source's verdict — `keep` docs survive the host filter. The
+    * reputation side is per-source (bounded by the host universe, tiny
+    * next to the corpus) so Spark broadcasts it; the corpus never
+    * shuffles.
+    */
+  def sourceFilter(
+      docs: DataFrame,
+      minDocs: Long = 20L,
+      maxFlaggedFrac: Double = 0.5): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"))
+      .join(
+        broadcast(sourceReputation(docs, minDocs, maxFlaggedFrac)
+          .select(col("source"), col("keep_source"))),
+        Seq("source"))
+      .select(col("doc_id"), col("source"), col("keep_source").as("keep"))
 
   /** URL canonicalization — the key a crawl pipeline dedups on BEFORE
     * content dedup (the same page is crawled under thousands of url

@@ -356,6 +356,26 @@ class DedupSpec extends AnyFunSuite {
     assert(r.size == 3)
   }
 
+  test("keepBestInCluster elects max quality, ties to min doc_id") {
+    // clusters: {0,1,2} (qualities 5,9,9 -> best is doc 1), {3} singleton,
+    // {4,5} (qualities 7,7 -> tie, best is doc 4)
+    val labels = Seq(
+      (0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 4L), (5L, 4L)
+    ).toDF("doc_id", "cluster_id")
+    val quality = Seq(
+      (0L, 5L), (1L, 9L), (2L, 9L), (3L, 1L), (4L, 7L), (5L, 7L)
+    ).toDF("doc_id", "quality")
+    val r = Dedup.keepBestInCluster(labels, quality).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("cluster_id"), x.getAs[Long]("quality"),
+          x.getAs[Boolean]("keep")))).toMap
+    assert(r.size == 6)
+    assert(r.filter(_._2._3).keySet == Set(1L, 3L, 4L), r.toString)
+    assert(r(2L) == ((0L, 9L, false)))
+    // exactly one survivor per cluster
+    assert(r.values.groupBy(_._1).forall(_._2.count(_._3) == 1))
+  }
+
   test("label-free LSH embedding dedup covers the label-blocked pairs") {
     // 6 tight clusters, no reliance on the label column at query time
     val emb2 = (0L until 60L).map { i =>
@@ -531,6 +551,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(n == 2) // leading 'the' counts via padding
     val m = df.select(TextAnalysis.markerCount(col("text"), " and ").cast("long")).head.getLong(0)
     assert(m == 2)
+  }
+
+  test("sourceReputation condemns bad hosts with evidence, spares small ones") {
+    val goodTxt = Seq.fill(25)("the cat sat of and in a fine mat").mkString(" ")
+    val badTxt = "1234 5678 90 12 3456"
+    val docs =
+      // goodhost: 25 good docs; badhost: 25 bad docs; tinyhost: 2 bad docs
+      (0L until 25L).map(i => (i, goodTxt, "goodhost")) ++
+        (25L until 50L).map(i => (i, badTxt, "badhost")) ++
+        Seq((50L, badTxt, "tinyhost"), (51L, badTxt, "tinyhost"))
+    val df = docs.toDF("doc_id", "text", "source")
+    val rep = TextAnalysis.sourceReputation(df, minDocs = 20L, maxFlaggedFrac = 0.5)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_flagged"),
+          r.getAs[Boolean]("keep_source")))).toMap
+    assert(rep("goodhost") == ((25L, 0L, true)), rep.toString)
+    assert(rep("badhost") == ((25L, 25L, false)), rep.toString)
+    // below the evidence floor: kept despite 100% flagged
+    assert(rep("tinyhost") == ((2L, 2L, true)), rep.toString)
+    // doc-level application agrees with the per-source verdict
+    val keep = TextAnalysis.sourceFilter(df, minDocs = 20L, maxFlaggedFrac = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(keep.size == 52)
+    assert(keep(0L) && !keep(30L) && keep(50L))
   }
 
   test("c4LineFilter keeps terminal-punctuated >=5-word lines and gates docs") {

@@ -111,6 +111,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(run(base.repartition(7, col("doc_id"))) == expected)
   }
 
+  test("selectBudget fills the budget in quality order, any input partitioning") {
+    // quality order: long English-ish docs rank above digit soup; the
+    // expected set replays the greedy fill sequentially over the scores
+    // the operator itself reports (score parity with the oracle is pinned
+    // by the q_quality_score / q_select_budget driver oracles)
+    val texts = (0L until 30L).map { i =>
+      val txt =
+        if (i % 3 == 0) Seq.fill(20)("the cat sat of and in a mat").mkString(" ")
+        else if (i % 3 == 1) s"short doc $i"
+        else Seq.fill(10)(s"number ${i * 7}").mkString(" ")
+      (i, txt)
+    }
+    val base = texts.toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Pipeline.selectBudget(df, budget = 500L).collect()
+        .map(x => (x.getAs[Long]("doc_id"), x.getAs[Double]("quality_score"),
+          x.getAs[Long]("n_tokens"), x.getAs[Long]("cum_tokens"),
+          x.getAs[Boolean]("selected"))).toSet
+    val got = run(base)
+    // sequential replay: sort by (score desc, id), accumulate, cut at 500
+    val expected = {
+      var cum = 0L
+      got.toSeq.sortBy { case (id, q, _, _, _) => (-q, id) }.map {
+        case (id, q, n, _, _) =>
+          cum += n
+          (id, q, n, cum, cum <= 500L)
+      }.toSet
+    }
+    assert(got == expected)
+    assert(got.exists(_._5) && got.exists(!_._5), "budget must split the corpus")
+    // physical-partitioning independence
+    assert(run(base.repartition(7, col("doc_id"))) == got)
+  }
+
   test("splitName is deterministic and covers all three splits at scale") {
     val ids = spark.range(0, 2000).select(col("id").as("doc_id"))
     val dist = ids.select(Pipeline.splitName(col("doc_id")).as("s"))
