@@ -604,8 +604,12 @@ object Dedup {
     * annotated `(doc_id, cluster_id, quality, keep)`; filter on `keep`
     * for the survivor corpus.
     *
-    * `quality` must be a deterministic per-doc column (char count, a
+    * `quality` should be a deterministic per-doc column (char count, a
     * quality score) — the election is total because doc_id breaks ties.
+    * A doc with a MISSING or null quality is still returned (quality
+    * null) and never beats a scored member; a cluster whose members are
+    * ALL unscored falls back to the min-doc_id canonical — no document is
+    * ever silently dropped from the annotation.
     *
     * At scale: the arg-max runs as TWO all-primitive hash-aggregable
     * `groupBy(cluster_id)` passes — max quality per cluster, then min
@@ -613,19 +617,27 @@ object Dedup {
     * aggregate (SortAggregate) and never a per-cluster window, so a
     * mega-cluster (one boilerplate page duplicated 10^6 times) shrinks to
     * one row per map task in both passes instead of pinning a single
-    * window task. Same election discipline as [[cutDupSpansKeepFirst]].
+    * window task. Same election discipline as [[cutDupSpansKeepFirst]];
+    * like there, the labels⨝quality join is materialized once for its
+    * three consumers instead of re-running the quality subtree per pass.
     */
   def keepBestInCluster(
       labels: DataFrame,
       quality: DataFrame,
       qualityCol: String = "quality"): DataFrame = {
-    val j = labels
-      .select(col("doc_id"), col("cluster_id"))
-      .join(quality.select(col("doc_id"), col(qualityCol).as("q")), Seq("doc_id"))
+    val j = truncateLineage(
+      labels
+        .select(col("doc_id"), col("cluster_id"))
+        .join(
+          quality.select(col("doc_id"), col(qualityCol).as("q")),
+          Seq("doc_id"), "left"))
+    // max() ignores nulls: best_q is null only for all-unscored clusters,
+    // where the null-safe <=> match admits every member and the min-doc_id
+    // pass elects the fallback canonical
     val bestQ = j.groupBy(col("cluster_id")).agg(max(col("q")).as("best_q"))
     val bestId = j
       .join(bestQ, Seq("cluster_id"))
-      .filter(col("q") === col("best_q"))
+      .filter(col("q") <=> col("best_q"))
       .groupBy(col("cluster_id"))
       .agg(min(col("doc_id")).as("best_id"))
     j.join(bestId, Seq("cluster_id"))

@@ -211,15 +211,19 @@ object Pipeline {
     * partitioning never changes them. The rounded score is the ORDER key,
     * so the selection is reproducible by any ANSI engine bit-for-bit.
     */
-  def selectBudget(docs: DataFrame, budget: Long): DataFrame = {
+  def selectBudget(
+      docs: DataFrame,
+      budget: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
     require(budget >= 0, s"token budget must be non-negative, got $budget")
     runningTokenTotal(
       docs
-        .filter(col("text").isNotNull)
+        .filter(col(textCol).isNotNull)
         .select(
-          col("doc_id"),
-          TextAnalysis.qualityScoreCol(col("text")).as("quality_score"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+          col(idCol).as("doc_id"),
+          TextAnalysis.qualityScoreCol(col(textCol)).as("quality_score"),
+          TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens")),
       Seq(col("quality_score").desc, col("doc_id").asc))
       .select(
         col("doc_id"),

@@ -400,10 +400,11 @@ object TextAnalysis {
     * RefinedWeb host-filtering analogue, computed from the corpus itself
     * instead of an external list). Per source: doc count, flagged count
     * (docs whose [[qualityScore]] composite falls under 0.5 — the same
-    * flag the per-doc gate uses), flagged fraction, and
-    * `keep_source` = enough evidence (`minDocs` floor) AND flagged
-    * fraction within `maxFlaggedFrac`. A source BELOW the evidence floor
-    * is kept (unknown ≠ bad — blocklists require evidence to condemn).
+    * flag the per-doc gate uses), flagged fraction, and `keep_source`: a
+    * source is DROPPED only when there is enough evidence (doc count at
+    * the `minDocs` floor or above) AND its flagged fraction exceeds
+    * `maxFlaggedFrac`; below the floor it is kept regardless (unknown ≠
+    * bad — blocklists require evidence to condemn).
     *
     * One partial-aggregated groupBy over row-local signals: a 10^8-doc
     * host shrinks to one row per map task; no join, no window.
@@ -432,19 +433,22 @@ object TextAnalysis {
     * with its source's verdict — `keep` docs survive the host filter. The
     * reputation side is per-source (bounded by the host universe, tiny
     * next to the corpus) so Spark broadcasts it; the corpus never
-    * shuffles.
+    * shuffles. The join is NULL-SAFE: null-source docs form their own
+    * reputation group (the groupBy keeps a null key) and must match it
+    * back — a plain equi-join would silently drop every null-source doc
+    * from the filtered corpus.
     */
   def sourceFilter(
       docs: DataFrame,
       minDocs: Long = 20L,
-      maxFlaggedFrac: Double = 0.5): DataFrame =
+      maxFlaggedFrac: Double = 0.5): DataFrame = {
+    val rep = sourceReputation(docs, minDocs, maxFlaggedFrac)
+      .select(col("source").as("rep_source"), col("keep_source"))
     docs
       .select(col("doc_id"), col("source"))
-      .join(
-        broadcast(sourceReputation(docs, minDocs, maxFlaggedFrac)
-          .select(col("source"), col("keep_source"))),
-        Seq("source"))
+      .join(broadcast(rep), col("source") <=> col("rep_source"))
       .select(col("doc_id"), col("source"), col("keep_source").as("keep"))
+  }
 
   /** URL canonicalization — the key a crawl pipeline dedups on BEFORE
     * content dedup (the same page is crawled under thousands of url

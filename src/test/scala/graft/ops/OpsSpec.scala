@@ -376,6 +376,50 @@ class DedupSpec extends AnyFunSuite {
     assert(r.values.groupBy(_._1).forall(_._2.count(_._3) == 1))
   }
 
+  test("election plans are hash-aggregable: no SortAggregate anywhere") {
+    // the whole point of the two-pass elections (keep-first span cut,
+    // keep-best cluster canonical) is avoiding the SortAggregate a
+    // min(struct)/max_by buffer plans as — pin it so a 'simplification'
+    // back to struct aggregates cannot land silently
+    val corpus = Seq(
+      (0L, "a b c d e f g h i j k l m n"),
+      (1L, "a b c d e f g h i j k l m n"),
+      (2L, "totally different text here with words")
+    ).toDF("doc_id", "text")
+    val cutPlan = Dedup.cutDupSpansKeepFirst(corpus, n = 3, minDocs = 2)
+      .queryExecution.executedPlan.toString
+    assert(cutPlan.contains("HashAggregate"), s"expected HashAggregate in:\n$cutPlan")
+    assert(!cutPlan.contains("SortAggregate"),
+      s"no SortAggregate may remain in:\n$cutPlan")
+    val labels = Seq((0L, 0L), (1L, 0L), (2L, 2L)).toDF("doc_id", "cluster_id")
+    val quality = Seq((0L, 5L), (1L, 9L), (2L, 1L)).toDF("doc_id", "quality")
+    val bestPlan = Dedup.keepBestInCluster(labels, quality)
+      .queryExecution.executedPlan.toString
+    assert(bestPlan.contains("HashAggregate"), s"expected HashAggregate in:\n$bestPlan")
+    assert(!bestPlan.contains("SortAggregate"),
+      s"no SortAggregate may remain in:\n$bestPlan")
+  }
+
+  test("keepBestInCluster keeps unscored docs: null quality never wins, all-null falls back") {
+    // doc 2 has no quality row, doc 5's is null; cluster {6,7} is ALL
+    // unscored and must fall back to the min-doc_id canonical
+    val labels = Seq(
+      (0L, 0L), (1L, 0L), (2L, 0L), (5L, 5L), (6L, 6L), (7L, 6L)
+    ).toDF("doc_id", "cluster_id")
+    val quality = Seq(
+      (0L, Some(5L)), (1L, Some(9L)), (5L, None), (6L, None), (7L, None)
+    ).toDF("doc_id", "quality")
+    val r = Dedup.keepBestInCluster(labels, quality).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((Option(x.getAs[java.lang.Long]("quality")).map(_.longValue),
+          x.getAs[Boolean]("keep")))).toMap
+    assert(r.size == 6, r.toString) // nobody silently dropped
+    assert(r(1L) == ((Some(9L), true)))
+    assert(r(2L) == ((None, false))) // missing row -> annotated, not elected
+    assert(r(5L) == ((None, true))) // singleton cluster, unscored: kept
+    assert(r(6L) == ((None, true)) && r(7L) == ((None, false))) // all-null fallback
+  }
+
   test("label-free LSH embedding dedup covers the label-blocked pairs") {
     // 6 tight clusters, no reliance on the label column at query time
     val emb2 = (0L until 60L).map { i =>
@@ -557,10 +601,12 @@ class TextAnalysisSpec extends AnyFunSuite {
     val goodTxt = Seq.fill(25)("the cat sat of and in a fine mat").mkString(" ")
     val badTxt = "1234 5678 90 12 3456"
     val docs =
-      // goodhost: 25 good docs; badhost: 25 bad docs; tinyhost: 2 bad docs
-      (0L until 25L).map(i => (i, goodTxt, "goodhost")) ++
-        (25L until 50L).map(i => (i, badTxt, "badhost")) ++
-        Seq((50L, badTxt, "tinyhost"), (51L, badTxt, "tinyhost"))
+      // goodhost: 25 good docs; badhost: 25 bad docs; tinyhost: 2 bad
+      // docs; one doc with a NULL source (non-web ingest)
+      (0L until 25L).map(i => (i, goodTxt, Some("goodhost"))) ++
+        (25L until 50L).map(i => (i, badTxt, Some("badhost"))) ++
+        Seq((50L, badTxt, Some("tinyhost")), (51L, badTxt, Some("tinyhost")),
+          (52L, goodTxt, Option.empty[String]))
     val df = docs.toDF("doc_id", "text", "source")
     val rep = TextAnalysis.sourceReputation(df, minDocs = 20L, maxFlaggedFrac = 0.5)
       .collect()
@@ -571,11 +617,13 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rep("badhost") == ((25L, 25L, false)), rep.toString)
     // below the evidence floor: kept despite 100% flagged
     assert(rep("tinyhost") == ((2L, 2L, true)), rep.toString)
-    // doc-level application agrees with the per-source verdict
+    // doc-level application agrees with the per-source verdict; the
+    // null-source doc matches its null reputation group (null-safe join),
+    // not silently dropped
     val keep = TextAnalysis.sourceFilter(df, minDocs = 20L, maxFlaggedFrac = 0.5)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
-    assert(keep.size == 52)
-    assert(keep(0L) && !keep(30L) && keep(50L))
+    assert(keep.size == 53)
+    assert(keep(0L) && !keep(30L) && keep(50L) && keep(52L))
   }
 
   test("c4LineFilter keeps terminal-punctuated >=5-word lines and gates docs") {
