@@ -416,6 +416,12 @@ object SparkEntry {
       TextAnalysis.sourceReputation(s.read.parquet(t(dir, "documents")))),
     "q_source_filter" -> ((s, dir) =>
       TextAnalysis.sourceFilter(s.read.parquet(t(dir, "documents")))),
+    // corpus-frequency rarity (the integer-exact CCNet-filter analogue)
+    // and the Zipf vocabulary panel
+    "q_token_rarity" -> ((s, dir) =>
+      TextAnalysis.tokenRarity(s.read.parquet(t(dir, "documents")))),
+    "q_vocab_stats" -> ((s, dir) =>
+      TextAnalysis.vocabStats(s.read.parquet(t(dir, "documents")))),
     // deterministic md5-bucket corpus split (train/val/test) — physical-
     // partitioning-independent, reproducible anywhere md5 exists. The first
     // FOUR hex digits parse to a uniform 0..65535 value (two raw ascii codes
@@ -1348,6 +1354,41 @@ object SparkEntry {
       ("WITH " + SourceRepCteSql + """
          SELECT source, n_docs, n_flagged, flagged_frac, keep_source
          FROM verdict"""),
+    // corpus-frequency rarity: integer sums with one terminal division —
+    // the log-prob formulation would hash-diverge on libm last-ulp
+    // differences, these cannot
+    "q_token_rarity" ->
+      """WITH tk AS (
+           SELECT doc_id, unnest(regexp_extract_all(text, '[^ ]+')) AS tok
+           FROM documents),
+         vocab AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+         per AS (
+           SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+             sum(CASE WHEN v.c <= 1 THEN 1 ELSE 0 END)::BIGINT AS rare_tokens,
+             sum(v.c)::BIGINT AS count_sum
+           FROM tk t JOIN vocab v USING (tok) GROUP BY t.doc_id)
+         SELECT d.doc_id, coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+           coalesce(p.rare_tokens, 0)::BIGINT AS rare_tokens,
+           round(coalesce(p.rare_tokens::DOUBLE / p.n_tokens, 0.0), 4) AS rare_frac,
+           round(coalesce(p.count_sum::DOUBLE / p.n_tokens, 0.0), 4) AS avg_count
+         FROM documents d LEFT JOIN per p USING (doc_id)""",
+    // ties at the top-k boundary break by token text in BOTH engines
+    "q_vocab_stats" ->
+      """WITH tk AS (
+           SELECT unnest(regexp_extract_all(text, '[^ ]+')) AS tok
+           FROM documents),
+         vocab AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+         tot AS (
+           SELECT count(*)::BIGINT AS vocab_size,
+             sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax_tokens,
+             sum(c)::BIGINT AS total_tokens
+           FROM vocab),
+         topm AS (
+           SELECT coalesce(sum(c), 0)::BIGINT AS topk_mass
+           FROM (SELECT c FROM vocab ORDER BY c DESC, tok LIMIT 100))
+         SELECT vocab_size, hapax_tokens, total_tokens,
+           round(topk_mass::DOUBLE / total_tokens, 4) AS top100_coverage
+         FROM tot, topm""",
     "q_source_filter" ->
       ("WITH " + SourceRepCteSql + """
          SELECT d.doc_id, d.source, v.keep_source AS keep

@@ -394,6 +394,85 @@ object TextAnalysis {
       md5(scrubbed).as("scrubbed_md5"))
   }
 
+  /** Corpus-frequency token rarity — the self-contained analogue of
+    * CCNet-style LM filtering (Wenzek et al. 2020: docs whose tokens a
+    * corpus-level model finds improbable are noise): per doc,
+    *
+    *   - `n_tokens`    whitespace tokens,
+    *   - `rare_tokens` tokens whose CORPUS document-frequency-weighted
+    *                   occurrence count is <= `rareMax` (hapax-ish tokens:
+    *                   OCR garbage, mangled encodings, random ids),
+    *   - `rare_frac`   rare_tokens / n_tokens,
+    *   - `avg_count`   mean corpus occurrence count of the doc's tokens
+    *                   (low = the doc lives in the corpus's long tail).
+    *
+    * All signals are INTEGER sums with one terminal division — no
+    * floating accumulation, so results are bit-deterministic under any
+    * partitioning and reproducible by an ANSI engine (the log-probability
+    * formulation would hash-diverge on last-ulp libm differences).
+    *
+    * Scale shape: one explode → partial-aggregated `groupBy(token)`
+    * (corpus vocabulary: a boilerplate token shrinks to one row per map
+    * task) → token-keyed equi-join of the exploded corpus against the
+    * vocabulary → partial-aggregated per-doc rollup. Both the vocabulary
+    * aggregate and the join shuffle on `tok`, so the exploded exchange is
+    * reusable; no window, no driver collect, no per-doc list.
+    */
+  def tokenRarity(docs: DataFrame, rareMax: Long = 1L): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"),
+      explode(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val perDoc = toks
+      .join(vocab, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("c") <= rareMax, 1L).otherwise(0L)).as("rare_tokens"),
+        sum(col("c")).as("count_sum"))
+    // anchored on the full docs table: an empty/null-text doc still emits
+    // a row (0 tokens, 0.0 fractions) instead of silently vanishing from
+    // a pipeline that gates on the stats
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("rare_tokens"), lit(0L)).as("rare_tokens"),
+        round(coalesce(col("rare_tokens").cast("double") / col("n_tokens"), lit(0.0)), 4)
+          .as("rare_frac"),
+        round(coalesce(col("count_sum").cast("double") / col("n_tokens"), lit(0.0)), 4)
+          .as("avg_count"))
+  }
+
+  /** Corpus vocabulary statistics — the Zipf sanity panel a pipeline
+    * reports before training a tokenizer: vocabulary size, hapax count
+    * (tokens occurring exactly once — high hapax mass flags OCR noise),
+    * total token mass, and the corpus share covered by the `k` most
+    * frequent tokens. One exploded partial-aggregated groupBy; the top-k
+    * side ships only each partition's local top k (TakeOrdered), never
+    * the vocabulary through one task.
+    */
+  def vocabStats(docs: DataFrame, k: Int = 100): DataFrame = {
+    val vocab = docs
+      .select(explode(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totals = vocab.agg(
+      count(lit(1)).as("vocab_size"),
+      sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax_tokens"),
+      sum(col("c")).as("total_tokens"))
+    val topMass = vocab
+      .orderBy(col("c").desc, col("tok"))
+      .limit(k)
+      .agg(coalesce(sum(col("c")), lit(0L)).as("topk_mass"))
+    totals.crossJoin(topMass).select(
+      col("vocab_size"),
+      col("hapax_tokens"),
+      col("total_tokens"),
+      round(col("topk_mass").cast("double") / col("total_tokens"), 4)
+        .as(s"top${k}_coverage"))
+  }
+
   /** Source-level (host-level) reputation: the two-level filter a crawl
     * pipeline runs AFTER per-doc scoring — a host whose documents are
     * mostly low-quality is dropped WHOLESALE (the UT1-blocklist /

@@ -626,6 +626,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(keep(0L) && !keep(30L) && keep(50L) && keep(52L))
   }
 
+  test("tokenRarity scores corpus-tail membership with exact integer sums") {
+    val df = Seq(
+      (0L, "the the the cat"), // 'the' x3 in doc + 1 elsewhere = c 4
+      (1L, "the zzqx"), // zzqx is a hapax
+      (2L, "") // empty text still emits a row
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenRarity(df, rareMax = 1L).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_tokens"), x.getAs[Long]("rare_tokens"),
+          x.getAs[Double]("rare_frac"), x.getAs[Double]("avg_count"))).toString).toMap
+    // corpus counts: the=4, cat=1, zzqx=1
+    assert(r(0L) == ((4L, 1L, 0.25, (4 + 4 + 4 + 1) / 4.0)).toString, r.toString)
+    assert(r(1L) == ((2L, 1L, 0.5, (4 + 1) / 2.0)).toString, r.toString)
+    assert(r(2L) == ((0L, 0L, 0.0, 0.0)).toString, r.toString)
+  }
+
+  test("vocabStats reports vocabulary size, hapax mass, and top-k coverage") {
+    val df = Seq(
+      (0L, "a a a b b c"),
+      (1L, "a d")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabStats(df, k = 2).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // vocab {a:4, b:2, c:1, d:1}; top-2 = a+b = 6 of 8
+    assert(row.getAs[Long]("vocab_size") == 4L)
+    assert(row.getAs[Long]("hapax_tokens") == 2L)
+    assert(row.getAs[Long]("total_tokens") == 8L)
+    assert(row.getAs[Double]("top2_coverage") == 0.75)
+  }
+
   test("c4LineFilter keeps terminal-punctuated >=5-word lines and gates docs") {
     val good = (1 to 4).map(i => s"this line number $i has enough words to survive.").mkString("\n")
     val df = Seq(
