@@ -1357,16 +1357,22 @@ object SparkEntry {
     // corpus-frequency rarity: integer sums with one terminal division —
     // the log-prob formulation would hash-diverge on libm last-ulp
     // differences, these cannot
+    // rarity is by DOCUMENT frequency (df), not term count — a doc
+    // repeating its own junk cannot whitewash it (mirrors tokenRarity)
     "q_token_rarity" ->
       """WITH tk AS (
-           SELECT doc_id, unnest(regexp_extract_all(text, '[^ ]+')) AS tok
+           SELECT doc_id, unnest(regexp_extract_all(text, '[^ \n]+')) AS tok
            FROM documents),
-         vocab AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+         dt AS (
+           SELECT doc_id, tok, count(*) AS k FROM tk GROUP BY doc_id, tok),
+         vocab AS (
+           SELECT tok, sum(k)::BIGINT AS c, count(*)::BIGINT AS df
+           FROM dt GROUP BY tok),
          per AS (
-           SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
-             sum(CASE WHEN v.c <= 1 THEN 1 ELSE 0 END)::BIGINT AS rare_tokens,
-             sum(v.c)::BIGINT AS count_sum
-           FROM tk t JOIN vocab v USING (tok) GROUP BY t.doc_id)
+           SELECT t.doc_id, sum(t.k)::BIGINT AS n_tokens,
+             sum(CASE WHEN v.df <= 1 THEN t.k ELSE 0 END)::BIGINT AS rare_tokens,
+             sum(t.k * v.c)::BIGINT AS count_sum
+           FROM dt t JOIN vocab v USING (tok) GROUP BY t.doc_id)
          SELECT d.doc_id, coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
            coalesce(p.rare_tokens, 0)::BIGINT AS rare_tokens,
            round(coalesce(p.rare_tokens::DOUBLE / p.n_tokens, 0.0), 4) AS rare_frac,
@@ -1375,19 +1381,22 @@ object SparkEntry {
     // ties at the top-k boundary break by token text in BOTH engines
     "q_vocab_stats" ->
       """WITH tk AS (
-           SELECT unnest(regexp_extract_all(text, '[^ ]+')) AS tok
+           SELECT unnest(regexp_extract_all(text, '[^ \n]+')) AS tok
            FROM documents),
          vocab AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
          tot AS (
            SELECT count(*)::BIGINT AS vocab_size,
-             sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax_tokens,
-             sum(c)::BIGINT AS total_tokens
+             coalesce(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0)::BIGINT
+               AS hapax_tokens,
+             coalesce(sum(c), 0)::BIGINT AS total_tokens
            FROM vocab),
          topm AS (
            SELECT coalesce(sum(c), 0)::BIGINT AS topk_mass
            FROM (SELECT c FROM vocab ORDER BY c DESC, tok LIMIT 100))
          SELECT vocab_size, hapax_tokens, total_tokens,
-           round(topk_mass::DOUBLE / total_tokens, 4) AS top100_coverage
+           round(CASE WHEN total_tokens = 0 THEN 0.0
+                 ELSE topk_mass::DOUBLE / total_tokens END, 4)
+             AS top100_coverage
          FROM tot, topm""",
     "q_source_filter" ->
       ("WITH " + SourceRepCteSql + """

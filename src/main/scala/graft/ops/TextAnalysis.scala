@@ -168,7 +168,7 @@ object TextAnalysis {
     // would count DOWN, not come back empty
     val toks = docs.select(
       col("doc_id"),
-      regexp_extract_all(col("text"), lit("[^ \n]+"), lit(0)).as("t"))
+      regexp_extract_all(col("text"), lit(WsTokenPattern), lit(0)).as("t"))
     val bigrams = toks
       .select(col("doc_id"), size(col("t")).as("n_tokens"), col("t"))
       .filter(col("n_tokens") >= 2)
@@ -394,14 +394,39 @@ object TextAnalysis {
       md5(scrubbed).as("scrubbed_md5"))
   }
 
+  /** The ONE whitespace-token pattern for corpus-statistics ops
+    * ([[tokenRarity]], [[vocabStats]], [[repetitionStats]]): space- and
+    * newline-separated runs. A space-only class would glue
+    * line-boundary-adjacent words ("sat.\nThe") into near-unique fake
+    * tokens, inflating hapax/rarity mass on ordinary multi-line prose.
+    */
+  private val WsTokenPattern = "[^ \n]+"
+
+  /** Per-(doc, token) occurrence counts — ONE explode, immediately
+    * partial-aggregated so every downstream shuffle is sized by DISTINCT
+    * (doc, token) pairs, never raw token occurrences (a boilerplate
+    * token's occurrences within a doc collapse map-side). The shared
+    * input of [[tokenRarity]] and [[vocabStats]].
+    */
+  private def docTokenCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit(WsTokenPattern), lit(0))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("k"))
+
   /** Corpus-frequency token rarity — the self-contained analogue of
     * CCNet-style LM filtering (Wenzek et al. 2020: docs whose tokens a
     * corpus-level model finds improbable are noise): per doc,
     *
     *   - `n_tokens`    whitespace tokens,
-    *   - `rare_tokens` tokens whose CORPUS document-frequency-weighted
-    *                   occurrence count is <= `rareMax` (hapax-ish tokens:
-    *                   OCR garbage, mangled encodings, random ids),
+    *   - `rare_tokens` occurrences of tokens whose corpus DOCUMENT
+    *                   frequency is <= `rareMax` (tokens almost no other
+    *                   doc uses: OCR garbage, mangled encodings, random
+    *                   ids). Document frequency — not term frequency — so
+    *                   a doc repeating its own junk ("zzqx zzqx") cannot
+    *                   whitewash it past the gate,
     *   - `rare_frac`   rare_tokens / n_tokens,
     *   - `avg_count`   mean corpus occurrence count of the doc's tokens
     *                   (low = the doc lives in the corpus's long tail).
@@ -411,25 +436,25 @@ object TextAnalysis {
     * partitioning and reproducible by an ANSI engine (the log-probability
     * formulation would hash-diverge on last-ulp libm differences).
     *
-    * Scale shape: one explode → partial-aggregated `groupBy(token)`
-    * (corpus vocabulary: a boilerplate token shrinks to one row per map
-    * task) → token-keyed equi-join of the exploded corpus against the
-    * vocabulary → partial-aggregated per-doc rollup. Both the vocabulary
-    * aggregate and the join shuffle on `tok`, so the exploded exchange is
-    * reusable; no window, no driver collect, no per-doc list.
+    * Scale shape: ONE explode collapsed to (doc, token, k) counts
+    * ([[docTokenCounts]]); the vocabulary (term count + doc frequency per
+    * token) is a partial-aggregated groupBy over those, the join back is
+    * keyed and sized by distinct (doc, token) pairs, and the per-doc
+    * rollup is integer sums. No window, no driver collect, no per-doc
+    * list.
     */
   def tokenRarity(docs: DataFrame, rareMax: Long = 1L): DataFrame = {
-    val toks = docs.select(
-      col("doc_id"),
-      explode(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).as("tok"))
-    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val perDoc = toks
+    val docTok = docTokenCounts(docs)
+    val vocab = docTok.groupBy(col("tok")).agg(
+      sum(col("k")).as("c"),
+      count(lit(1)).as("df"))
+    val perDoc = docTok
       .join(vocab, Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(when(col("c") <= rareMax, 1L).otherwise(0L)).as("rare_tokens"),
-        sum(col("c")).as("count_sum"))
+        sum(col("k")).as("n_tokens"),
+        sum(when(col("df") <= rareMax, col("k")).otherwise(0L)).as("rare_tokens"),
+        sum(col("k") * col("c")).as("count_sum"))
     // anchored on the full docs table: an empty/null-text doc still emits
     // a row (0 tokens, 0.0 fractions) instead of silently vanishing from
     // a pipeline that gates on the stats
@@ -449,18 +474,20 @@ object TextAnalysis {
     * reports before training a tokenizer: vocabulary size, hapax count
     * (tokens occurring exactly once — high hapax mass flags OCR noise),
     * total token mass, and the corpus share covered by the `k` most
-    * frequent tokens. One exploded partial-aggregated groupBy; the top-k
-    * side ships only each partition's local top k (TakeOrdered), never
-    * the vocabulary through one task.
+    * frequent tokens. Built over [[docTokenCounts]] (one explode,
+    * partial-aggregated); the top-k side ships only each partition's
+    * local top k (TakeOrdered), never the vocabulary through one task.
+    * All outputs are 0-anchored: an empty corpus reports zeros, not
+    * nulls.
     */
   def vocabStats(docs: DataFrame, k: Int = 100): DataFrame = {
-    val vocab = docs
-      .select(explode(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val vocab = docTokenCounts(docs)
+      .groupBy(col("tok")).agg(sum(col("k")).as("c"))
     val totals = vocab.agg(
       count(lit(1)).as("vocab_size"),
-      sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax_tokens"),
-      sum(col("c")).as("total_tokens"))
+      coalesce(sum(when(col("c") === 1L, 1L).otherwise(0L)), lit(0L))
+        .as("hapax_tokens"),
+      coalesce(sum(col("c")), lit(0L)).as("total_tokens"))
     val topMass = vocab
       .orderBy(col("c").desc, col("tok"))
       .limit(k)
@@ -469,7 +496,9 @@ object TextAnalysis {
       col("vocab_size"),
       col("hapax_tokens"),
       col("total_tokens"),
-      round(col("topk_mass").cast("double") / col("total_tokens"), 4)
+      round(
+        when(col("total_tokens") === 0L, lit(0.0))
+          .otherwise(col("topk_mass").cast("double") / col("total_tokens")), 4)
         .as(s"top${k}_coverage"))
   }
 

@@ -626,20 +626,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(keep(0L) && !keep(30L) && keep(50L) && keep(52L))
   }
 
-  test("tokenRarity scores corpus-tail membership with exact integer sums") {
+  test("tokenRarity: document-frequency rarity, exact integer sums, newline tokens") {
     val df = Seq(
-      (0L, "the the the cat"), // 'the' x3 in doc + 1 elsewhere = c 4
-      (1L, "the zzqx"), // zzqx is a hapax
-      (2L, "") // empty text still emits a row
+      (0L, "the the the cat"), // 'the' x3 in doc + 1 elsewhere = c 4, df 2
+      (1L, "the zzqx"), // zzqx is a hapax (df 1)
+      (2L, ""), // empty text still emits a row
+      (3L, "qqq qqq qqq"), // self-repeated junk: c 3 but df 1 -> STILL rare
+      (4L, "xx\nyy") // newline separates tokens (no glued 'xx\nyy' hapax)
     ).toDF("doc_id", "text")
     val r = TextAnalysis.tokenRarity(df, rareMax = 1L).collect()
       .map(x => x.getAs[Long]("doc_id") ->
         ((x.getAs[Long]("n_tokens"), x.getAs[Long]("rare_tokens"),
           x.getAs[Double]("rare_frac"), x.getAs[Double]("avg_count"))).toString).toMap
-    // corpus counts: the=4, cat=1, zzqx=1
+    // corpus term counts: the=4, cat=1, zzqx=1, qqq=3, xx=1, yy=1
     assert(r(0L) == ((4L, 1L, 0.25, (4 + 4 + 4 + 1) / 4.0)).toString, r.toString)
     assert(r(1L) == ((2L, 1L, 0.5, (4 + 1) / 2.0)).toString, r.toString)
     assert(r(2L) == ((0L, 0L, 0.0, 0.0)).toString, r.toString)
+    // a term-count rarity (c <= 1) would report rare_tokens = 0 here
+    assert(r(3L) == ((3L, 3L, 1.0, 3.0)).toString, r.toString)
+    assert(r(4L) == ((2L, 2L, 1.0, 1.0)).toString, r.toString)
   }
 
   test("vocabStats reports vocabulary size, hapax mass, and top-k coverage") {
