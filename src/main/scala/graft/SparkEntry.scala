@@ -151,6 +151,30 @@ object SparkEntry {
           (abs(col("a_p") - col("exact_parts")).cast("double") /
             col("exact_parts") <= 0.06).as("parts_within_tol"))
     }),
+    // approx-quantile accuracy gate (same contract as the HLL gate): the
+    // exact per-language length percentiles anchor the hash compare, the
+    // booleans assert the KLL-style sketch (percentile_approx, accuracy
+    // 1000) lands within 5% of them — a sketch regression flips a bit
+    // and fails the driver hash
+    "q_length_quantiles_gate" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      val exact = d.groupBy(col("lang")).agg(
+        round(expr("percentile(n_chars, 0.5)"), 4).as("p50_exact"),
+        round(expr("percentile(n_chars, 0.9)"), 4).as("p90_exact"))
+      val approx = d.groupBy(col("lang")).agg(
+        expr("percentile_approx(n_chars, 0.5, 1000)").as("a50"),
+        expr("percentile_approx(n_chars, 0.9, 1000)").as("a90"))
+      exact
+        .join(approx, Seq("lang"))
+        .select(
+          col("lang"),
+          col("p50_exact"),
+          col("p90_exact"),
+          (abs(col("a50") - col("p50_exact")) / col("p50_exact") <= 0.05)
+            .as("p50_within_tol"),
+          (abs(col("a90") - col("p90_exact")) / col("p90_exact") <= 0.05)
+            .as("p90_within_tol"))
+    }),
     "q_distinct_count" -> ((s, dir) => {
       // distinct-aggregation surface (url-dedup counting shape at scale;
       // approx_count_distinct is the 10^12-row variant, exact here for the oracle)
@@ -950,6 +974,17 @@ object SparkEntry {
     // exact cardinalities recomputed; the tolerance booleans assert the
     // HLL++ estimate accuracy (3x the configured 2% rsd), so an estimator
     // regression on the Spark side fails the hash compare
+    // exact anchors recomputed by DuckDB's type-7 interpolated quantile
+    // (the same linear-interpolation definition Spark's `percentile`
+    // uses); the tolerance booleans are literal true — a sketch outside
+    // tolerance hash-fails
+    "q_length_quantiles_gate" ->
+      """SELECT lang,
+         round(quantile_cont(n_chars, 0.5), 4) AS p50_exact,
+         round(quantile_cont(n_chars, 0.9), 4) AS p90_exact,
+         true AS p50_within_tol,
+         true AS p90_within_tol
+         FROM documents GROUP BY lang""",
     "q_approx_distinct_gate" ->
       """SELECT l_returnflag,
          count(DISTINCT l_orderkey)::BIGINT AS exact_orders,
