@@ -446,6 +446,16 @@ object SparkEntry {
       TextAnalysis.tokenRarity(s.read.parquet(t(dir, "documents")))),
     "q_vocab_stats" -> ((s, dir) =>
       TextAnalysis.vocabStats(s.read.parquet(t(dir, "documents")))),
+    // Pile/ROOTS-style language rebalancing: uniform 20% token-share
+    // target downsamples the dominant language, keeps the rest whole
+    "q_rebalance_lang" -> ((s, dir) =>
+      graft.ops.Pipeline.rebalanceByLang(
+        s.read.parquet(t(dir, "documents")),
+        Map("de" -> 0.2, "en" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.2))),
+    // RAG-style sliding-window chunking (50-token windows, stride 40)
+    "q_chunk_tokens" -> ((s, dir) =>
+      TextAnalysis.chunkTokens(
+        s.read.parquet(t(dir, "documents")), size = 50, stride = 40)),
     // deterministic md5-bucket corpus split (train/val/test) — physical-
     // partitioning-independent, reproducible anywhere md5 exists. The first
     // FOUR hex digits parse to a uniform 0..65535 value (two raw ascii codes
@@ -1413,6 +1423,51 @@ object SparkEntry {
            round(coalesce(p.rare_tokens::DOUBLE / p.n_tokens, 0.0), 4) AS rare_frac,
            round(coalesce(p.count_sum::DOUBLE / p.n_tokens, 0.0), 4) AS avg_count
          FROM documents d LEFT JOIN per p USING (doc_id)""",
+    // identical double-op order as the Spark side (share * total / cur)
+    // so the gate threshold is bit-identical; the doc gate reuses the
+    // q_hash_split md5-hex bucket at modulus 10000
+    "q_rebalance_lang" ->
+      """WITH m AS (
+           SELECT lang, sum(len(string_split(text, ' ')))::BIGINT AS cur
+           FROM documents GROUP BY lang),
+         t AS (SELECT sum(cur)::BIGINT AS total FROM m),
+         s(lang, share) AS (
+           SELECT * FROM (VALUES ('de', 0.2), ('en', 0.2), ('es', 0.2),
+                                 ('fr', 0.2), ('zh', 0.2))),
+         r AS (
+           SELECT m.lang,
+             CASE WHEN s.share IS NULL THEN 1.0
+                  ELSE least(1.0, s.share * t.total / m.cur) END AS raw
+           FROM m CROSS JOIN t
+           LEFT JOIN s ON m.lang IS NOT DISTINCT FROM s.lang),
+         b AS (
+           SELECT doc_id, lang,
+             ((ascii(substr(md5(doc_id::VARCHAR), 1, 1)) - 48
+                 - 39 * CASE WHEN ascii(substr(md5(doc_id::VARCHAR), 1, 1)) >= 97 THEN 1 ELSE 0 END) * 4096
+              + (ascii(substr(md5(doc_id::VARCHAR), 2, 1)) - 48
+                 - 39 * CASE WHEN ascii(substr(md5(doc_id::VARCHAR), 2, 1)) >= 97 THEN 1 ELSE 0 END) * 256
+              + (ascii(substr(md5(doc_id::VARCHAR), 3, 1)) - 48
+                 - 39 * CASE WHEN ascii(substr(md5(doc_id::VARCHAR), 3, 1)) >= 97 THEN 1 ELSE 0 END) * 16
+              + (ascii(substr(md5(doc_id::VARCHAR), 4, 1)) - 48
+                 - 39 * CASE WHEN ascii(substr(md5(doc_id::VARCHAR), 4, 1)) >= 97 THEN 1 ELSE 0 END)
+             ) % 10000 AS bucket
+           FROM documents)
+         SELECT b.doc_id, b.lang, round(r.raw, 4) AS keep_prob,
+           (b.bucket < round(r.raw * 10000)) AS keep
+         FROM b JOIN r ON b.lang IS NOT DISTINCT FROM r.lang""",
+    // DuckDB list slices are 1-based inclusive like Spark's slice();
+    // range(1, n+1, stride) mirrors sequence(1, n, stride)
+    "q_chunk_tokens" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_extract_all(text, '[^ \n]+') AS t
+           FROM documents),
+         st AS (
+           SELECT doc_id, t, unnest(range(1, len(t) + 1, 40)) AS i
+           FROM tk WHERE len(t) >= 1)
+         SELECT doc_id, ((i - 1) // 40)::BIGINT AS chunk_id,
+           len(t[i:i+49])::BIGINT AS n_chunk_tokens,
+           array_to_string(t[i:i+49], ' ') AS chunk_text
+         FROM st""",
     // ties at the top-k boundary break by token text in BOTH engines
     "q_vocab_stats" ->
       """WITH tk AS (

@@ -26,17 +26,22 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  /** Deterministic md5 4-hex-digit bucket (uniform 0..99) of an id column —
-    * physical-partitioning-independent, reproducible anywhere md5 exists.
+  /** Deterministic md5 4-hex-digit bucket (uniform 0..mod-1, mod <=
+    * 65536) of an id column — physical-partitioning-independent,
+    * reproducible anywhere md5 exists.
     */
-  def splitBucket(id: Column): Column = {
+  def hashBucket(id: Column, mod: Int): Column = {
+    require(mod > 0 && mod <= 65536, s"bucket modulus must be in 1..65536, got $mod")
     val h = md5(id.cast("string"))
     def hexVal(i: Int) = {
       val a = ascii(substring(h, i, 1))
       a - lit(48) - lit(39) * (a >= 97).cast("int")
     }
-    (hexVal(1) * lit(4096) + hexVal(2) * lit(256) + hexVal(3) * lit(16) + hexVal(4)) % lit(100)
+    (hexVal(1) * lit(4096) + hexVal(2) * lit(256) + hexVal(3) * lit(16) + hexVal(4)) % lit(mod)
   }
+
+  /** [[hashBucket]] at modulus 100 — the split-assignment bucket. */
+  def splitBucket(id: Column): Column = hashBucket(id, 100)
 
   /** 80/10/10 train/val/test assignment from [[splitBucket]]. */
   def splitName(id: Column): Column =
@@ -231,6 +236,53 @@ object Pipeline {
         col("n_tokens"),
         col("cum").as("cum_tokens"),
         (col("cum") <= budget).as("selected"))
+  }
+
+  /** Language rebalancing — the Pile/ROOTS-style corpus reshaping: give
+    * each language a TARGET share of the (original) total token mass and
+    * deterministically downsample overrepresented languages to it.
+    * Per doc: `keep_prob` = min(1, share(lang) × total_tokens /
+    * lang_tokens) (languages absent from `targetShares` keep 1.0 —
+    * absent means "don't reshape", not "drop"), and
+    * `keep` = md5-bucket(doc_id, 10000) < keep_prob × 10000 — the same
+    * reproducible-anywhere hash gate as [[splitBucket]], so reruns and
+    * other engines select the IDENTICAL document subset.
+    *
+    * At scale: one partial-aggregated `groupBy(lang)` over token counts
+    * (the language universe is tiny), rates broadcast back with a
+    * NULL-SAFE join (a null-lang group gets a verdict and keeps its
+    * docs), gate evaluated row-locally — the corpus never shuffles.
+    */
+  def rebalanceByLang(docs: DataFrame, targetShares: Map[String, Double]): DataFrame = {
+    require(targetShares.values.forall(s => s >= 0.0 && s <= 1.0),
+      s"target shares must be in [0,1], got $targetShares")
+    val spark = docs.sparkSession
+    val mass = docs
+      .groupBy(col("lang"))
+      .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("cur_tokens"))
+    val tot = mass.agg(sum(col("cur_tokens")).as("total_tokens"))
+    val shares = spark.createDataFrame(targetShares.toSeq).toDF("s_lang", "share")
+    val rates = mass
+      .crossJoin(tot)
+      .join(shares, col("lang") <=> col("s_lang"), "left")
+      .select(
+        col("lang").as("r_lang"),
+        // identical double-op order as the SQL oracle: share * total /
+        // cur, least'd, then one round each for the report and the gate
+        when(col("share").isNull, lit(1.0))
+          .otherwise(least(
+            lit(1.0),
+            col("share") * col("total_tokens") / col("cur_tokens")))
+          .as("raw"))
+    docs
+      .select(col("doc_id"), col("lang"))
+      .join(broadcast(rates), col("lang") <=> col("r_lang"))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        round(col("raw"), 4).as("keep_prob"),
+        (hashBucket(col("doc_id"), 10000) < round(col("raw") * 10000))
+          .as("keep"))
   }
 
   /** The per-split rollup of the prepared corpus: documents that pass the

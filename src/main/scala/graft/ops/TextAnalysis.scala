@@ -502,6 +502,40 @@ object TextAnalysis {
         .as(s"top${k}_coverage"))
   }
 
+  /** Sliding-window token chunking — the RAG/embedding-pipeline prep
+    * step: each document becomes overlapping windows of `size` tokens
+    * advancing by `stride` (`stride < size` ⇒ overlap of size−stride
+    * tokens). Chunk starts are every stride-th token position up to the
+    * last token, so EVERY token lands in at least one chunk when
+    * `stride <= size` (trailing chunks run short rather than dropping
+    * the tail). Output: `(doc_id, chunk_id, n_chunk_tokens, chunk_text)`;
+    * empty/null-text docs produce no chunks by design (there is nothing
+    * to embed).
+    *
+    * Purely row-local: tokenize → explode the start positions → slice.
+    * No shuffle, no state; the explode factor is n/stride per doc.
+    */
+  def chunkTokens(docs: DataFrame, size: Int = 256, stride: Int = 192): DataFrame = {
+    require(size > 0 && stride > 0, s"size/stride must be positive, got $size/$stride")
+    docs
+      .select(
+        col("doc_id"),
+        regexp_extract_all(col("text"), lit(WsTokenPattern), lit(0)).as("t"))
+      .filter(size_(col("t")) >= 1)
+      .select(
+        col("doc_id"),
+        explode(sequence(lit(1), size_(col("t")), lit(stride))).as("i"),
+        col("t"))
+      .select(
+        col("doc_id"),
+        ((col("i") - 1) / stride).cast("long").as("chunk_id"),
+        size_(slice(col("t"), col("i"), lit(size))).cast("long").as("n_chunk_tokens"),
+        array_join(slice(col("t"), col("i"), lit(size)), " ").as("chunk_text"))
+  }
+  // `size` the function shadows nothing here, but spark.sql.functions.size
+  // is aliased to avoid colliding with the `size` parameter above
+  private def size_(c: Column): Column = size(c)
+
   /** Source-level (host-level) reputation: the two-level filter a crawl
     * pipeline runs AFTER per-doc scoring — a host whose documents are
     * mostly low-quality is dropped WHOLESALE (the UT1-blocklist /

@@ -662,6 +662,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(row.getAs[Double]("top2_coverage") == 0.75)
   }
 
+  test("chunkTokens: overlapping windows cover every token, short tail kept") {
+    val df = Seq(
+      (0L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (1L, "a b"), // shorter than one window
+      (2L, "") // no chunks for empty text
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.chunkTokens(df, size = 4, stride = 3).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("chunk_id"),
+        x.getAs[Long]("n_chunk_tokens"), x.getAs[String]("chunk_text")))
+      .sortBy(c => (c._1, c._2))
+    // doc 0: starts 1,4,7,10 -> 4 chunks; last two run short
+    assert(r.count(_._1 == 0L) == 4)
+    assert(r(0) == ((0L, 0L, 4L, "t1 t2 t3 t4")))
+    assert(r(1) == ((0L, 1L, 4L, "t4 t5 t6 t7")))
+    assert(r(2) == ((0L, 2L, 4L, "t7 t8 t9 t10")))
+    assert(r(3) == ((0L, 3L, 1L, "t10")))
+    assert(r.filter(_._1 == 1L).toSeq == Seq((1L, 0L, 2L, "a b")))
+    assert(!r.exists(_._1 == 2L))
+    // coverage: every token of doc 0 appears in at least one chunk
+    val covered = r.filter(_._1 == 0L).flatMap(_._4.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+  }
+
   test("c4LineFilter keeps terminal-punctuated >=5-word lines and gates docs") {
     val good = (1 to 4).map(i => s"this line number $i has enough words to survive.").mkString("\n")
     val df = Seq(

@@ -145,6 +145,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(run(base.repartition(7, col("doc_id"))) == got)
   }
 
+  test("rebalanceByLang downsamples only overrepresented languages, null-safely") {
+    // en: 400 docs x 10 tokens = 4000; de: 100 x 10 = 1000; one null-lang
+    // 3-token doc. total 5003. target en 0.2 -> keep_prob
+    // round(0.2*5003/4000, 4) = 0.2502; de absent from targets -> 1.0;
+    // null lang -> 1.0 and NOT dropped.
+    val docs = ((0L until 400L).map(i => (i, Seq.fill(10)("w").mkString(" "), Some("en"))) ++
+      (400L until 500L).map(i => (i, Seq.fill(10)("w").mkString(" "), Some("de"))) ++
+      Seq((500L, "x y z", Option.empty[String])))
+      .toDF("doc_id", "text", "lang")
+    val r = Pipeline.rebalanceByLang(docs, Map("en" -> 0.2)).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("lang"), x.getAs[Double]("keep_prob"),
+          x.getAs[Boolean]("keep")))).toMap
+    assert(r.size == 501, "no doc may vanish, null-lang included")
+    assert(r(450L) == (("de", 1.0, true)))
+    assert(r(500L)._2 == 1.0 && r(500L)._3)
+    val enKeep = (0L until 400L).count(r(_)._3)
+    assert(r(0L)._2 == 0.2502, r(0L).toString)
+    // md5 buckets are uniform: ~100 of 400 survive (generous bounds)
+    assert(enKeep > 55 && enKeep < 150, s"expected ~100 en survivors, got $enKeep")
+    // determinism: the identical call selects the identical subset
+    val r2 = Pipeline.rebalanceByLang(docs, Map("en" -> 0.2)).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Boolean]("keep")).toMap
+    assert(r.map { case (k, v) => k -> v._3 } == r2)
+  }
+
   test("splitName is deterministic and covers all three splits at scale") {
     val ids = spark.range(0, 2000).select(col("id").as("doc_id"))
     val dist = ids.select(Pipeline.splitName(col("doc_id")).as("s"))
