@@ -780,6 +780,22 @@ object SparkEntry {
                AS keep_source
            FROM rep)"""
 
+  /** The md5 4-hex-digit bucket of `doc_id` as SQL, parameterized by
+    * modulus — ONE definition of the hex decode (mirrors
+    * `Pipeline.hashBucket`) shared by q_hash_split, q_pipeline_compose,
+    * and q_rebalance_lang so the arithmetic cannot fork.
+    */
+  private def md5BucketSql(mod: Int): String = {
+    def hexVal(i: Int) =
+      s"""(ascii(substr(md5(doc_id::VARCHAR), $i, 1)) - 48
+                 - 39 * CASE WHEN ascii(substr(md5(doc_id::VARCHAR), $i, 1)) >= 97 THEN 1 ELSE 0 END)"""
+    s"""(${hexVal(1)} * 4096
+              + ${hexVal(2)} * 256
+              + ${hexVal(3)} * 16
+              + ${hexVal(4)}
+             ) % $mod"""
+  }
+
   /** Gopher Table-A1 filter oracle — shared by q_gopher_filter and the
     * composed-pipeline oracle (embedded as a subquery there).
     */
@@ -1423,17 +1439,21 @@ object SparkEntry {
            round(coalesce(p.rare_tokens::DOUBLE / p.n_tokens, 0.0), 4) AS rare_frac,
            round(coalesce(p.count_sum::DOUBLE / p.n_tokens, 0.0), 4) AS avg_count
          FROM documents d LEFT JOIN per p USING (doc_id)""",
-    // identical double-op order as the Spark side (share * total / cur)
-    // so the gate threshold is bit-identical; the doc gate reuses the
-    // q_hash_split md5-hex bucket at modulus 10000
+    // shares are cast to DOUBLE (bare 0.2 would be DECIMAL and compute
+    // share*total exactly where Spark rounds in double — a half-boundary
+    // keep_prob would then diverge); identical double-op order as the
+    // Spark side (share * total / cur); the doc gate compares the FULL
+    // 4-hex md5 value (uniform over 0..65535) against raw*65536 — a
+    // mod-10000 bucket would over-keep residues 0..5535 by 1/6
     "q_rebalance_lang" ->
-      """WITH m AS (
+      ("""WITH m AS (
            SELECT lang, sum(len(string_split(text, ' ')))::BIGINT AS cur
            FROM documents GROUP BY lang),
          t AS (SELECT sum(cur)::BIGINT AS total FROM m),
          s(lang, share) AS (
-           SELECT * FROM (VALUES ('de', 0.2), ('en', 0.2), ('es', 0.2),
-                                 ('fr', 0.2), ('zh', 0.2))),
+           SELECT * FROM (VALUES ('de', 0.2::DOUBLE), ('en', 0.2::DOUBLE),
+                                 ('es', 0.2::DOUBLE), ('fr', 0.2::DOUBLE),
+                                 ('zh', 0.2::DOUBLE))),
          r AS (
            SELECT m.lang,
              CASE WHEN s.share IS NULL THEN 1.0
@@ -1442,21 +1462,15 @@ object SparkEntry {
            LEFT JOIN s ON m.lang IS NOT DISTINCT FROM s.lang),
          b AS (
            SELECT doc_id, lang,
-             ((ascii(substr(md5(doc_id::VARCHAR), 1, 1)) - 48
-                 - 39 * CASE WHEN ascii(substr(md5(doc_id::VARCHAR), 1, 1)) >= 97 THEN 1 ELSE 0 END) * 4096
-              + (ascii(substr(md5(doc_id::VARCHAR), 2, 1)) - 48
-                 - 39 * CASE WHEN ascii(substr(md5(doc_id::VARCHAR), 2, 1)) >= 97 THEN 1 ELSE 0 END) * 256
-              + (ascii(substr(md5(doc_id::VARCHAR), 3, 1)) - 48
-                 - 39 * CASE WHEN ascii(substr(md5(doc_id::VARCHAR), 3, 1)) >= 97 THEN 1 ELSE 0 END) * 16
-              + (ascii(substr(md5(doc_id::VARCHAR), 4, 1)) - 48
-                 - 39 * CASE WHEN ascii(substr(md5(doc_id::VARCHAR), 4, 1)) >= 97 THEN 1 ELSE 0 END)
-             ) % 10000 AS bucket
+             """ + md5BucketSql(65536) + """ AS bucket
            FROM documents)
          SELECT b.doc_id, b.lang, round(r.raw, 4) AS keep_prob,
-           (b.bucket < round(r.raw * 10000)) AS keep
-         FROM b JOIN r ON b.lang IS NOT DISTINCT FROM r.lang""",
+           (b.bucket < round(r.raw * 65536)) AS keep
+         FROM b JOIN r ON b.lang IS NOT DISTINCT FROM r.lang"""),
     // DuckDB list slices are 1-based inclusive like Spark's slice();
-    // range(1, n+1, stride) mirrors sequence(1, n, stride)
+    // range(1, n+1, stride) mirrors sequence(1, n, stride); the WHERE
+    // drops a tail start whose predecessor window (i - 40 .. i + 9)
+    // already reached the last token (subset chunk)
     "q_chunk_tokens" ->
       """WITH tk AS (
            SELECT doc_id, regexp_extract_all(text, '[^ \n]+') AS t
@@ -1467,7 +1481,8 @@ object SparkEntry {
          SELECT doc_id, ((i - 1) // 40)::BIGINT AS chunk_id,
            len(t[i:i+49])::BIGINT AS n_chunk_tokens,
            array_to_string(t[i:i+49], ' ') AS chunk_text
-         FROM st""",
+         FROM st
+         WHERE i = 1 OR i - 40 + 49 < len(t)""",
     // ties at the top-k boundary break by token text in BOTH engines
     "q_vocab_stats" ->
       """WITH tk AS (
@@ -1493,17 +1508,9 @@ object SparkEntry {
          SELECT d.doc_id, d.source, v.keep_source AS keep
          FROM documents d JOIN verdict v USING (source)"""),
     "q_hash_split" ->
-      """WITH b AS (
+      s"""WITH b AS (
            SELECT doc_id,
-             ((ascii(substr(md5(doc_id::VARCHAR), 1, 1)) - 48
-                 - 39 * CASE WHEN ascii(substr(md5(doc_id::VARCHAR), 1, 1)) >= 97 THEN 1 ELSE 0 END) * 4096
-              + (ascii(substr(md5(doc_id::VARCHAR), 2, 1)) - 48
-                 - 39 * CASE WHEN ascii(substr(md5(doc_id::VARCHAR), 2, 1)) >= 97 THEN 1 ELSE 0 END) * 256
-              + (ascii(substr(md5(doc_id::VARCHAR), 3, 1)) - 48
-                 - 39 * CASE WHEN ascii(substr(md5(doc_id::VARCHAR), 3, 1)) >= 97 THEN 1 ELSE 0 END) * 16
-              + (ascii(substr(md5(doc_id::VARCHAR), 4, 1)) - 48
-                 - 39 * CASE WHEN ascii(substr(md5(doc_id::VARCHAR), 4, 1)) >= 97 THEN 1 ELSE 0 END)
-             ) % 100 AS bucket
+             ${md5BucketSql(100)} AS bucket
            FROM documents)
          SELECT doc_id, bucket::INT AS bucket,
            CASE WHEN bucket < 80 THEN 'train'
@@ -1522,15 +1529,7 @@ object SparkEntry {
              FROM documents) WHERE NOT is_dup),
          b AS (
            SELECT doc_id,
-             ((ascii(substr(md5(doc_id::VARCHAR), 1, 1)) - 48
-                 - 39 * CASE WHEN ascii(substr(md5(doc_id::VARCHAR), 1, 1)) >= 97 THEN 1 ELSE 0 END) * 4096
-              + (ascii(substr(md5(doc_id::VARCHAR), 2, 1)) - 48
-                 - 39 * CASE WHEN ascii(substr(md5(doc_id::VARCHAR), 2, 1)) >= 97 THEN 1 ELSE 0 END) * 256
-              + (ascii(substr(md5(doc_id::VARCHAR), 3, 1)) - 48
-                 - 39 * CASE WHEN ascii(substr(md5(doc_id::VARCHAR), 3, 1)) >= 97 THEN 1 ELSE 0 END) * 16
-              + (ascii(substr(md5(doc_id::VARCHAR), 4, 1)) - 48
-                 - 39 * CASE WHEN ascii(substr(md5(doc_id::VARCHAR), 4, 1)) >= 97 THEN 1 ELSE 0 END)
-             ) % 100 AS bucket
+             """ + md5BucketSql(100) + """ AS bucket
            FROM documents)
          SELECT CASE WHEN b.bucket < 80 THEN 'train' WHEN b.bucket < 90 THEN 'val'
                   ELSE 'test' END AS split,

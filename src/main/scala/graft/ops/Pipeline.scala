@@ -26,9 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  /** Deterministic md5 4-hex-digit bucket (uniform 0..mod-1, mod <=
-    * 65536) of an id column — physical-partitioning-independent,
-    * reproducible anywhere md5 exists.
+  /** Deterministic md5 4-hex-digit bucket (0..mod-1, mod <= 65536) of an
+    * id column — physical-partitioning-independent, reproducible anywhere
+    * md5 exists. EXACTLY uniform only when mod divides 65536 (powers of
+    * two); otherwise the low 65536 % mod residues are overweighted by
+    * ceil/floor(65536/mod) — at mod 100 that is a 0.15% skew (fine for
+    * split assignment), at mod 10000 it would be 1/6 (use mod 65536 and
+    * scale the threshold instead, as [[rebalanceByLang]] does).
     */
   def hashBucket(id: Column, mod: Int): Column = {
     require(mod > 0 && mod <= 65536, s"bucket modulus must be in 1..65536, got $mod")
@@ -243,10 +247,11 @@ object Pipeline {
     * deterministically downsample overrepresented languages to it.
     * Per doc: `keep_prob` = min(1, share(lang) × total_tokens /
     * lang_tokens) (languages absent from `targetShares` keep 1.0 —
-    * absent means "don't reshape", not "drop"), and
-    * `keep` = md5-bucket(doc_id, 10000) < keep_prob × 10000 — the same
-    * reproducible-anywhere hash gate as [[splitBucket]], so reruns and
-    * other engines select the IDENTICAL document subset.
+    * absent means "don't reshape", not "drop"), and `keep` = the FULL
+    * 4-hex md5 value (exactly uniform over 0..65535) < keep_prob × 65536
+    * — the same reproducible-anywhere hash gate as [[splitBucket]], so
+    * reruns and other engines select the IDENTICAL document subset, with
+    * no modulus bias in the realized keep rate.
     *
     * At scale: one partial-aggregated `groupBy(lang)` over token counts
     * (the language universe is tiny), rates broadcast back with a
@@ -281,7 +286,7 @@ object Pipeline {
         col("doc_id"),
         col("lang"),
         round(col("raw"), 4).as("keep_prob"),
-        (hashBucket(col("doc_id"), 10000) < round(col("raw") * 10000))
+        (hashBucket(col("doc_id"), 65536) < round(col("raw") * 65536))
           .as("keep"))
   }
 

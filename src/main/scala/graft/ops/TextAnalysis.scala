@@ -505,12 +505,15 @@ object TextAnalysis {
   /** Sliding-window token chunking — the RAG/embedding-pipeline prep
     * step: each document becomes overlapping windows of `size` tokens
     * advancing by `stride` (`stride < size` ⇒ overlap of size−stride
-    * tokens). Chunk starts are every stride-th token position up to the
-    * last token, so EVERY token lands in at least one chunk when
-    * `stride <= size` (trailing chunks run short rather than dropping
-    * the tail). Output: `(doc_id, chunk_id, n_chunk_tokens, chunk_text)`;
-    * empty/null-text docs produce no chunks by design (there is nothing
-    * to embed).
+    * tokens). Chunk starts are every stride-th token position while the
+    * PREVIOUS window has not already reached the last token, so EVERY
+    * token lands in at least one chunk when `stride <= size` (the final
+    * chunk may run short) and no chunk is a pure subset of its
+    * predecessor (a redundant tail chunk would be a duplicate embedding
+    * cost and duplicate retrieval hit for every doc whose length falls in
+    * the overlap zone). Output: `(doc_id, chunk_id, n_chunk_tokens,
+    * chunk_text)`; empty/null-text docs produce no chunks by design
+    * (there is nothing to embed).
     *
     * Purely row-local: tokenize → explode the start positions → slice.
     * No shuffle, no state; the explode factor is n/stride per doc.
@@ -526,6 +529,10 @@ object TextAnalysis {
         col("doc_id"),
         explode(sequence(lit(1), size_(col("t")), lit(stride))).as("i"),
         col("t"))
+      // drop a start whose predecessor window already covers the last
+      // token — its chunk would be a strict subset of the previous one
+      .filter(col("i") === 1 ||
+        col("i") - stride + size - 1 < size_(col("t")))
       .select(
         col("doc_id"),
         ((col("i") - 1) / stride).cast("long").as("chunk_id"),
