@@ -456,6 +456,9 @@ object SparkEntry {
     "q_chunk_tokens" -> ((s, dir) =>
       TextAnalysis.chunkTokens(
         s.read.parquet(t(dir, "documents")), size = 50, stride = 40)),
+    // TF-IDF keyword extraction: top-3 inverse-frequency terms per doc
+    "q_tfidf_keywords" -> ((s, dir) =>
+      TextAnalysis.tfidfKeywords(s.read.parquet(t(dir, "documents")), k = 3)),
     // deterministic md5-bucket corpus split (train/val/test) — physical-
     // partitioning-independent, reproducible anywhere md5 exists. The first
     // FOUR hex digits parse to a uniform 0..65535 value (two raw ascii codes
@@ -1483,6 +1486,28 @@ object SparkEntry {
            array_to_string(t[i:i+49], ' ') AS chunk_text
          FROM st
          WHERE i = 1 OR i - 40 + 49 < len(t)""",
+    // raw inverse-frequency score (tf*N/df) — same ranking as log-idf
+    // (log is monotone) without the libm hash divergence; ranks on the
+    // ROUNDED score with term-text tie-break so the order is total and
+    // engine-independent
+    "q_tfidf_keywords" ->
+      """WITH tk AS (
+           SELECT doc_id, unnest(regexp_extract_all(text, '[^ \n]+')) AS tok
+           FROM documents),
+         dt AS (
+           SELECT doc_id, tok, count(*) AS k FROM tk GROUP BY doc_id, tok),
+         dfq AS (SELECT tok, count(*)::BIGINT AS df FROM dt GROUP BY tok),
+         n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+         sc AS (
+           SELECT d.doc_id, d.tok AS term, d.k::BIGINT AS tf, f.df,
+             round(d.k::DOUBLE * n.n_docs / f.df, 4) AS score
+           FROM dt d JOIN dfq f USING (tok) CROSS JOIN n),
+         rk AS (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, term) AS rank
+           FROM sc)
+         SELECT doc_id, rank::BIGINT AS rank, term, tf, df, score
+         FROM rk WHERE rank <= 3""",
     // ties at the top-k boundary break by token text in BOTH engines
     "q_vocab_stats" ->
       """WITH tk AS (

@@ -502,6 +502,46 @@ object TextAnalysis {
         .as(s"top${k}_coverage"))
   }
 
+  /** TF-IDF keyword extraction: the `k` highest-scoring terms per
+    * document, score = tf × N / df (the raw inverse-frequency form —
+    * NOT log-idf, deliberately: tf, N, df are exact integers and one
+    * double multiply-divide chain is bit-identical across engines, where
+    * `ln` would hash-diverge on libm last-ulp differences; the RANKING
+    * the two forms induce per document is identical because log is
+    * monotone in N/df and tf scales positively). Ties break by term text.
+    * Output: `(doc_id, rank, term, tf, df, score)`.
+    *
+    * Scale shape: [[docTokenCounts]] (one explode, partial-aggregated) →
+    * df per term (partial-aggregated groupBy, a boilerplate term is one
+    * row per map task) → term-keyed join sized by distinct (doc, term)
+    * pairs → per-DOC window for the top k (every window group is one
+    * document's distinct terms — bounded, never corpus-wide).
+    */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val docTok = docTokenCounts(docs)
+    val df = docTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val scored = docTok
+      .join(df, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .select(
+        col("doc_id"),
+        col("tok").as("term"),
+        col("k").as("tf"),
+        col("df"),
+        round(col("k").cast("double") * col("n_docs") / col("df"), 4).as("score"))
+    val w = Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tf"), col("df"), col("score"))
+  }
+
   /** Sliding-window token chunking — the RAG/embedding-pipeline prep
     * step: each document becomes overlapping windows of `size` tokens
     * advancing by `stride` (`stride < size` ⇒ overlap of size−stride

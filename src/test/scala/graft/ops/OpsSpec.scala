@@ -662,6 +662,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(row.getAs[Double]("top2_coverage") == 0.75)
   }
 
+  test("tfidfKeywords ranks rare-but-frequent-in-doc terms first") {
+    // 3 docs; 'common' appears in all (df 3), 'rare' only in doc 0 (df 1)
+    val df = Seq(
+      (0L, "common rare rare other"),
+      (1L, "common x y"),
+      (2L, "common z z z")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.tfidfKeywords(df, k = 2).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("rank"),
+        x.getAs[String]("term"), x.getAs[Long]("tf"), x.getAs[Long]("df"),
+        x.getAs[Double]("score")))
+      .sortBy(c => (c._1, c._2))
+    // doc 0: rare tf2 df1 -> 6.0; other tf1 df1 -> 3.0; common tf1 df3 -> 1.0
+    assert(r.filter(_._1 == 0L).toSeq ==
+      Seq((0L, 1L, "rare", 2L, 1L, 6.0), (0L, 2L, "other", 1L, 1L, 3.0)))
+    // doc 2: z tf3 df1 -> 9.0 beats common 1.0
+    assert(r.filter(_._1 == 2L).head == ((2L, 1L, "z", 3L, 1L, 9.0)))
+    // every doc got exactly k=2 rows (each has >= 2 distinct terms)
+    assert(r.groupBy(_._1).forall(_._2.size == 2))
+  }
+
   test("chunkTokens: overlapping windows cover every token, short tail kept") {
     val df = Seq(
       (0L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
@@ -683,6 +704,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     // coverage: every token of doc 0 appears in at least one chunk
     val covered = r.filter(_._1 == 0L).flatMap(_._4.split(" ")).toSet
     assert(covered == (1 to 10).map(i => s"t$i").toSet)
+  }
+
+  test("chunkTokens invariants hold across sizes, strides, and lengths") {
+    // sweep: for each (size, stride) config, docs of every length 1..25
+    // in ONE job; assert full coverage, no subset chunks, contiguous ids
+    for ((size, stride) <- Seq((4, 3), (5, 5), (3, 1), (6, 4))) {
+      val docs = (1 to 25).map(n =>
+        (n.toLong, (1 to n).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+      val chunks = TextAnalysis.chunkTokens(docs, size = size, stride = stride)
+        .collect()
+        .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("chunk_id"),
+          x.getAs[String]("chunk_text").split(" ").toSeq))
+        .groupBy(_._1)
+      for (n <- 1 to 25) {
+        val cs = chunks(n.toLong).sortBy(_._2).map(_._3)
+        val clue = s"size=$size stride=$stride n=$n chunks=$cs"
+        // every token appears in at least one chunk
+        assert(cs.flatten.toSet == (1 to n).map(i => s"w$i").toSet, clue)
+        // no chunk is a subset of its predecessor
+        cs.sliding(2).filter(_.length == 2).foreach { pair =>
+          assert(!pair(1).toSet.subsetOf(pair(0).toSet), clue)
+        }
+        // ids are 0..k-1 and every chunk is at most `size` tokens
+        assert(chunks(n.toLong).map(_._2).sorted.toSeq ==
+          (0L until cs.length.toLong), clue)
+        assert(cs.forall(_.length <= size), clue)
+      }
+    }
   }
 
   test("c4LineFilter keeps terminal-punctuated >=5-word lines and gates docs") {
