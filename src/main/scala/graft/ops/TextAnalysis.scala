@@ -444,7 +444,10 @@ object TextAnalysis {
     * list.
     */
   def tokenRarity(docs: DataFrame, rareMax: Long = 1L): DataFrame = {
-    val docTok = docTokenCounts(docs)
+    // materialized once: the vocab build and the join-back both consume
+    // it — without truncation the corpus is exploded and pre-aggregated
+    // TWICE (same discipline as the shingle postings in ngramJaccardPairs)
+    val docTok = Dedup.truncateLineage(docTokenCounts(docs))
     val vocab = docTok.groupBy(col("tok")).agg(
       sum(col("k")).as("c"),
       count(lit(1)).as("df"))
@@ -520,7 +523,9 @@ object TextAnalysis {
   def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     import org.apache.spark.sql.expressions.Window
-    val docTok = docTokenCounts(docs)
+    // materialized once for the df build + the scoring join (see
+    // tokenRarity)
+    val docTok = Dedup.truncateLineage(docTokenCounts(docs))
     val df = docTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     val scored = docTok
