@@ -1486,10 +1486,10 @@ object SparkEntry {
            array_to_string(t[i:i+49], ' ') AS chunk_text
          FROM st
          WHERE i = 1 OR i - 40 + 49 < len(t)""",
-    // raw inverse-frequency score (tf*N/df) — same ranking as log-idf
-    // (log is monotone) without the libm hash divergence; ranks on the
-    // ROUNDED score with term-text tie-break so the order is total and
-    // engine-independent
+    // binned-idf score tf * floor(log2(N/df)) — an exact INTEGER in both
+    // engines (log2 is exact at binary-power bin edges, and non-edge
+    // integer ratios sit >= 2^-13 from an edge, far beyond libm's 1-ulp
+    // error), zero for corpus-universal terms like log-idf
     "q_tfidf_keywords" ->
       """WITH tk AS (
            SELECT doc_id, unnest(regexp_extract_all(text, '[^ \n]+')) AS tok
@@ -1500,7 +1500,7 @@ object SparkEntry {
          n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
          sc AS (
            SELECT d.doc_id, d.tok AS term, d.k::BIGINT AS tf, f.df,
-             round(d.k::DOUBLE * n.n_docs / f.df, 4) AS score
+             (d.k * floor(log2(n.n_docs::DOUBLE / f.df)))::BIGINT AS score
            FROM dt d JOIN dfq f USING (tok) CROSS JOIN n),
          rk AS (
            SELECT *, row_number() OVER (PARTITION BY doc_id

@@ -484,8 +484,10 @@ object TextAnalysis {
     * nulls.
     */
   def vocabStats(docs: DataFrame, k: Int = 100): DataFrame = {
-    val vocab = docTokenCounts(docs)
-      .groupBy(col("tok")).agg(sum(col("k")).as("c"))
+    // materialized once: totals and the top-k mass both consume the
+    // vocabulary (same discipline as tokenRarity's doc-token counts)
+    val vocab = Dedup.truncateLineage(
+      docTokenCounts(docs).groupBy(col("tok")).agg(sum(col("k")).as("c")))
     val totals = vocab.agg(
       count(lit(1)).as("vocab_size"),
       coalesce(sum(when(col("c") === 1L, 1L).otherwise(0L)), lit(0L))
@@ -506,25 +508,28 @@ object TextAnalysis {
   }
 
   /** TF-IDF keyword extraction: the `k` highest-scoring terms per
-    * document, score = tf × N / df (the raw inverse-frequency form —
-    * NOT log-idf, deliberately: tf, N, df are exact integers and one
-    * double multiply-divide chain is bit-identical across engines, where
-    * `ln` would hash-diverge on libm last-ulp differences; the RANKING
-    * the two forms induce per document is identical because log is
-    * monotone in N/df and tf scales positively). Ties break by term text.
+    * document, score = tf × ⌊log2(N/df)⌋ — tf weighted by the BINNED
+    * idf (the power-of-two bin index of the inverse document frequency).
+    * Like log-idf (and unlike a raw tf×N/df, which ranks high-tf
+    * stopwords first), a corpus-universal term (df = N) weighs ZERO and
+    * rarity is damped logarithmically, so rare-but-repeated topical
+    * terms win. The binning keeps the score an exact INTEGER across
+    * engines: log2 is exact at the bin edges (binary powers, where IEEE
+    * log2 of an exact power of two is exact) and the nearest non-edge
+    * integer ratio sits ≥ 2^-13 from an edge — far beyond libm's 1-ulp
+    * error — so the floor never straddles. Ties break by term text.
     * Output: `(doc_id, rank, term, tf, df, score)`.
     *
-    * Scale shape: [[docTokenCounts]] (one explode, partial-aggregated) →
-    * df per term (partial-aggregated groupBy, a boilerplate term is one
-    * row per map task) → term-keyed join sized by distinct (doc, term)
-    * pairs → per-DOC window for the top k (every window group is one
-    * document's distinct terms — bounded, never corpus-wide).
+    * Scale shape: [[docTokenCounts]] (one explode, partial-aggregated,
+    * materialized once for the df build + the scoring join) → df per
+    * term (partial-aggregated groupBy, a boilerplate term is one row per
+    * map task) → term-keyed join sized by distinct (doc, term) pairs →
+    * per-DOC window for the top k (every window group is one document's
+    * distinct terms — bounded, never corpus-wide).
     */
   def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     import org.apache.spark.sql.expressions.Window
-    // materialized once for the df build + the scoring join (see
-    // tokenRarity)
     val docTok = Dedup.truncateLineage(docTokenCounts(docs))
     val df = docTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
@@ -536,7 +541,8 @@ object TextAnalysis {
         col("tok").as("term"),
         col("k").as("tf"),
         col("df"),
-        round(col("k").cast("double") * col("n_docs") / col("df"), 4).as("score"))
+        (col("k") * floor(log2(col("n_docs").cast("double") / col("df"))))
+          .cast("long").as("score"))
     val w = Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)

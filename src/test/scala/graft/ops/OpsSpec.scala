@@ -666,19 +666,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     // 3 docs; 'common' appears in all (df 3), 'rare' only in doc 0 (df 1)
     val df = Seq(
       (0L, "common rare rare other"),
-      (1L, "common x y"),
+      (1L, "common common common common common x"), // stopword-heavy doc
       (2L, "common z z z")
     ).toDF("doc_id", "text")
     val r = TextAnalysis.tfidfKeywords(df, k = 2).collect()
       .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("rank"),
         x.getAs[String]("term"), x.getAs[Long]("tf"), x.getAs[Long]("df"),
-        x.getAs[Double]("score")))
+        x.getAs[Long]("score")))
       .sortBy(c => (c._1, c._2))
-    // doc 0: rare tf2 df1 -> 6.0; other tf1 df1 -> 3.0; common tf1 df3 -> 1.0
+    // binned idf with N=3: df 1 -> floor(log2 3)=1, df 3 -> 0. doc 0:
+    // rare tf2 -> 2; other tf1 -> 1; the corpus-universal 'common' -> 0
     assert(r.filter(_._1 == 0L).toSeq ==
-      Seq((0L, 1L, "rare", 2L, 1L, 6.0), (0L, 2L, "other", 1L, 1L, 3.0)))
-    // doc 2: z tf3 df1 -> 9.0 beats common 1.0
-    assert(r.filter(_._1 == 2L).head == ((2L, 1L, "z", 3L, 1L, 9.0)))
+      Seq((0L, 1L, "rare", 2L, 1L, 2L), (0L, 2L, "other", 1L, 1L, 1L)))
+    // doc 2: z tf3 df1 -> 3 beats common's 0
+    assert(r.filter(_._1 == 2L).head == ((2L, 1L, "z", 3L, 1L, 3L)))
+    // the stopword trap a raw tf*N/df score falls into: 'common' at tf 5
+    // (score 5*3/3 = 5 raw) must NOT outrank the df-1 keyword 'x'
+    assert(r.filter(_._1 == 1L).head._3 == "x", r.filter(_._1 == 1L).toSeq)
     // every doc got exactly k=2 rows (each has >= 2 distinct terms)
     assert(r.groupBy(_._1).forall(_._2.size == 2))
   }
