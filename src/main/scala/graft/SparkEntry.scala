@@ -1487,9 +1487,11 @@ object SparkEntry {
          FROM st
          WHERE i = 1 OR i - 40 + 49 < len(t)""",
     // binned-idf score tf * floor(log2(N/df)) — an exact INTEGER in both
-    // engines (log2 is exact at binary-power bin edges, and non-edge
-    // integer ratios sit >= 2^-13 from an edge, far beyond libm's 1-ulp
-    // error), zero for corpus-universal terms like log-idf
+    // engines (bin edges floor correctly under both libm log2 and
+    // Spark's ln-quotient log2, and non-edge integer ratios sit
+    // ~1/(N*ln2) from an edge, above the log error at any realistic N);
+    // zero for corpus-universal terms like log-idf; sort carries tf as
+    // the secondary key so equal-bin ties go to the repeated term
     "q_tfidf_keywords" ->
       """WITH tk AS (
            SELECT doc_id, unnest(regexp_extract_all(text, '[^ \n]+')) AS tok
@@ -1504,7 +1506,7 @@ object SparkEntry {
            FROM dt d JOIN dfq f USING (tok) CROSS JOIN n),
          rk AS (
            SELECT *, row_number() OVER (PARTITION BY doc_id
-                       ORDER BY score DESC, term) AS rank
+                       ORDER BY score DESC, tf DESC, term) AS rank
            FROM sc)
          SELECT doc_id, rank::BIGINT AS rank, term, tf, df, score
          FROM rk WHERE rank <= 3""",

@@ -687,6 +687,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.groupBy(_._1).forall(_._2.size == 2))
   }
 
+  test("tfidfKeywords equal-bin ties go to the repeated term, not the alphabet") {
+    // df(berlin)=2 of N=3 -> bin 0, same as corpus-universal 'aa' — the
+    // tf-desc secondary key must rank repeated 'berlin' over single 'aa'
+    val df = Seq(
+      (0L, "berlin berlin berlin aa"),
+      (1L, "berlin aa"),
+      (2L, "aa")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfKeywords(df, k = 1).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("term"), x.getAs[Long]("score")))).toMap
+    assert(top(0L) == (("berlin", 0L)), top.toString)
+  }
+
   test("chunkTokens: overlapping windows cover every token, short tail kept") {
     val df = Seq(
       (0L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
