@@ -171,6 +171,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.map { case (k, v) => k -> v._3 } == r2)
   }
 
+  test("rebalanceByLang edges: empty target map keeps everything, zero budget selects nothing") {
+    val docs = Seq((0L, "a b c", "en"), (1L, "d e", "de"))
+      .toDF("doc_id", "text", "lang")
+    val all = Pipeline.rebalanceByLang(docs, Map.empty).collect()
+    assert(all.length == 2 &&
+      all.forall(r => r.getAs[Double]("keep_prob") == 1.0 && r.getAs[Boolean]("keep")))
+    val none = Pipeline.selectBudget(docs.select(col("doc_id"), col("text")), budget = 0L)
+      .collect()
+    assert(none.length == 2 && none.forall(!_.getAs[Boolean]("selected")))
+  }
+
   test("splitName is deterministic and covers all three splits at scale") {
     val ids = spark.range(0, 2000).select(col("id").as("doc_id"))
     val dist = ids.select(Pipeline.splitName(col("doc_id")).as("s"))
