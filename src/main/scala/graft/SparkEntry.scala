@@ -459,6 +459,10 @@ object SparkEntry {
     // TF-IDF keyword extraction: top-3 inverse-frequency terms per doc
     "q_tfidf_keywords" -> ((s, dir) =>
       TextAnalysis.tfidfKeywords(s.read.parquet(t(dir, "documents")), k = 3)),
+    // seeded reproducible training order (distributed global rank)
+    "q_shuffle_order" -> ((s, dir) =>
+      graft.ops.Pipeline.shuffleOrder(
+        s.read.parquet(t(dir, "documents")), seed = 42L)),
     // deterministic md5-bucket corpus split (train/val/test) — physical-
     // partitioning-independent, reproducible anywhere md5 exists. The first
     // FOUR hex digits parse to a uniform 0..65535 value (two raw ascii codes
@@ -1510,6 +1514,13 @@ object SparkEntry {
            FROM sc)
          SELECT doc_id, rank::BIGINT AS rank, term, tf, df, score
          FROM rk WHERE rank <= 3""",
+    // the distributed rank must equal a plain ORDER BY row_number
+    "q_shuffle_order" ->
+      """SELECT doc_id,
+         md5('42:' || doc_id::VARCHAR) AS shuffle_key,
+         (row_number() OVER (ORDER BY md5('42:' || doc_id::VARCHAR), doc_id)
+           - 1)::BIGINT AS shuffle_rank
+         FROM documents""",
     // ties at the top-k boundary break by token text in BOTH engines
     "q_vocab_stats" ->
       """WITH tk AS (

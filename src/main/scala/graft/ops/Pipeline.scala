@@ -290,6 +290,34 @@ object Pipeline {
           .as("keep"))
   }
 
+  /** Deterministic global shuffle order — the reproducible corpus
+    * permutation a training run reads documents in (seeded, so the same
+    * seed always yields the same order on any cluster, and a different
+    * seed decorrelates epochs). Each doc gets `shuffle_rank` = its
+    * 0-based position when the corpus is ordered by
+    * md5(seed ‖ ":" ‖ doc_id) (doc_id breaking the astronomically
+    * unlikely digest tie).
+    *
+    * At scale: a global rank is the same distributed prefix-sum as
+    * [[packSequences]] with a constant 1 as the value — range-partition
+    * by the hash key (balanced, since the key is uniform), per-partition
+    * counts collected (bounded by partition count) into broadcast
+    * offsets, partition-local row numbering. No corpus-wide single-task
+    * `ORDER BY` window ever runs.
+    */
+  def shuffleOrder(docs: DataFrame, seed: Long, idCol: String = "doc_id"): DataFrame =
+    runningTokenTotal(
+      docs.select(
+        col(idCol).as("doc_id"),
+        md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string")))
+          .as("shuffle_key"),
+        lit(1L).as("n_tokens")),
+      Seq(col("shuffle_key").asc, col("doc_id").asc))
+      .select(
+        col("doc_id"),
+        col("shuffle_key"),
+        (col("cum") - 1).as("shuffle_rank"))
+
   /** The per-split rollup of the prepared corpus: documents that pass the
     * gopher gate and are the canonical copy of their exact-dup group,
     * counted and token-summed per train/val/test split.

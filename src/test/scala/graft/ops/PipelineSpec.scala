@@ -182,6 +182,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(none.length == 2 && none.forall(!_.getAs[Boolean]("selected")))
   }
 
+  test("shuffleOrder is a seeded permutation, partitioning-independent") {
+    val docs = (0L until 200L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame, seed: Long) =
+      Pipeline.shuffleOrder(df, seed).collect()
+        .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("shuffle_rank")).toMap
+    val a = run(docs, 42L)
+    // a permutation of 0..199
+    assert(a.values.toSeq.sorted == (0L until 200L))
+    // deterministic, and independent of physical partitioning
+    assert(run(docs, 42L) == a)
+    assert(run(docs.repartition(7, col("doc_id")), 42L) == a)
+    // a different seed gives a genuinely different order
+    val b = run(docs, 43L)
+    assert(b.values.toSeq.sorted == (0L until 200L))
+    assert(a != b)
+  }
+
   test("splitName is deterministic and covers all three splits at scale") {
     val ids = spark.range(0, 2000).select(col("id").as("doc_id"))
     val dist = ids.select(Pipeline.splitName(col("doc_id")).as("s"))
