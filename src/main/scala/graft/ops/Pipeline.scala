@@ -296,7 +296,12 @@ object Pipeline {
     * seed decorrelates epochs). Each doc gets `shuffle_rank` = its
     * 0-based position when the corpus is ordered by
     * md5(seed ‖ ":" ‖ doc_id) (doc_id breaking the astronomically
-    * unlikely digest tie).
+    * unlikely digest tie). Doc ids must be UNIQUE and non-null — they
+    * are identifiers; duplicate ids make the two rows' ranks
+    * nondeterministic (identical sort tuples, see
+    * [[runningTokenTotal]]'s total-order precondition). A null id sorts
+    * LAST in both engines (nulls-last explicitly, matching the oracle's
+    * ORDER BY default) rather than silently diverging.
     *
     * At scale: a global rank is the same distributed prefix-sum as
     * [[packSequences]] with a constant 1 as the value — range-partition
@@ -312,7 +317,7 @@ object Pipeline {
         md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string")))
           .as("shuffle_key"),
         lit(1L).as("n_tokens")),
-      Seq(col("shuffle_key").asc, col("doc_id").asc))
+      Seq(col("shuffle_key").asc_nulls_last, col("doc_id").asc_nulls_last))
       .select(
         col("doc_id"),
         col("shuffle_key"),
