@@ -19,6 +19,38 @@ object SparkEntry {
 
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
 
+  /** Scan-parallelism guard for CPU-heavy row-local pipelines (guide §2.5
+    * "input skew — one huge unsplittable file": repartition immediately
+    * after the read). A small parquet table arrives as ONE scan split
+    * (split packing charges every file `openCostInBytes` = 4 MB, and a
+    * single-row-group file cannot be split at any byte boundary), so every
+    * row-local kernel downstream — shingling, window-hash md5, quality
+    * regexes, typed-map analyzers, payload synthesis — runs on one core
+    * however many the session has, until the first shuffle. When the scan
+    * has fewer partitions than the session's core count, redistribute
+    * round-robin to `defaultParallelism` (derived from the master =
+    * SPARK_GRAFT_CPUS — never a hard-coded constant). Scale-adaptive by
+    * construction: at production scale an input carries at least one row
+    * group per 128 MB split, the partition count exceeds the core count,
+    * and the guard adds NO shuffle — it only fires where the alternative
+    * is a single-task stage. Row-local results are partitioning-invariant,
+    * so every query's output is byte-identical with or without it.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** [[spread]] applied to the documents table — the shared entry of the
+    * kernel-heavy document queries.
+    */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    spread(s.read.parquet(t(dir, "documents")))
+
+  /** [[spread]] applied to the embeddings table (ANN / embedding-dedup). */
+  private def embSpread(s: SparkSession, dir: String): DataFrame =
+    spread(s.read.parquet(t(dir, "embeddings")))
+
   /** Deterministic md5 4-hex-digit doc bucket (uniform 0..99), shared by
     * the split query and the composed pipeline — physical-partitioning-
     * independent, reproducible anywhere md5 exists.
@@ -130,11 +162,17 @@ object SparkEntry {
       // into the countDistinct aggregation would drag them through the
       // multi-distinct Expand (3x the input rows through the sketch
       // update path — measured 5x slower than the split form)
+      // ...and the exact side itself splits per distinct column (r7): two
+      // distinct columns in one agg still Expand-triple the input before
+      // the exchange; one single-distinct agg per column partial-aggregates
+      // map-side with no row multiplication (same values, same rows)
       val exact = li
         .groupBy(col("l_returnflag"))
-        .agg(
-          countDistinct(col("l_orderkey")).as("exact_orders"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+        .join(
+          li.groupBy(col("l_returnflag"))
+            .agg(countDistinct(col("l_partkey")).as("exact_parts")),
+          Seq("l_returnflag"))
       val sketch = li
         .groupBy(col("l_returnflag"))
         .agg(
@@ -177,13 +215,26 @@ object SparkEntry {
     }),
     "q_distinct_count" -> ((s, dir) => {
       // distinct-aggregation surface (url-dedup counting shape at scale;
-      // approx_count_distinct is the 10^12-row variant, exact here for the oracle)
-      s.read.parquet(t(dir, "lineitem"))
+      // approx_count_distinct is the 10^12-row variant, exact here for the
+      // oracle). TWO single-distinct aggregations joined on the 3-row group
+      // key, not one multi-distinct agg: two distinct columns in one agg
+      // plan through an Expand that triples every input row before the
+      // first exchange (3x the shuffle bytes — guide §2.3), while each
+      // single-distinct agg partial-aggregates its own (flag, key) pairs
+      // map-side with no row multiplication. Values are identical —
+      // countDistinct per column is computed over the same rows either way.
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val orders = li
         .groupBy(col("l_returnflag"))
         .agg(
           countDistinct(col("l_orderkey")).as("n_orders"),
-          countDistinct(col("l_partkey")).as("n_parts"),
           count(lit(1)).as("n_rows"))
+      val parts = li
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"))
+      orders
+        .join(parts, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_orders"), col("n_parts"), col("n_rows"))
     }),
     "q_explode_tokens" -> ((s, dir) => {
       s.read.parquet(t(dir, "documents"))
@@ -234,19 +285,19 @@ object SparkEntry {
       TextAnalysis.repetitionStats(s.read.parquet(t(dir, "documents")))),
     // Gopher Table-A1 document filter rules as pure Column arithmetic
     "q_gopher_filter" -> ((s, dir) =>
-      TextAnalysis.gopherRules(s.read.parquet(t(dir, "documents")))),
+      TextAnalysis.gopherRules(docsSpread(s, dir))),
     "q_c4_filter" -> ((s, dir) =>
       TextAnalysis.c4LineFilter(s.read.parquet(t(dir, "documents")))),
     "q_pii_scrub" -> ((s, dir) =>
-      TextAnalysis.piiScrub(s.read.parquet(t(dir, "documents")))),
+      TextAnalysis.piiScrub(docsSpread(s, dir))),
     // reference quality kernels over the documents table (rows-only checks:
     // regex/whitelist semantics aren't ANSI-SQL-expressible; the kernels'
     // correctness gate is the golden-fixture + unit suites)
     "q_garbled_signal" -> ((s, dir) => {
       import s.implicits._
       val analyzer = graft.text.QualityAnalyzer() // built once, shipped to executors
-      s.read.parquet(t(dir, "documents"))
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+      spread(s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("text"))).as[(Long, String)]
         .map { case (id, text) =>
           val q = analyzer.analyzeWith(text, None) // one pass computes all signals
           (id, q.signalScores("garbled"), q.garbledCount, q.totalWords,
@@ -257,8 +308,8 @@ object SparkEntry {
     }),
     "q_postprocess_chain" -> ((s, dir) => {
       import s.implicits._
-      s.read.parquet(t(dir, "documents"))
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+      spread(s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("text"))).as[(Long, String)]
         .map { case (id, text) =>
           val (clean, counts) = graft.text.Postprocess(text)
           (id, clean, counts.getOrElse("paragraph_joins", 0),
@@ -267,7 +318,7 @@ object SparkEntry {
         .toDF("doc_id", "clean_text", "paragraph_joins", "punctuation_fixes")
     }),
     "q_langid" -> ((s, dir) =>
-      TextAnalysis.langId(s.read.parquet(t(dir, "documents")))),
+      TextAnalysis.langId(docsSpread(s, dir))),
     "q_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(s.read.parquet(t(dir, "documents")))),
     "q_token_counts" -> ((s, dir) =>
@@ -282,8 +333,8 @@ object SparkEntry {
     // one archive per partition, no driver materialization.
     "q_warc_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      s.read.parquet(t(dir, "documents"))
-        .select(col("doc_id"), col("text"))
+      spread(s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("text")))
         .as[(Long, String)]
         .mapPartitions { it =>
           val rows = it.map { case (id, text) =>
@@ -407,10 +458,10 @@ object SparkEntry {
     "q_dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(s.read.parquet(t(dir, "documents")), radius = 3)(s)),
     "q_dedup_embedding" -> ((s, dir) =>
-      Dedup.embeddingDupPairs(s.read.parquet(t(dir, "embeddings")), threshold = 0.4)),
+      Dedup.embeddingDupPairs(embSpread(s, dir), threshold = 0.4)),
     // sub-document dedup signal: duplicated sliding-window fraction per doc
     "q_passage_dedup" -> ((s, dir) =>
-      Dedup.passageDupStats(s.read.parquet(t(dir, "documents")), n = 10)),
+      Dedup.passageDupStats(docsSpread(s, dir), n = 10)),
     // duplicated-SPAN masking (exact substring dedup, Lee et al. 2022):
     // the flat span listing and the per-doc rollup ride the same operator
     "q_dup_spans" -> ((s, dir) =>
@@ -433,7 +484,7 @@ object SparkEntry {
     // ordered by the ranking key instead of doc_id)
     "q_select_budget" -> ((s, dir) =>
       graft.ops.Pipeline.selectBudget(
-        s.read.parquet(t(dir, "documents")), budget = 5000L)),
+        docsSpread(s, dir), budget = 5000L)),
     // host-level reputation: two-level filter computed from the corpus
     // itself (per-source flagged fraction with an evidence floor)
     "q_source_reputation" -> ((s, dir) =>
@@ -450,7 +501,7 @@ object SparkEntry {
     // target downsamples the dominant language, keeps the rest whole
     "q_rebalance_lang" -> ((s, dir) =>
       graft.ops.Pipeline.rebalanceByLang(
-        s.read.parquet(t(dir, "documents")),
+        docsSpread(s, dir),
         Map("de" -> 0.2, "en" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.2))),
     // RAG-style sliding-window chunking (50-token windows, stride 40)
     "q_chunk_tokens" -> ((s, dir) =>
@@ -487,7 +538,7 @@ object SparkEntry {
     // dup-grade pairs are PLANTED: copies of vec_id<5 re-keyed +100000 — the
     // operator must find exactly those five cos=1.0 pairs with no label help.
     "q_dedup_embedding_lsh" -> ((s, dir) => {
-      val base = s.read.parquet(t(dir, "embeddings"))
+      val base = embSpread(s, dir)
       val planted = base.filter(col("vec_id") < 5)
         .withColumn("vec_id", col("vec_id") + lit(100000L))
       Dedup.embeddingDupPairsLsh(base.unionByName(planted), threshold = 0.95)
@@ -496,16 +547,16 @@ object SparkEntry {
     // ---- similarity search --------------------------------------------------
     "q_ann_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(
-        s.read.parquet(t(dir, "embeddings")), col("vec_id") < 10, k = 5)),
+        embSpread(s, dir), col("vec_id") < 10, k = 5)),
     // multi-table sign-LSH (6 tables x 3 planes): the measured >=0.9-recall
     // configuration on the diffuse driver embeddings (tools.AnnRecallProbe)
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(
-        s.read.parquet(t(dir, "embeddings")), col("vec_id") < 10, k = 5,
+        embSpread(s, dir), col("vec_id") < 10, k = 5,
         planes = 3, nTables = 6)(s)),
     "q_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(
-        s.read.parquet(t(dir, "embeddings")), col("vec_id") < 10, k = 5)(s)),
+        embSpread(s, dir), col("vec_id") < 10, k = 5)(s)),
     // recall@5 of both approximate indexes against the in-Spark brute-force
     // truth (VERDICT r3 #2): join on (q_id, neighbor_id), one small agg per
     // method. The oracle recomputes the truth-pair count from the embeddings
@@ -514,7 +565,7 @@ object SparkEntry {
     // recall_ok and fails the hash compare, making the ANN quality gate a
     // driver-checked oracle row instead of a unit-test-only bound.
     "q_ann_recall" -> ((s, dir) => {
-      val emb = s.read.parquet(t(dir, "embeddings"))
+      val emb = embSpread(s, dir)
       val truth = Similarity
         .bruteForceTopK(emb, col("vec_id") < 10, k = 5)
         .select(col("q_id"), col("neighbor_id"))
@@ -562,7 +613,8 @@ object SparkEntry {
     // not just the header parse — there is no at-rest media table to read.
     "q_multimodal_meta" -> ((s, dir) => {
       import s.implicits._
-      val ids = s.read.parquet(t(dir, "documents")).select(col("doc_id").cast("long")).as[Long]
+      val ids = spread(
+        s.read.parquet(t(dir, "documents")).select(col("doc_id").cast("long"))).as[Long]
       val media = graft.corpus.CorpusGen.mediaFrame(ids)
       Multimodal.imageMeta(media)(s)
         .select(col("content_id"),

@@ -496,19 +496,22 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
         .groupBy(col("dst"))
         .agg(min(col("cluster_id")).as("neighbor_min"))
+      // the shrink flag rides the checkpointed frame (r7): the convergence
+      // count then scans the already-materialized blocks instead of
+      // re-joining the new labels against the old ones — one shuffle join
+      // fewer per iteration, identical convergence condition (flag true
+      // iff this row's label shrank this round)
       val updated = truncateLineage(
         labels
           .join(neighborMin.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
           .select(
             col("doc_id"),
             least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
-              .as("cluster_id")))
-      changed = updated
-        .withColumnRenamed("cluster_id", "new_label")
-        .join(labels, Seq("doc_id"))
-        .filter(col("new_label") < col("cluster_id"))
-        .count()
-      labels = updated
+              .as("cluster_id"),
+            (coalesce(col("neighbor_min"), col("cluster_id")) < col("cluster_id"))
+              .as("__shrunk")))
+      changed = updated.filter(col("__shrunk")).count()
+      labels = updated.select(col("doc_id"), col("cluster_id"))
       iter += 1
     }
     // a silent non-converged return would hand out WRONG cluster ids (one
@@ -1011,13 +1014,32 @@ object Dedup {
     * pre-round-4 candidate sets for `tables >= 2`. Exact duplicates (the
     * oracle's planted guarantee) collide in every table under any scheme;
     * only which NEAR-threshold pairs happen to collide shifts.
+    *
+    * Degenerate buckets are capped at `maxBucket` vectors (r7 — the same
+    * discipline as [[minhashPairs]]/[[simhashPairs]]): IDENTICAL vectors
+    * collide in EVERY table by construction, so one mass-duplicated
+    * embedding (the all-zeros vector of empty docs, a boilerplate page
+    * embedded 10^6 times) would otherwise form a quadratic bucket in all
+    * `tables` tables at once — `tables` x 10^12 candidate rows from a
+    * single hot key. The cap is a streaming row_number window (lowest
+    * `maxBucket` vec_ids per packed table|bucket key — rows stream through
+    * the spill-capable window sort, no bucket is ever materialized whole),
+    * so pair output from a mega-bucket is bounded at
+    * `maxBucket*(maxBucket-1)/2` per table. The cap only binds on
+    * mass-duplicate clusters, where pairwise output is the wrong shape
+    * anyway: route exact-identical vectors through a hash-grouping dedup
+    * first (group by a digest of the vector — the embedding analogue of
+    * [[exact]]), exactly as the shingle family documents for its own
+    * mass-dup escape. Expected bucket size on diffuse data is
+    * N / 2^planes per table — far under any sensible cap.
     */
   def embeddingDupPairsLsh(
       embeddings: DataFrame,
       threshold: Double = 0.95,
       tables: Int = 6,
       planes: Int = 8,
-      seed: Long = 7L
+      seed: Long = 7L,
+      maxBucket: Int = 200
   ): DataFrame = {
     // native codegen bucketing (no udf boundary in candidate generation);
     // the packed (table << 32 | bucket) long IS the blocking key. Register
@@ -1031,9 +1053,16 @@ object Dedup {
       .withColumn("norm", sqrt(Similarity.dotCol(col("v"), col("v"))))
       .withColumn("tb",
         explode(graft.expressions.GraftFunctions.signLshPacked(col("v"), seed, planes, tables)))
-    val a = e.select(col("tb"), col("vec_id").as("a_id"),
+    // bucket cap without materializing buckets (see scaladoc): keep the
+    // maxBucket lowest vec_ids per packed table|bucket key
+    val wBucket = Window.partitionBy(col("tb")).orderBy(col("vec_id").asc)
+    val capped = e
+      .withColumn("rn", row_number().over(wBucket))
+      .filter(col("rn") <= maxBucket)
+      .drop("rn")
+    val a = capped.select(col("tb"), col("vec_id").as("a_id"),
       col("v").as("a_v"), col("norm").as("a_norm"))
-    val b = e.select(col("tb"), col("vec_id").as("b_id"),
+    val b = capped.select(col("tb"), col("vec_id").as("b_id"),
       col("v").as("b_v"), col("norm").as("b_norm"))
     a.join(b, Seq("tb"))
       .filter(col("a_id") < col("b_id"))

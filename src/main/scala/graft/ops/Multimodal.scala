@@ -120,7 +120,7 @@ object Multimodal {
     val n = if (bytes == null) 0 else bytes.length
     md.reset()
     val hash =
-      if (bytes == null) "" else md.digest(bytes).map("%02x".format(_)).mkString
+      if (bytes == null) "" else graft.util.Hashing.hexLower(md.digest(bytes))
     val (fmt, w, h) = parseDims(bytes)
     ImageMeta(
       content_id = id,

@@ -85,9 +85,13 @@ object StreamingExtraction {
       .select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang"))
       .as[RawPage]
       .mapPartitions { it =>
+        // one digest per task, reset per row (r7) — the same B7 instance
+        // discipline as Multimodal.imageMeta; getInstance per row paid a
+        // provider lookup + allocation for every document on the stream
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.map { raw =>
           val d = Extractor.extractWithFallback(raw, exCfg)
-          (md5Hex(d.extracted_text), d.url, d.extracted_text, raw.warc_ts, d.success)
+          (md5Hex(md, d.extracted_text), d.url, d.extracted_text, raw.warc_ts, d.success)
         }
       }
       .filter(_._5)
@@ -187,10 +191,10 @@ object StreamingExtraction {
       finally caches.foreach(_.unpersist())
     }
 
-  private def md5Hex(s: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    md.reset()
+    graft.util.Hashing.hexLower(
+      md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }
 
   /** Watermarked per-window quality metrics over the extracted stream —

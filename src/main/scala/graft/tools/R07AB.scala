@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Paired A/B for the r7 spread() decision under a throttling host: for
+  * each borderline query, the spread and no-spread variants run
+  * INTERLEAVED (A B A B ...) in one session so both see the same throttle
+  * windows; the per-variant MIN over reps is then comparable. Scratch
+  * tool for this round's measurements (numbers cited in
+  * OPTIMIZATION_r07.md); not part of the driver contract.
+  */
+object R07AB {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "4").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def spread(df: DataFrame): DataFrame = {
+      val target = spark.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
+
+    val cases: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "c4_filter" -> (d => TextAnalysis.c4LineFilter(d)),
+      "pii_scrub" -> (d => TextAnalysis.piiScrub(d)),
+      "langid" -> (d => TextAnalysis.langId(d)),
+      "chunk_tokens" -> (d => TextAnalysis.chunkTokens(d, size = 50, stride = 40)),
+      "select_budget" -> (d => graft.ops.Pipeline.selectBudget(d, budget = 5000L)),
+      "rebalance" -> (d => graft.ops.Pipeline.rebalanceByLang(d,
+        Map("de" -> 0.2, "en" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.2))),
+      "token_rarity" -> (d => TextAnalysis.tokenRarity(d)),
+      "vocab_stats" -> (d => TextAnalysis.vocabStats(d)),
+      "tfidf" -> (d => TextAnalysis.tfidfKeywords(d, k = 3)),
+      "source_rep" -> (d => TextAnalysis.sourceReputation(d)),
+      "source_filter" -> (d => TextAnalysis.sourceFilter(d)),
+      "minhash" -> (d => Dedup.minhashPairs(d, n = 4, threshold = 0.8)(spark)),
+      "simhash_pairs" -> (d => Dedup.simhashPairs(d, radius = 3)(spark)),
+      "contamination" -> (d => Dedup.contamination(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), d, n = 8)(spark)),
+      "dup_spans" -> (d => Dedup.dupSpanList(d, n = 10)),
+      "dup_spans_stats" -> (d => Dedup.dupSpans(d, n = 10)
+        .select(col("doc_id"), col("dup_tokens"), col("total_tokens"))),
+      "cut_keep1" -> (d => Dedup.cutDupSpansKeepFirst(d, n = 10)),
+      "passage" -> (d => Dedup.passageDupStats(d, n = 10)),
+      "gopher" -> (d => TextAnalysis.gopherRules(d))
+    )
+
+    def run(df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def fmt(d: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
+    // warmup
+    run(TextAnalysis.gopherRules(docs))
+    val only = args.toSet
+    cases.filter(c => only.isEmpty || only(c._1)).foreach { case (name, mk) =>
+      val a = Array.fill(reps)(0.0) // no spread
+      val b = Array.fill(reps)(0.0) // spread
+      (0 until reps).foreach { i =>
+        a(i) = run(mk(docs))
+        b(i) = run(mk(spread(docs)))
+      }
+      println(s"AB $name nospread_min=${fmt(a.min)} spread_min=${fmt(b.min)} " +
+        s"nospread=[${a.map(fmt).mkString(",")}] spread=[${b.map(fmt).mkString(",")}]")
+    }
+    spark.stop()
+  }
+}

@@ -15,6 +15,26 @@ object Hashing {
     z ^ (z >>> 33)
   }
 
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** Lowercase hex of a byte array via a char-table loop. Identical output
+    * to `bytes.map("%02x".format(_)).mkString`, which it replaces in the
+    * per-row hash paths (r7): the format idiom allocates a
+    * `java.util.Formatter` + boxed argument PER BYTE — measurable overhead
+    * when a digest is emitted for every document of a corpus.
+    */
+  def hexLower(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(2 * i) = HexChars(b >>> 4)
+      out(2 * i + 1) = HexChars(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   /** Python-`str.isspace()` / `(?U)\s` character test (Unicode White_Space):
     * Character.isWhitespace alone EXCLUDES U+00A0/U+2007/U+202F and U+0085,
     * which Python's \s and str.split() include — the NBSP parity watchpoint.
