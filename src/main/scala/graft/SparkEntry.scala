@@ -461,7 +461,7 @@ object SparkEntry {
       Dedup.embeddingDupPairs(embSpread(s, dir), threshold = 0.4)),
     // sub-document dedup signal: duplicated sliding-window fraction per doc
     "q_passage_dedup" -> ((s, dir) =>
-      Dedup.passageDupStats(docsSpread(s, dir), n = 10)),
+      Dedup.passageDupStats(s.read.parquet(t(dir, "documents")), n = 10)),
     // duplicated-SPAN masking (exact substring dedup, Lee et al. 2022):
     // the flat span listing and the per-doc rollup ride the same operator
     "q_dup_spans" -> ((s, dir) =>
@@ -538,7 +538,7 @@ object SparkEntry {
     // dup-grade pairs are PLANTED: copies of vec_id<5 re-keyed +100000 — the
     // operator must find exactly those five cos=1.0 pairs with no label help.
     "q_dedup_embedding_lsh" -> ((s, dir) => {
-      val base = embSpread(s, dir)
+      val base = s.read.parquet(t(dir, "embeddings"))
       val planted = base.filter(col("vec_id") < 5)
         .withColumn("vec_id", col("vec_id") + lit(100000L))
       Dedup.embeddingDupPairsLsh(base.unionByName(planted), threshold = 0.95)
@@ -547,16 +547,16 @@ object SparkEntry {
     // ---- similarity search --------------------------------------------------
     "q_ann_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(
-        embSpread(s, dir), col("vec_id") < 10, k = 5)),
+        s.read.parquet(t(dir, "embeddings")), col("vec_id") < 10, k = 5)),
     // multi-table sign-LSH (6 tables x 3 planes): the measured >=0.9-recall
     // configuration on the diffuse driver embeddings (tools.AnnRecallProbe)
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(
-        embSpread(s, dir), col("vec_id") < 10, k = 5,
+        s.read.parquet(t(dir, "embeddings")), col("vec_id") < 10, k = 5,
         planes = 3, nTables = 6)(s)),
     "q_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(
-        embSpread(s, dir), col("vec_id") < 10, k = 5)(s)),
+        s.read.parquet(t(dir, "embeddings")), col("vec_id") < 10, k = 5)(s)),
     // recall@5 of both approximate indexes against the in-Spark brute-force
     // truth (VERDICT r3 #2): join on (q_id, neighbor_id), one small agg per
     // method. The oracle recomputes the truth-pair count from the embeddings
@@ -565,10 +565,16 @@ object SparkEntry {
     // recall_ok and fails the hash compare, making the ANN quality gate a
     // driver-checked oracle row instead of a unit-test-only bound.
     "q_ann_recall" -> ((s, dir) => {
-      val emb = embSpread(s, dir)
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      // the truth side feeds BOTH method gates below: materialize it once
+      // per invocation (r7) instead of re-running the brute-force
+      // broadcast-join + window subtree for each gate (same
+      // materialize-for-N-consumers discipline as the dedup postings;
+      // computed within the timed query, never across runs)
       val truth = Similarity
         .bruteForceTopK(emb, col("vec_id") < 10, k = 5)
         .select(col("q_id"), col("neighbor_id"))
+        .localCheckpoint(true)
       def gate(approx: DataFrame, method: String): DataFrame =
         truth
           .join(

@@ -484,9 +484,14 @@ object Dedup {
     // directions — a plain union would embed (and re-execute) the expensive
     // pair subtree twice.
     val p = truncateLineage(pairs.select(col("a_id"), col("b_id")))
-    val edges = truncateLineage(
-      p.select(col("a_id").as("src"), col("b_id").as("dst"))
-        .union(p.select(col("b_id").as("src"), col("a_id").as("dst"))))
+    // edges derive from the MATERIALIZED pair set by a plain union — no
+    // second checkpoint (r7): each iteration's join re-reads p twice, which
+    // costs the same row reads the materialized edge copy would, without
+    // paying an extra materialization job and a second pair-sized block set
+    // up front (the expensive pair subtree itself is never re-executed —
+    // that is what the p checkpoint is for)
+    val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
     var labels = truncateLineage(
       docs.select(col("doc_id"), col("doc_id").as("cluster_id")))
     var changed = 1L
@@ -772,7 +777,15 @@ object Dedup {
       .select(
         col("doc_id"),
         col("i").cast("long").as("i"),
-        md5(array_join(slice(col("t"), col("i"), lit(n)), " ")).as("h"))
+        // the 16 raw md5 bytes, not the 32-char hex string (r7, guide §2.3
+        // "narrower types"): `h` is a purely internal equality key — it
+        // feeds the df aggregation, the dup join and the checkpoint, and
+        // never appears in any output — and unhex(md5(x)) = bytes(md5(x))
+        // is BIJECTIVE with the hex form, so the matched-window relation
+        // (and with it every span/count result) is byte-identical while
+        // every exchange and the materialized checkpoint carry half the
+        // key bytes with cheaper binary comparisons
+        unhex(md5(array_join(slice(col("t"), col("i"), lit(n)), " "))).as("h"))
   }
 
   def passageDupStats(docs: DataFrame, n: Int = 10): DataFrame = {

@@ -53,8 +53,23 @@ object R07AB {
       "dup_spans_stats" -> (d => Dedup.dupSpans(d, n = 10)
         .select(col("doc_id"), col("dup_tokens"), col("total_tokens"))),
       "cut_keep1" -> (d => Dedup.cutDupSpansKeepFirst(d, n = 10)),
+      "cut_all" -> (d => Dedup.cutDupSpans(d, n = 10)),
       "passage" -> (d => Dedup.passageDupStats(d, n = 10)),
       "gopher" -> (d => TextAnalysis.gopherRules(d))
+    )
+
+    def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val embCases: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "emb_dedup" -> (e => Dedup.embeddingDupPairs(e, threshold = 0.4)),
+      "emb_lsh" -> (e => {
+        val planted = e.filter(col("vec_id") < 5)
+          .withColumn("vec_id", col("vec_id") + lit(100000L))
+        Dedup.embeddingDupPairsLsh(e.unionByName(planted), threshold = 0.95)
+      }),
+      "ann_brute" -> (e => graft.ops.Similarity.bruteForceTopK(e, col("vec_id") < 10, k = 5)),
+      "ann_lsh" -> (e => graft.ops.Similarity.lshTopK(
+        e, col("vec_id") < 10, k = 5, planes = 3, nTables = 6)(spark)),
+      "ann_ivf" -> (e => graft.ops.Similarity.ivfTopK(e, col("vec_id") < 10, k = 5)(spark))
     )
 
     def run(df: DataFrame): Double = {
@@ -68,16 +83,20 @@ object R07AB {
     // warmup
     run(TextAnalysis.gopherRules(docs))
     val only = args.toSet
-    cases.filter(c => only.isEmpty || only(c._1)).foreach { case (name, mk) =>
+    def ab(name: String, mk: DataFrame => DataFrame, src: () => DataFrame): Unit = {
       val a = Array.fill(reps)(0.0) // no spread
       val b = Array.fill(reps)(0.0) // spread
       (0 until reps).foreach { i =>
-        a(i) = run(mk(docs))
-        b(i) = run(mk(spread(docs)))
+        a(i) = run(mk(src()))
+        b(i) = run(mk(spread(src())))
       }
       println(s"AB $name nospread_min=${fmt(a.min)} spread_min=${fmt(b.min)} " +
         s"nospread=[${a.map(fmt).mkString(",")}] spread=[${b.map(fmt).mkString(",")}]")
     }
+    cases.filter(c => only.isEmpty || only(c._1))
+      .foreach { case (n, mk) => ab(n, mk, () => docs) }
+    embCases.filter(c => only.isEmpty || only(c._1))
+      .foreach { case (n, mk) => ab(n, mk, () => emb) }
     spark.stop()
   }
 }
