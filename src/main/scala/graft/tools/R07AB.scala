@@ -55,7 +55,8 @@ object R07AB {
       "cut_keep1" -> (d => Dedup.cutDupSpansKeepFirst(d, n = 10)),
       "cut_all" -> (d => Dedup.cutDupSpans(d, n = 10)),
       "passage" -> (d => Dedup.passageDupStats(d, n = 10)),
-      "gopher" -> (d => TextAnalysis.gopherRules(d))
+      "gopher" -> (d => TextAnalysis.gopherRules(d)),
+      "compose" -> (d => graft.ops.Pipeline.prepareRollup(d))
     )
 
     def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -71,6 +72,35 @@ object R07AB {
         e, col("vec_id") < 10, k = 5, planes = 3, nTables = 6)(spark)),
       "ann_ivf" -> (e => graft.ops.Similarity.ivfTopK(e, col("vec_id") < 10, k = 5)(spark))
     )
+
+    // hex-string window-key replica of the pre-r7 span subtree (md5 hex
+    // `h` instead of unhex(md5) binary) — the A side of the binary-key A/B
+    def dupSpanListHex(docs: DataFrame, n: Int): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val toks = split(col("text"), " ")
+      val wins = docs
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), toks.as("t"),
+          greatest(size(toks) - lit(n - 1), lit(0)).as("nw"))
+        .filter(col("nw") > 0)
+        .select(col("doc_id"), explode(sequence(lit(1), col("nw"))).as("i"), col("t"))
+        .select(col("doc_id"), col("i").cast("long").as("i"),
+          md5(array_join(slice(col("t"), col("i"), lit(n)), " ")).as("h"))
+        .localCheckpoint(true)
+      val dupk = wins.select(col("h"), col("doc_id")).distinct()
+        .groupBy(col("h")).agg(count(lit(1)).as("dw"))
+        .filter(col("dw") >= 2).select(col("h"))
+      val ordered = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      val running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      wins.join(dupk, Seq("h"))
+        .select(col("doc_id"), col("i"))
+        .withColumn("new_span",
+          when(col("i") - lag(col("i"), 1).over(ordered) > n, 1L).otherwise(0L))
+        .withColumn("span_id", sum(col("new_span")).over(running))
+        .groupBy(col("doc_id"), col("span_id"))
+        .agg(min(col("i")).as("span_start"), (max(col("i")) + lit(n - 1)).as("span_end"))
+        .select(col("doc_id"), col("span_start"), col("span_end"))
+    }
 
     def run(df: DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -97,6 +127,17 @@ object R07AB {
       .foreach { case (n, mk) => ab(n, mk, () => docs) }
     embCases.filter(c => only.isEmpty || only(c._1))
       .foreach { case (n, mk) => ab(n, mk, () => emb) }
+    // hexkey: A = pre-r7 hex-string span key, B = shipped binary key
+    if (only.isEmpty || only("hexkey")) {
+      val a = Array.fill(reps)(0.0)
+      val b = Array.fill(reps)(0.0)
+      (0 until reps).foreach { i =>
+        a(i) = run(dupSpanListHex(docs, 10))
+        b(i) = run(Dedup.dupSpanList(docs, n = 10))
+      }
+      println(s"AB hexkey hex_min=${fmt(a.min)} binary_min=${fmt(b.min)} " +
+        s"hex=[${a.map(fmt).mkString(",")}] binary=[${b.map(fmt).mkString(",")}]")
+    }
     spark.stop()
   }
 }

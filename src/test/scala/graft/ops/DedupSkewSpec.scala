@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
@@ -132,6 +133,53 @@ class DedupSkewSpec extends AnyFunSuite {
     // the explode+md5 map side must be evaluated ONCE: the df branch and the
     // join probe branch read the same (h, doc_id) exchange
     assert(plan.contains("ReusedExchange"), s"expected ReusedExchange in:\n$plan")
+  }
+
+  test("span dedup binary window key matches the hex-string formulation row for row") {
+    // r7 narrowed the internal window-hash key from the 32-char md5 hex
+    // string to unhex(md5) bytes; the two are bijective, so the span
+    // output must be IDENTICAL — pinned here against an inline hex-key
+    // reference over a corpus with real cross-doc duplication structure
+    import org.apache.spark.sql.expressions.Window
+    val docs = (0 until 200).map { i =>
+      val shared = "one two three four five six seven eight nine ten eleven twelve"
+      val text =
+        if (i % 3 == 0) s"prefix$i a b $shared tail$i x y z"
+        else s"unique$i alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i iota$i kappa$i"
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val n = 10
+    val toks = split(col("text"), " ")
+    val wins = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), toks.as("t"),
+        greatest(size(toks) - lit(n - 1), lit(0)).as("nw"))
+      .filter(col("nw") > 0)
+      .select(col("doc_id"), explode(sequence(lit(1), col("nw"))).as("i"), col("t"))
+      .select(col("doc_id"), col("i").cast("long").as("i"),
+        md5(array_join(slice(col("t"), col("i"), lit(n)), " ")).as("h")) // hex key
+    val dupk = wins.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("dw"))
+      .filter(col("dw") >= 2).select(col("h"))
+    val ordered = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hexSpans = wins.join(dupk, Seq("h"))
+      .select(col("doc_id"), col("i"))
+      .withColumn("new_span",
+        when(col("i") - lag(col("i"), 1).over(ordered) > n, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(running))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("i")).as("span_start"), (max(col("i")) + lit(n - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+    val expected = hexSpans.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val actual = Dedup.dupSpanList(docs, n = n).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("span_start"), r.getAs[Long]("span_end"))).toSet
+    assert(expected.nonEmpty, "test corpus must produce duplicated spans")
+    assert(actual == expected,
+      s"binary-key spans diverge: only-hex=${(expected -- actual).take(3)} " +
+        s"only-binary=${(actual -- expected).take(3)}")
   }
 
   test("embeddingDupPairsLsh: planted mega-bucket is capped, diffuse output unchanged") {
