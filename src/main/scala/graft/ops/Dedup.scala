@@ -545,15 +545,20 @@ object Dedup {
       .distinct()
   }
 
-  /** Small-star step: point every edge from its larger endpoint; for every
-    * node u, connect u and each of its (smaller) neighbors to
-    * m = min(N(u)); edges stay larger -> smaller.
+  /** Small-star step: for every node u, connect u and each of its
+    * (smaller) neighbors to m = min(N(u)); edges stay larger -> smaller.
+    *
+    * INPUT CONTRACT (r7): `dir` must already be a DISTINCT edge set
+    * directed strictly larger -> smaller (u > v) — exactly what
+    * [[largeStarStep]] emits (its output rows are (old_v,
+    * least(mn, old_u)) with old_v > old_u >= least(mn, old_u), ending in
+    * `.distinct()`) and what [[dupClustersStar]]'s initial normalization
+    * produces. The previous re-normalization here
+    * (greatest/least + filter + distinct) was therefore an IDENTITY
+    * transformation costing one full edge-set exchange per round; the
+    * contract is asserted by construction at both call sites.
     */
-  private def smallStarStep(edges: DataFrame): DataFrame = {
-    val dir = edges.select(
-      greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
+  private def smallStarStep(dir: DataFrame): DataFrame = {
     val mins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
     dir.join(mins, Seq("u"))
       .select(col("v").as("a"), col("m").as("b"))
@@ -756,7 +761,9 @@ object Dedup {
     */
   /** The sliding-window hash subtree shared by [[passageDupStats]] and the
     * span operators: one row per n-token window, `(doc_id, i, h)` with `i`
-    * the 1-based start offset and `h` = md5 of the space-joined window.
+    * the 1-based start offset and `h` = the raw md5 bytes of the
+    * space-joined window (binary — same equality relation as the hex
+    * digest the SQL oracle spells, at half the key width).
     * This is the SINGLE definition of the window hash — tokenization,
     * window count, and hash live here so the counting and span/cut
     * operators can never diverge. (The `text IS NOT NULL` filter is

@@ -123,6 +123,27 @@ object R07AB {
       println(s"AB $name nospread_min=${fmt(a.min)} spread_min=${fmt(b.min)} " +
         s"nospread=[${a.map(fmt).mkString(",")}] spread=[${b.map(fmt).mkString(",")}]")
     }
+    // stage decomposition for the cluster queries: pair subtree alone,
+    // then each cluster loop over a PRE-BUILT pair set (diagnosis only —
+    // the declared queries rebuild pairs by contract)
+    if (only.contains("stages")) {
+      (0 until reps).foreach { _ =>
+        val t0 = System.nanoTime()
+        val pairs = Dedup.ngramJaccardPairs(docs, n = 4, threshold = 0.8)(spark)
+        run(pairs)
+        val t1 = System.nanoTime()
+        run(Dedup.dupClusters(docs, pairs)(spark))
+        val t2 = System.nanoTime()
+        run(Dedup.dupClustersStar(docs, pairs)(spark))
+        val t3 = System.nanoTime()
+        run(Dedup.keepBestInCluster(
+          Dedup.dupClusters(docs, pairs)(spark),
+          docs.select(col("doc_id"), col("n_chars").as("quality"))))
+        val t4 = System.nanoTime()
+        println(s"STAGE pairs=${fmt((t1 - t0) / 1e9)} labelprop=${fmt((t2 - t1) / 1e9)} " +
+          s"star=${fmt((t3 - t2) / 1e9)} clusters+election=${fmt((t4 - t3) / 1e9)}")
+      }
+    }
     cases.filter(c => only.isEmpty || only(c._1))
       .foreach { case (n, mk) => ab(n, mk, () => docs) }
     embCases.filter(c => only.isEmpty || only(c._1))
